@@ -1,0 +1,130 @@
+"""Cross-dialect SQL expression builder (Spark SQL + DuckDB).
+
+Every deterministic scalar computed by this engine (fake-data transformers,
+text metrics, hashes, minhash signatures, ...) is generated ONCE as SQL text in
+a tiny common dialect, then compiled for either engine.  The Spark rendering
+becomes the real plan (``F.expr``); the DuckDB rendering becomes the oracle
+query the driver checks against.  Because both renderings come from the same
+builder, the engine and its oracle cannot drift.
+
+Reference analogue: Replibyte's transformers are row-at-a-time Rust closures
+with *unseeded* RNG (/root/reference/replibyte/src/transformer/random.rs:57-83,
+email.rs:58-70) — untestable by construction.  Here every "random" value is a
+pure function of (input value, salt) derived from md5, so results are stable
+across partitions, retries and engines, and stay inside whole-stage codegen
+(no Python in the hot path).
+
+Only the functions whose names differ between the two dialects go through
+shims; everything else (md5, substr, translate, repeat, length, CASE, ``||``,
+arithmetic) is portable SQL text shared verbatim.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duckdb"
+
+
+def q(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# dialect shims
+# ---------------------------------------------------------------------------
+
+def to_str(d: str, e: str) -> str:
+    return f"CAST({e} AS STRING)" if d == SPARK else f"CAST({e} AS VARCHAR)"
+
+
+def to_long(d: str, e: str) -> str:
+    return f"CAST({e} AS BIGINT)"
+
+
+def to_double(d: str, e: str) -> str:
+    return f"CAST({e} AS DOUBLE)"
+
+
+def to_int(d: str, e: str) -> str:
+    return f"CAST({e} AS INT)" if d == SPARK else f"CAST({e} AS INTEGER)"
+
+
+def array_len(d: str, e: str) -> str:
+    return f"size({e})" if d == SPARK else f"len({e})"
+
+
+def split_ws(d: str, e: str) -> str:
+    """Split on runs of whitespace (leading/trailing trimmed first)."""
+    if d == SPARK:
+        return f"split(trim({e}), '\\\\s+')"
+    return f"regexp_split_to_array(trim({e}), '\\s+')"
+
+
+def split_on(d: str, e: str, sep: str) -> str:
+    if d == SPARK:
+        return f"split({e}, {q(sep)})"
+    return f"string_split({e}, {q(sep)})"
+
+
+def regexp_replace(d: str, e: str, pattern: str, repl: str) -> str:
+    if d == SPARK:
+        pat = pattern.replace("\\", "\\\\")
+        return f"regexp_replace({e}, '{pat}', {q(repl)})"
+    return f"regexp_replace({e}, '{pattern}', {q(repl)}, 'g')"
+
+
+def array_filter(d: str, arr: str, lam: str) -> str:
+    """lam uses variable name x, e.g. 'x -> length(x) > 2'."""
+    return f"filter({arr}, {lam})" if d == SPARK else f"list_filter({arr}, {lam})"
+
+
+def array_contains_lit(d: str, items: list[str], e: str) -> str:
+    lits = ", ".join(q(i) for i in items)
+    if d == SPARK:
+        return f"array_contains(array({lits}), {e})"
+    return f"list_contains([{lits}], {e})"
+
+
+def pick_from_list(d: str, items: list[str], idx_expr: str) -> str:
+    """1-based index into a literal string list."""
+    lits = ", ".join(q(i) for i in items)
+    if d == SPARK:
+        return f"element_at(array({lits}), {to_int(d, idx_expr)})"
+    return f"list_extract([{lits}], {to_int(d, idx_expr)})"
+
+
+def date_add_days(d: str, date_lit: str, days_expr: str) -> str:
+    if d == SPARK:
+        return f"date_add(DATE {q(date_lit)}, {to_int(d, days_expr)})"
+    return f"CAST(DATE {q(date_lit)} + {to_int(d, days_expr)} * INTERVAL 1 DAY AS DATE)"
+
+
+# ---------------------------------------------------------------------------
+# deterministic pseudo-randomness (pure function of value + salt)
+# ---------------------------------------------------------------------------
+
+def md5_hex(d: str, e: str, salt: str) -> str:
+    """md5 hex digest of (salt || value-as-string); NULL-safe via coalesce."""
+    payload = f"coalesce({to_str(d, e)}, '')"
+    return f"md5(concat({q(salt)}, {payload}))"
+
+
+def hash_digits(d: str, e: str, salt: str, start: int, n: int) -> str:
+    """n pseudo-random decimal digits (as a string) derived from the value.
+
+    Hex chars a-f are translated to digits 1-6; 0-9 pass through.  Identical
+    text in both dialects, stays in codegen, no UDF.
+    """
+    assert 1 <= start and start + n - 1 <= 32
+    return f"translate(substr({md5_hex(d, e, salt)}, {start}, {n}), 'abcdef', '123456')"
+
+
+def hash_long(d: str, e: str, salt: str, start: int = 1, n: int = 15) -> str:
+    """Non-negative bigint derived from the value (n decimal digits, n<=18)."""
+    return to_long(d, hash_digits(d, e, salt, start, n))
+
+
+def hash_mod(d: str, e: str, salt: str, m: int, start: int = 1) -> str:
+    """Pseudo-random value in [0, m)."""
+    return f"({hash_long(d, e, salt, start, 12)} % {m})"
