@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + a cheap checksum collect) so the
+wall-clock includes the whole plan, not just lazy construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from replibyte_spark.session import get_spark
+    from replibyte_spark.workload import REGISTRY
+
+    spark = get_spark("replibyte-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+
+    # warm the JVM + parquet footer cache once with the cheapest plan
+    next(iter(bench_queries.values())).spark_fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        # noop sink materializes EVERY column (count() would let Catalyst
+        # prune the projections we're trying to measure)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

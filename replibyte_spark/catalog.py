@@ -23,7 +23,35 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Load one fixture table.
+
+    The `events` table stores TIMESTAMP(NANOS), which Spark rejects outright
+    ([PARQUET_TYPE_ILLEGAL]).  We read nanos as int64 under the legacy flag
+    and truncate to microseconds — exactly what DuckDB does natively, so
+    oracle comparisons stay exact.
+    """
+    from pyspark.sql import functions as F
+
+    path = table_path(sf_dir, name)
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos_cols:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — detected from the parquet footer
+    (driver-side metadata read; no data scan)."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pt
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [f.name for f in schema
+            if pt.is_timestamp(f.type) and f.type.unit == "ns"]
 
 
 def load_tables(

@@ -1,0 +1,241 @@
+"""Analytic query set — the engine's general query surface.
+
+The reference has no SELECT evaluator at all (SURVEY.md §2.9); these queries
+demonstrate that the Spark-native engine supersets it with real joins,
+aggregations, windows, top-k and JSON access — all expressed declaratively so
+Catalyst plans them (broadcast joins for dims, partial aggregation, pushdown).
+
+Floating-point aggregates are rounded on BOTH sides (sum→2dp, avg/ratio→6dp)
+because partition summation order differs between engines; without rounding
+the driver's value hash would flap on the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import Query, register
+
+
+# --- q1: pricing summary (flagship; TPC-H Q1 shape) ------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register(Query("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
+               tags=("agg",), bench=True))
+
+
+# --- q3: shipping-priority style top-k join --------------------------------
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    # customer is small relative to orders → broadcast the dim side
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+register(Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_ORACLE,
+               tags=("join", "topk"), bench=True))
+
+
+# --- q5: region/nation rollup (5-way join) ---------------------------------
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # dims (region/nation/customer) are broadcast; only orders⋈lineitem shuffles
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+register(Query("q5_region_volume", q5_region_volume, Q5_ORACLE,
+               tags=("join", "agg"), bench=True))
+
+
+# --- window function: top order per customer -------------------------------
+
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("top_price"))
+        .orderBy("o_custkey")
+    )
+
+
+TOP_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+register(Query("top_order_per_customer", top_order_per_customer, TOP_ORDER_ORACLE,
+               tags=("window",)))
+
+
+# --- events: time-bucketed aggregation (batch form of the streaming agg) ---
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts)   AS hour,
+       event_type,
+       count(*)                 AS n_events,
+       round(sum(value), 2)     AS sum_value,
+       round(avg(value), 6)     AS avg_value,
+       count(DISTINCT user_id)  AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+register(Query("hourly_event_stats", hourly_event_stats, HOURLY_ORACLE,
+               tags=("agg", "time"), bench=True))
+
+
+# --- events: JSON property extraction --------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+       count(*)                                                         AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+register(Query("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE,
+               tags=("json",)))

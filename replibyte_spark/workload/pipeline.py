@@ -1,0 +1,120 @@
+"""Replibyte-semantics queries: transform (dump create), skip/only table
+filters, and the dump manifest view.
+
+These re-express the reference's ETL surface as declarative plans:
+- transform = one narrow projection per table (reference: per-row transformer
+  dispatch, /root/reference/replibyte/src/source/postgres.rs:417-424)
+- skip/only = not reading the table at all — the pushdown analogue of
+  `pg_dump --table` / `mysqldump --ignore-table`
+  (/root/reference/replibyte/src/source/postgres.rs:132-139, mysql.rs:128-136)
+
+Both sides (Spark plan and DuckDB oracle) are generated from the same
+transformer spec via the dialect builder, so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..catalog import load_table
+from ..functions.transformers import transformer_sql
+from . import Query, register
+
+# spec: (output_column, transformer_id, source_column)
+CUSTOMER_PII_SPEC = [
+    ("c_custkey", None, "c_custkey"),
+    ("c_name", "first-name", "c_name"),
+    ("c_email", "email", "c_name"),
+    ("c_phone", "phone-number", "c_name"),
+    ("c_card", "credit-card", "c_name"),
+    ("c_nationkey", None, "c_nationkey"),
+    ("c_acctbal", "random-float", "c_acctbal"),
+    ("c_mktsegment", "redacted", "c_mktsegment"),
+]
+
+ORDERS_MASK_SPEC = [
+    ("o_orderkey", None, "o_orderkey"),
+    ("o_custkey", "random-integer", "o_custkey"),
+    ("o_orderstatus", "keep-first-char", "o_orderstatus"),
+    ("o_totalprice", None, "o_totalprice"),
+    ("o_orderdate", "random-date", "o_orderkey"),
+    ("o_orderpriority", "random", "o_orderpriority"),
+]
+
+
+def _spec_exprs(spec, d: str) -> list[str]:
+    out = []
+    for alias, tname, src in spec:
+        e = src if tname is None else transformer_sql(tname, d, src)
+        out.append(f"{e} AS {alias}")
+    return out
+
+
+def _spec_query(table: str, spec, order_by: str):
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        return df.selectExpr(*_spec_exprs(spec, D.SPARK)).orderBy(order_by)
+
+    oracle = (f"SELECT {', '.join(_spec_exprs(spec, D.DUCK))} "
+              f"FROM {table} ORDER BY {order_by}")
+    return spark_fn, oracle
+
+
+_cust_fn, _cust_oracle = _spec_query("customer", CUSTOMER_PII_SPEC, "c_custkey")
+register(Query("transform_customer_pii", _cust_fn, _cust_oracle,
+               tags=("transform",), bench=True))
+
+_ord_fn, _ord_oracle = _spec_query("orders", ORDERS_MASK_SPEC, "o_orderkey")
+register(Query("transform_orders_mask", _ord_fn, _ord_oracle,
+               tags=("transform",)))
+
+
+# --- dump manifest with skip/only semantics --------------------------------
+
+DUMP_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings"]
+SKIP_TABLES = ["events", "embeddings"]  # exercised skip: config
+
+
+def resolve_tables(only: list[str] | None = None,
+                   skip: list[str] | None = None) -> list[str]:
+    """skip/only resolution with the reference's disjointness validation
+    (/root/reference/replibyte/src/commands/dump.rs:109-128)."""
+    only, skip = only or [], skip or []
+    overlap = set(only) & set(skip)
+    if overlap:
+        raise ValueError(f"tables cannot be both skipped and kept: {sorted(overlap)}")
+    base = only if only else DUMP_TABLES
+    return [t for t in base if t not in skip]
+
+
+def dump_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table row counts of a dump with skip=[events, embeddings].
+
+    The skipped tables are never read — scan elimination, the Spark analogue
+    of the reference pushing `--ignore-table` into mysqldump.
+    """
+    kept = resolve_tables(skip=SKIP_TABLES)
+    parts = []
+    for t in kept:
+        parts.append(
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(t).alias("table_name"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")
+
+
+_manifest_selects = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+    for t in resolve_tables(skip=SKIP_TABLES)
+)
+DUMP_MANIFEST_ORACLE = f"SELECT * FROM ({_manifest_selects}) ORDER BY table_name"
+
+register(Query("dump_manifest_skip_tables", dump_manifest, DUMP_MANIFEST_ORACLE,
+               tags=("pipeline",)))

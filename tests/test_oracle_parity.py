@@ -1,0 +1,46 @@
+"""The driver's correctness gate, run locally: every registered query's Spark
+result must match its DuckDB oracle exactly (sorted rows, same column names).
+
+This is the same comparison CORRECTNESS_r{N}.json records, so a green run here
+means a green driver gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from replibyte_spark.workload import REGISTRY
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rows(seq):
+    return sorted(tuple(_norm(v) for v in r) for r in seq)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.spark_fn(spark, sf_dir)
+    got_cols = df.columns
+    got = _rows(tuple(r) for r in df.collect())
+    assert len(got) > 0, f"{name}: empty result"
+    if q.oracle is None:
+        pytest.skip(f"{name}: no oracle (rows-only check: {len(got)} rows)")
+    cur = duck.execute(q.oracle)
+    want_cols = [d[0] for d in cur.description]
+    want = _rows(cur.fetchall())
+    assert got_cols == want_cols, f"{name}: column names differ: {got_cols} vs {want_cols}"
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    if got != want:
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == w, f"{name}: first diff at row {i}:\n  spark={g}\n  duck ={w}"
+    assert got == want
