@@ -1,0 +1,195 @@
+"""Referential-integrity-aware subset — the reference's algorithmic core,
+restated as set-at-a-time semi-joins.
+
+Reference: `PostgresSubset::visits` (/root/reference/subset/src/postgres.rs:104-172)
+emits each sampled row, then for every FK relation re-scans the whole dump to
+find referenced rows and recurses — O(rows × relations) full scans, with an
+acknowledged unfixed cycle bug ("TODO break acyclic graph", :154) and a
+spill-to-disk linear-probe dedup (subset/src/dedup.rs:9-63).
+
+Here the same semantics run as an **iterative left-semi-join closure to
+fixpoint**:
+
+    keep[P] = P ⋉ (union of kept FK values referencing P)        (parents)
+    keep[C] = C ⋉ kept parent keys                               (children, optional)
+
+- Each iteration is one shuffle per active edge; iterations = FK-graph
+  diameter (3-4 for TPC-H-like graphs), not row count.
+- Cycles are safe: per-table kept-key sets grow monotonically and the loop
+  stops when no set grows — the visited-set fix the reference left as TODO.
+- Dedup is `distinct()` on key sets (hash shuffle), replacing the md5-bucket
+  spill files.
+- At scale every join is key-partitioned; AQE broadcasts the small key sets
+  (region/nation level) automatically.
+
+Direction semantics: the reference only follows FKs *outward* (child row →
+referenced parent rows), which preserves RI for the sampled rows themselves.
+A useful training-data subset usually also wants the *children* of sampled
+rows (orders → their lineitems); `include_children=True` adds that — but only
+from the seed's subtree.  Rows pulled in for RI (parents like customer) do
+NOT re-expand their own children; otherwise a 20% orders sample would cascade
+(kept customers → all their orders → all their lineitems → ...) back to ~100%
+of the database.  Children's own FK targets (part, supplier) are still pulled
+by the parent pass, so the result is a full RI closure of the seed subtree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FkEdge:
+    """`child.fk_col` REFERENCES `parent.parent_col`.
+
+    Reference analogue: `SubsetTableRelation {database, table, from_property,
+    to_property}` (/root/reference/subset/src/lib.rs:57-123), extracted from
+    `ALTER TABLE ... FOREIGN KEY` DDL (subset/src/postgres.rs:583-734).
+    """
+
+    child: str
+    fk_col: str
+    parent: str
+    parent_col: str
+
+
+@dataclass
+class SubsetResult:
+    tables: dict[str, DataFrame]          # table -> kept rows
+    iterations: int
+
+
+# The fixture star schema's FK graph (driver testdata; TPC-H-like).
+FIXTURE_FK_EDGES = [
+    FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    FkEdge("lineitem", "l_partkey", "part", "p_partkey"),
+    FkEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+    FkEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+    FkEdge("supplier", "s_nationkey", "nation", "n_nationkey"),
+    FkEdge("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+PRIMARY_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,  # composite (l_orderkey, l_linenumber); not a FK target
+}
+
+
+def subset_closure(
+    tables: dict[str, DataFrame],
+    edges: list[FkEdge],
+    seed_table: str,
+    seed_df: DataFrame,
+    *,
+    include_children: bool = False,
+    passthrough_tables: list[str] | None = None,
+    max_iterations: int = 20,
+    checkpoint_every: int = 5,
+) -> SubsetResult:
+    """Compute the RI closure of `seed_df` over the FK graph.
+
+    `tables` maps table name → full DataFrame.  Returns kept rows per table
+    (passthrough tables whole, reference `passthrough_tables`
+    /root/reference/subset/src/lib.rs:32-55).
+    """
+    passthrough = set(passthrough_tables or [])
+    # kept[t]: rows of t in the subset (deduped, persisted, monotone growth).
+    # expand[t]: the subset of kept rows that still triggers child expansion —
+    # seed + child-derived rows only; RI parents never re-expand children.
+    kept: dict[str, DataFrame] = {}
+    expand: dict[str, DataFrame] = {}
+    sizes: dict[str, int] = {}
+    esizes: dict[str, int] = {}
+    seed_df = seed_df.persist()
+    _grow(kept, sizes, seed_table, seed_df)
+    _grow(expand, esizes, seed_table, seed_df)
+
+    it = 0
+    for it in range(1, max_iterations + 1):
+        grew = False
+        # ---- parent direction: FK targets of every kept row must be kept
+        for e in edges:
+            if e.child not in kept or e.parent in passthrough:
+                continue
+            fk_keys = (kept[e.child].select(F.col(e.fk_col).alias(e.parent_col))
+                       .na.drop().distinct())
+            parent_rows = tables[e.parent].join(fk_keys, on=e.parent_col, how="leftsemi")
+            grew |= _grow(kept, sizes, e.parent, parent_rows)
+        # ---- child direction (optional): children of the seed subtree only
+        if include_children:
+            for e in edges:
+                if e.parent not in expand or e.child in passthrough:
+                    continue
+                pk = expand[e.parent].select(F.col(e.parent_col).alias(e.fk_col)).distinct()
+                child_rows = tables[e.child].join(pk, on=e.fk_col, how="leftsemi")
+                grew_kept = _grow(kept, sizes, e.child, child_rows)
+                # child-derived rows expand further; tracked separately from
+                # kept so RI-derived rows of the same table never re-expand
+                grew_exp = _grow(expand, esizes, e.child, child_rows)
+                grew |= grew_kept or grew_exp
+        if it % checkpoint_every == 0:
+            # cut lineage so deep/cyclic graphs don't accumulate a towering plan
+            kept = {t: df.localCheckpoint(eager=True) for t, df in kept.items()}
+            expand = {t: df.localCheckpoint(eager=True) for t, df in expand.items()}
+        if not grew:
+            break
+
+    for t in passthrough:
+        kept[t] = tables[t]
+    return SubsetResult(tables=kept, iterations=it)
+
+
+def _grow(kept, sizes, table, new_rows) -> bool:
+    """Union `new_rows` into kept[table]; True if the set grew.  Each grown
+    set is persisted and the superseded one released, so per-iteration counts
+    don't recompute the whole closure lineage (the Spark analogue of the
+    reference's spill-file dedup, subset/src/dedup.rs:9-63)."""
+    if table not in kept:
+        new_rows = new_rows.persist()
+        n = new_rows.count()
+        if n == 0:
+            new_rows.unpersist()
+            return False
+        kept[table] = new_rows
+        sizes[table] = n
+        return True
+    merged = kept[table].unionByName(new_rows).distinct().persist()
+    n = merged.count()
+    if n > sizes[table]:
+        kept[table].unpersist()
+        kept[table] = merged
+        sizes[table] = n
+        return True
+    merged.unpersist()
+    return False
+
+
+def verify_referential_integrity(
+    tables: dict[str, DataFrame], edges: list[FkEdge]
+) -> dict[str, int]:
+    """FK-violation count per edge (0 everywhere ⇔ the subset restores
+    cleanly).  Stronger than the reference's count assertions
+    (subset/src/postgres.rs:917-975): `child ⟕ parent` anti-join must be
+    empty for every edge."""
+    out = {}
+    for e in edges:
+        if e.child not in tables or e.parent not in tables:
+            continue
+        child, parent = tables[e.child], tables[e.parent]
+        violations = (
+            child.filter(F.col(e.fk_col).isNotNull())
+            .join(parent.select(F.col(e.parent_col).alias(e.fk_col)).distinct(),
+                  on=e.fk_col, how="left_anti")
+            .count()
+        )
+        out[f"{e.child}.{e.fk_col}->{e.parent}.{e.parent_col}"] = violations
+    return out

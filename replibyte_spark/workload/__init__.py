@@ -36,7 +36,7 @@ def register(q: Query) -> Query:
 
 def _load_all() -> None:
     # one module per operator family; extend as operators land
-    from . import analytics, pipeline  # noqa: F401
+    from . import analytics, pipeline, subset_queries  # noqa: F401
 
 
 _load_all()

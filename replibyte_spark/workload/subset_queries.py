@@ -1,0 +1,132 @@
+"""Gate queries for the subset operator (SURVEY.md §2.4 SS1-SS7).
+
+The Spark side runs the generic engine (`operators.subset.subset_closure`);
+the oracle is the same fixpoint unrolled as CTEs (the fixture FK graph has
+diameter 3, so the closure is statically expressible).  Both use the identical
+md5-based sampling predicate from the shared dialect builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..catalog import load_tables
+from ..operators.sample import hash_percent_filter, hash_percent_sql
+from ..operators.subset import FIXTURE_FK_EDGES, subset_closure
+from . import Query, register
+
+PCT = 20
+SALT = "subset"
+
+# per-table key-checksum expression (cheap value fingerprint for the oracle)
+KEYSUM = {
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+    "lineitem": "l_orderkey * 10 + l_linenumber",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+
+def _summarize(kept: dict[str, DataFrame]) -> DataFrame:
+    parts = []
+    for t in sorted(kept):
+        parts.append(
+            kept[t].agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(F.expr(KEYSUM[t])), F.lit(0)).alias("key_sum"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "key_sum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")
+
+
+def subset_parent_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful direction: sampled rows + their FK targets,
+    recursively (visits(), subset/src/postgres.rs:104-172)."""
+    tables = load_tables(spark, sf_dir,
+                         ["region", "nation", "customer", "supplier", "part",
+                          "orders", "lineitem"])
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", PCT, SALT)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed)
+    return _summarize(res.tables)
+
+
+def subset_full_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parents + children: orders sample pulls its lineitems, whose parts and
+    suppliers (and their nations) are then pulled to restore full RI."""
+    tables = load_tables(spark, sf_dir,
+                         ["region", "nation", "customer", "supplier", "part",
+                          "orders", "lineitem"])
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", PCT, SALT)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed,
+                         include_children=True)
+    return _summarize(res.tables)
+
+
+def _pred(col: str) -> str:
+    return hash_percent_sql(D.DUCK, col, PCT, SALT)
+
+
+_PARENT_CTES = f"""
+WITH keep_orders AS (
+  SELECT * FROM orders WHERE {_pred('o_orderkey')}
+), keep_customer AS (
+  SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM keep_orders)
+), keep_nation AS (
+  SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM keep_customer)
+), keep_region AS (
+  SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM keep_nation)
+)
+"""
+
+SUBSET_PARENT_ORACLE = _PARENT_CTES + """
+SELECT * FROM (
+  SELECT 'customer' AS table_name, count(*) AS n_rows, coalesce(sum(c_custkey),0) AS key_sum FROM keep_customer
+  UNION ALL SELECT 'nation', count(*), coalesce(sum(n_nationkey),0) FROM keep_nation
+  UNION ALL SELECT 'orders', count(*), coalesce(sum(o_orderkey),0) FROM keep_orders
+  UNION ALL SELECT 'region', count(*), coalesce(sum(r_regionkey),0) FROM keep_region
+) ORDER BY table_name
+"""
+
+_FULL_CTES = f"""
+WITH keep_orders AS (
+  SELECT * FROM orders WHERE {_pred('o_orderkey')}
+), keep_lineitem AS (
+  SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM keep_orders)
+), keep_customer AS (
+  SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM keep_orders)
+), keep_part AS (
+  SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM keep_lineitem)
+), keep_supplier AS (
+  SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM keep_lineitem)
+), keep_nation AS (
+  SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM keep_customer)
+                          OR n_nationkey IN (SELECT s_nationkey FROM keep_supplier)
+), keep_region AS (
+  SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM keep_nation)
+)
+"""
+
+SUBSET_FULL_ORACLE = _FULL_CTES + """
+SELECT * FROM (
+  SELECT 'customer' AS table_name, count(*) AS n_rows, coalesce(sum(c_custkey),0) AS key_sum FROM keep_customer
+  UNION ALL SELECT 'lineitem', count(*), coalesce(sum(l_orderkey * 10 + l_linenumber),0) FROM keep_lineitem
+  UNION ALL SELECT 'nation', count(*), coalesce(sum(n_nationkey),0) FROM keep_nation
+  UNION ALL SELECT 'orders', count(*), coalesce(sum(o_orderkey),0) FROM keep_orders
+  UNION ALL SELECT 'part', count(*), coalesce(sum(p_partkey),0) FROM keep_part
+  UNION ALL SELECT 'region', count(*), coalesce(sum(r_regionkey),0) FROM keep_region
+  UNION ALL SELECT 'supplier', count(*), coalesce(sum(s_suppkey),0) FROM keep_supplier
+) ORDER BY table_name
+"""
+
+register(Query("subset_parent_closure", subset_parent_closure, SUBSET_PARENT_ORACLE,
+               tags=("subset",)))
+register(Query("subset_full_closure", subset_full_closure, SUBSET_FULL_ORACLE,
+               tags=("subset",), bench=True))

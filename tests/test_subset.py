@@ -1,0 +1,82 @@
+"""Subset operator tests — mirrors the reference's golden assertions
+(subset/src/postgres.rs:917-975: subset smaller than source, no duplicates,
+passthrough complete) plus the stronger RI property the reference lacks."""
+
+from __future__ import annotations
+
+from replibyte_spark.catalog import load_tables
+from replibyte_spark.operators.sample import hash_percent_filter, systematic_percent
+from replibyte_spark.operators.subset import (
+    FIXTURE_FK_EDGES,
+    subset_closure,
+    verify_referential_integrity,
+)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+def test_full_closure_preserves_referential_integrity(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, TABLES)
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", 20)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed, include_children=True)
+    violations = verify_referential_integrity(res.tables, FIXTURE_FK_EDGES)
+    assert violations and all(v == 0 for v in violations.values()), violations
+
+
+def test_subset_is_smaller_than_source(spark, sf_dir):
+    """subset/postgres.rs:968-974 — processed < total."""
+    tables = load_tables(spark, sf_dir, TABLES)
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", 20)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed, include_children=True)
+    n_orders = tables["orders"].count()
+    kept_orders = res.tables["orders"].count()
+    assert 0 < kept_orders < n_orders
+    # roughly 20% (hash sampling; loose band)
+    assert 0.1 < kept_orders / n_orders < 0.3
+
+
+def test_no_duplicate_rows(spark, sf_dir):
+    """Reference dedups via spill files (dedup.rs:9-63); here closure unions
+    must stay distinct."""
+    tables = load_tables(spark, sf_dir, TABLES)
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", 20)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed, include_children=True)
+    for t, df in res.tables.items():
+        assert df.count() == df.distinct().count(), f"duplicates in {t}"
+
+
+def test_passthrough_tables_complete(spark, sf_dir):
+    """subset/src/lib.rs:32-55 — passthrough tables are copied 100%."""
+    tables = load_tables(spark, sf_dir, TABLES)
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", 20)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed,
+                         passthrough_tables=["part"])
+    assert res.tables["part"].count() == tables["part"].count()
+
+
+def test_closure_terminates_on_cycle(spark):
+    """The reference's acknowledged TODO (subset/postgres.rs:154): cyclic FK
+    graphs must not loop forever."""
+    from replibyte_spark.operators.subset import FkEdge
+
+    a = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], "id long, ref long")
+    b = spark.createDataFrame([(1, 1), (2, 3), (3, 2)], "id long, ref long")
+    edges = [FkEdge("a", "ref", "b", "id"), FkEdge("b", "ref", "a", "id")]
+    seed = a.filter("id = 1")
+    res = subset_closure({"a": a, "b": b}, edges, "a", seed)
+    assert res.iterations < 20
+    # closure from a1: a1→b2→a3→b3→a2→b1→a1 ... full cycle pulls everything
+    assert res.tables["a"].count() == 3
+    assert res.tables["b"].count() == 3
+
+
+def test_systematic_percent_matches_reference_modulo():
+    """Every k-th row semantics (subset/postgres.rs:316-328)."""
+    from replibyte_spark.session import get_spark
+
+    spark = get_spark("t", cpus=4)
+    df = spark.range(1, 101).withColumnRenamed("id", "k")
+    out = systematic_percent(df, "k", 20)
+    got = sorted(r.k for r in out.collect())
+    assert got == [5, 10, 15, 20, 25, 30, 35, 40, 45, 50,
+                   55, 60, 65, 70, 75, 80, 85, 90, 95, 100]
