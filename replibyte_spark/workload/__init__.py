@@ -36,7 +36,15 @@ def register(q: Query) -> Query:
 
 def _load_all() -> None:
     # one module per operator family; extend as operators land
-    from . import analytics, pipeline, subset_queries  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        dedup_queries,
+        pipeline,
+        similarity_queries,
+        streaming_queries,
+        subset_queries,
+        text_queries,
+    )
 
 
 _load_all()

@@ -1,0 +1,157 @@
+"""Gate queries for the dedup family (exact, MinHash-LSH, SimHash, n-gram
+Jaccard).  Oracle SQL is generated from the same dialect fragments the engine
+compiles, so signatures, band keys and candidate sets agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..catalog import load_table
+from ..operators import dedup as DD
+from . import Query, register
+
+N_HASHES, BANDS, NGRAM = 12, 4, 3
+JACCARD_T = 0.8
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (DD.exact_dedup(ev, ["user_id", "event_type"], "event_id")
+            .orderBy("user_id", "event_type"))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT user_id, event_type, min(event_id) AS event_id
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+register(Query("dedup_exact_events", dedup_exact_events, DEDUP_EXACT_ORACLE,
+               tags=("dedup",)))
+
+
+# --- MinHash-LSH near-dup --------------------------------------------------
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                     threshold=JACCARD_T,
+                                     n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+
+
+def _minhash_oracle() -> str:
+    d = D.DUCK
+    grams = DD.word_ngrams_sql(d, "text", NGRAM)
+    rows = N_HASHES // BANDS
+    sig_cols = ", ".join(
+        f"min({DD.minhash_sql(d, 'gram', i)}) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+), shd AS (
+  SELECT DISTINCT doc_id, gram FROM ex
+), card AS (
+  SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id
+), inter AS (
+  SELECT id_a, id_b, count(*) AS i
+  FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b AND y.gram = x.gram
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
+WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= {JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
+register(Query("minhash_near_dup", minhash_near_dup, _minhash_oracle(),
+               tags=("dedup", "lsh"), bench=True))
+
+
+# --- SimHash signatures ----------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_signature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (DD.simhash_signatures(docs, "doc_id", "text", SIMHASH_BITS)
+            .orderBy("doc_id"))
+
+
+def _simhash_oracle() -> str:
+    d = D.DUCK
+    toks = D.split_ws(d, "text")
+    sums = ", ".join(
+        f"sum({DD.simhash_bit_sql(d, 'tok', j)}) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), s AS (
+  SELECT doc_id, {sums} FROM ex GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM s ORDER BY doc_id
+"""
+
+
+register(Query("simhash_signatures", simhash_signature_query, _simhash_oracle(),
+               tags=("dedup",)))
+
+
+# --- exact n-gram Jaccard pairs (ground truth) -----------------------------
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=NGRAM)
+
+
+def _ngram_oracle() -> str:
+    d = D.DUCK
+    grams = DD.word_ngrams_sql(d, "text", NGRAM)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+), shd AS (
+  SELECT DISTINCT doc_id, gram FROM ex
+), card AS (
+  SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM shd x JOIN shd y ON x.gram = y.gram AND x.doc_id < y.doc_id
+), inter AS (
+  SELECT id_a, id_b, count(*) AS i
+  FROM pairs JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b AND y.gram = x.gram
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
+WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+register(Query("ngram_jaccard_pairs", ngram_jaccard, _ngram_oracle(),
+               tags=("dedup",)))

@@ -71,6 +71,36 @@ register(Query("transform_orders_mask", _ord_fn, _ord_oracle,
                tags=("transform",)))
 
 
+# --- SQL-text dump round-trip ----------------------------------------------
+
+def sqldump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → INSERT-statement text → statement splitter + typed parser →
+    rows.  Exercises the reference's parser spine (P1 splitter, P4-P7
+    classifier/decoder, P8 re-encoder) end to end; the oracle reads the
+    table directly, so any parser loss shows up as a hash mismatch."""
+    import tempfile
+
+    from ..sinks.sqldump_sink import write_sql_dump
+    from ..sources.sqldump import read_sql_dump
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="rs_gate_sqldump_") + "/supplier"
+    write_sql_dump(supplier, "supplier", path)
+    back = read_sql_dump(spark, path)["supplier"]
+    return back.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_name").alias("s_name"),
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    ).orderBy("s_suppkey")
+
+
+register(Query("sqldump_roundtrip", sqldump_roundtrip,
+               "SELECT s_suppkey, s_name, s_nationkey, s_acctbal "
+               "FROM supplier ORDER BY s_suppkey",
+               tags=("pipeline", "parser")))
+
+
 # --- dump manifest with skip/only semantics --------------------------------
 
 DUMP_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -108,6 +138,33 @@ def dump_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("table_name")
+
+
+# --- full dump → restore round-trip ---------------------------------------
+
+def dump_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core lifecycle (`dump create` → `dump restore`,
+    tasks/full_dump.rs + full_restore.rs) on the customer table: transform
+    PII, write an encrypted+compressed dump, restore+decrypt, return rows.
+    The oracle computes the transform directly — proving the datastore
+    round-trip is lossless."""
+    import tempfile
+
+    from ..sinks.datastore import Datastore
+
+    cust = load_table(spark, sf_dir, "customer")
+    transformed = cust.selectExpr(*_spec_exprs(CUSTOMER_PII_SPEC, D.SPARK))
+    root = tempfile.mkdtemp(prefix="rs_gate_store_")
+    store = Datastore(spark, root)
+    store.dump({"customer": transformed}, "gate",
+               encrypt_columns={"customer": ["c_email"]}, encryption_key="gate-key")
+    back = store.restore("gate", decrypt_columns={"customer": ["c_email"]},
+                         encryption_key="gate-key")["customer"]
+    return back.orderBy("c_custkey")
+
+
+register(Query("dump_restore_roundtrip", dump_restore_roundtrip, _cust_oracle,
+               tags=("pipeline",)))
 
 
 _manifest_selects = " UNION ALL ".join(

@@ -1,0 +1,56 @@
+"""Gate queries for the streaming surface (batch renderings of the unified
+plans; the streaming renderings are proven equal in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..streaming.events import sessionized_stats, windowed_event_counts
+from . import Query, register
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
+TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register(Query("tumbling_window_counts", tumbling_window_counts, TUMBLING_ORACLE,
+               tags=("streaming",)))
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionized_stats(ev, gap="6 hours").orderBy("user_id", "session_start")
+
+
+# gaps-and-islands: a new session starts when the gap to the previous event
+# is >= 6 hours (session_window extends a window to last_ts + gap, half-open)
+SESSION_ORACLE = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 6 HOUR
+                 THEN 1 ELSE 0 END AS new_s
+  FROM l
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+register(Query("session_stats", session_stats, SESSION_ORACLE,
+               tags=("streaming", "session")))

@@ -1,0 +1,75 @@
+"""Gate queries for text analysis (lang-ID, quality, token counts,
+fingerprints) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..catalog import load_table
+from ..functions import text as T
+from . import Query, register
+
+
+def _doc_metrics_exprs(d: str) -> list[str]:
+    return [
+        "doc_id",
+        f"{T.token_count_sql(d, 'text')} AS n_tokens",
+        f"{T.char_count_sql(d, 'text')} AS n_chars_actual",
+        f"{T.punct_ratio_sql(d, 'text')} AS punct_ratio",
+        f"{T.stopword_ratio_sql(d, 'text')} AS stopword_ratio",
+        f"{T.avg_word_len_sql(d, 'text')} AS avg_word_len",
+        f"{T.quality_score_sql(d, 'text')} AS quality",
+        f"{T.lang_guess_sql(d, 'text')} AS lang_guess",
+        f"{T.fingerprint_sql(d, 'text')} AS fingerprint",
+        f"{T.rolling_hash_sql(d, 'text')} AS rolling_hash",
+    ]
+
+
+def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(*_doc_metrics_exprs(D.SPARK)).orderBy("doc_id")
+
+
+DOC_METRICS_ORACLE = (
+    "SELECT " + ", ".join(_doc_metrics_exprs(D.DUCK))
+    + " FROM documents ORDER BY doc_id"
+)
+
+register(Query("doc_text_metrics", doc_metrics, DOC_METRICS_ORACLE,
+               tags=("text",), bench=True))
+
+
+def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pass: per (source, lang_guess) doc counts and mean
+    quality, keeping only docs above a quality floor."""
+    d = D.SPARK
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "source",
+        f"{T.lang_guess_sql(d, 'text')} AS lang_guess",
+        f"{T.quality_score_sql(d, 'text')} AS quality",
+    )
+    return (scored.filter(F.col("quality") >= 0.5)
+            .groupBy("source", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality"))
+            .orderBy("source", "lang_guess"))
+
+
+_dq = D.DUCK
+QUALITY_FILTER_ORACLE = f"""
+WITH scored AS (
+  SELECT source,
+         {T.lang_guess_sql(_dq, 'text')} AS lang_guess,
+         {T.quality_score_sql(_dq, 'text')} AS quality
+  FROM documents
+)
+SELECT source, lang_guess, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+FROM scored WHERE quality >= 0.5
+GROUP BY source, lang_guess ORDER BY source, lang_guess
+"""
+
+register(Query("quality_filter_summary", quality_filter_summary,
+               QUALITY_FILTER_ORACLE, tags=("text",)))

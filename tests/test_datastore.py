@@ -1,0 +1,102 @@
+"""Datastore lifecycle tests — mirrors the reference's tempdir suite
+(/root/reference/replibyte/src/datastore/local_disk.rs:253-643: write/read
+round-trip, index file, delete by name / keep-last / older-than, migration
+from a legacy `backups` manifest)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from replibyte_spark.catalog import load_table
+from replibyte_spark.sinks.datastore import Datastore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return Datastore(spark, str(tmp_path / "store"))
+
+
+def test_dump_restore_roundtrip(spark, sf_dir, store):
+    nation = load_table(spark, sf_dir, "nation")
+    info = store.dump({"nation": nation}, "d1")
+    assert info.compressed and not info.encrypted and info.size > 0
+    back = store.restore("d1")["nation"]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_encrypted_roundtrip(spark, sf_dir, store):
+    """AES-GCM column encryption: ciphertext differs, decrypt restores."""
+    nation = load_table(spark, sf_dir, "nation")
+    store.dump({"nation": nation}, "enc",
+               encrypt_columns={"nation": ["n_name"]}, encryption_key="secret")
+    raw = store.restore("enc")["nation"]
+    assert set(r.n_name for r in raw.collect()) != set(r.n_name for r in nation.collect())
+    dec = store.restore("enc", decrypt_columns={"nation": ["n_name"]},
+                        encryption_key="secret")["nation"]
+    assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_latest_and_by_name(spark, sf_dir, store):
+    region = load_table(spark, sf_dir, "region")
+    store.dump({"region": region}, "a")
+    store.dump({"region": region}, "b")
+    assert store.find_dump("latest").directory_name == "b"
+    assert store.find_dump("a").directory_name == "a"
+    with pytest.raises(LookupError):
+        store.find_dump("nope")
+
+
+def test_retention_keep_last(spark, sf_dir, store):
+    region = load_table(spark, sf_dir, "region")
+    for n in ["a", "b", "c"]:
+        store.dump({"region": region}, n)
+    deleted = store.retain(keep_last=1)
+    assert deleted == ["a", "b"]
+    assert [d.directory_name for d in store.list_dumps()] == ["c"]
+    assert not os.path.exists(os.path.join(store.root, "a"))
+
+
+def test_retention_older_than(spark, sf_dir, store):
+    region = load_table(spark, sf_dir, "region")
+    store.dump({"region": region}, "old")
+    store.dump({"region": region}, "new")
+    m = store._read_manifest()
+    for d in m["dumps"]:
+        if d["directory_name"] == "old":
+            d["created_at"] -= 30 * 86400
+    store._write_manifest(m)
+    assert store.retain(older_than_days=14) == ["old"]
+
+
+def test_manifest_migration_from_legacy_backups(spark, store):
+    """v1 `backups` key is renamed to `dumps` and version stamped
+    (migration/rename_backups_to_dumps.rs semantics)."""
+    os.makedirs(store.root, exist_ok=True)
+    legacy = {"v": 1, "backups": [{
+        "directory_name": "x", "size": 1, "created_at": 1.0,
+        "compressed": True, "encrypted": False, "tables": [],
+    }]}
+    with open(store._manifest_path, "w") as f:
+        json.dump(legacy, f)
+    store.init()
+    m = store._read_manifest()
+    assert m["v"] == 2 and "backups" not in m
+    assert [d["directory_name"] for d in m["dumps"]] == ["x"]
+
+
+def test_wrong_key_fails_or_garbles(spark, sf_dir, store):
+    nation = load_table(spark, sf_dir, "nation")
+    store.dump({"nation": nation}, "enc",
+               encrypt_columns={"nation": ["n_name"]}, encryption_key="right")
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        out = store.restore("enc", decrypt_columns={"nation": ["n_name"]},
+                            encryption_key="wrong")["nation"].collect()
+        names = {r.n_name for r in out}
+        assert names != {r.n_name for r in nation.collect()}
+    except Exception:
+        pass  # GCM auth failure raising is also acceptable
