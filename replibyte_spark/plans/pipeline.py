@@ -1,0 +1,127 @@
+"""Config-driven pipeline assembly — the engine's `dump create` / `restore`.
+
+Reference lifecycle (SURVEY.md §3.1-3.2): config → plan assembly
+(commands/dump.rs:68-135: transformers per column, skip/only validation,
+SourceOptions) → FullDumpTask / FullRestoreTask (tasks/full_dump.rs:40-115,
+full_restore.rs:41-93).
+
+Spark restatement: the whole dump is a handful of declarative plans —
+  read (pruned by skip/only) → [subset closure] → transform projection →
+  datastore write
+and restore is `datastore.read → destination write`.  The reference's four
+IR hops per row (bytes→tokens→cells→bytes) and its thread/process boundaries
+disappear: Catalyst fuses transform+write into one stage per table.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import Config
+from ..functions.transformers import apply_transformers
+from ..operators.sample import hash_percent_filter, systematic_percent
+from ..operators.subset import FkEdge, subset_closure
+from ..sinks.datastore import Datastore, DumpInfo
+
+
+def _parse_uri(uri: str) -> tuple[str, str]:
+    """`parquet:///dir`, `postgres://...`, `mysql://...`, `console://`."""
+    m = re.match(r"^([a-z0-9+]+)://(.*)$", uri)
+    if not m:
+        return "parquet", uri  # bare path = parquet dir
+    return m.group(1), m.group(2)
+
+
+class DumpPipeline:
+    def __init__(self, config: Config, fk_edges: list[FkEdge] | None = None):
+        if not config.source or not config.datastore:
+            raise ValueError("dump requires source and datastore config")
+        self.config = config
+        self.fk_edges = fk_edges or []
+
+    def load_source_tables(self, spark: SparkSession) -> dict[str, DataFrame]:
+        scheme, path = _parse_uri(self.config.source.connection_uri)
+        if scheme == "parquet":
+            from ..catalog import load_table
+            import os
+
+            names = [f[:-8] for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            tables = {n: load_table(spark, path, n) for n in names}
+        elif scheme in ("postgres", "postgresql", "mysql"):
+            from ..sources.jdbc import read_jdbc_tables
+
+            tables = read_jdbc_tables(spark, self.config.source.connection_uri)
+        else:
+            raise ValueError(f"unsupported source scheme: {scheme}")
+        # skip/only pushdown = not reading the table at all
+        only = {t.table for t in self.config.source.only_tables}
+        skip = {t.table for t in self.config.source.skip}
+        if only:
+            tables = {n: df for n, df in tables.items() if n in only}
+        return {n: df for n, df in tables.items() if n not in skip}
+
+    def run(self, spark: SparkSession, name: str | None = None) -> DumpInfo:
+        cfg = self.config
+        tables = self.load_source_tables(spark)
+        # ---- subset (reference: source/postgres.rs:156-165 → subset())
+        ss = cfg.source.database_subset
+        if ss:
+            if ss.table not in tables:
+                raise ValueError(f"subset table not in source: {ss.table}")
+            pct = int(ss.strategy_options.get("percent", 50))
+            seed = hash_percent_filter(tables[ss.table],
+                                       _first_column(tables[ss.table]), pct)
+            res = subset_closure(tables, self.fk_edges, ss.table, seed,
+                                 include_children=True,
+                                 passthrough_tables=ss.passthrough_tables)
+            tables = res.tables
+        # ---- per-column transformers (one projection per table)
+        transformed = {}
+        for t, df in tables.items():
+            rules = cfg.transformer_rules_for(t)
+            transformed[t] = apply_transformers(df, rules) if rules else df
+        # ---- datastore write
+        store = Datastore(spark, cfg.datastore.dir)
+        return store.dump(
+            transformed, name,
+            compression="zstd" if cfg.source.compression else "none",
+        )
+
+
+class RestorePipeline:
+    def __init__(self, config: Config):
+        if not config.datastore or not config.destination:
+            raise ValueError("restore requires datastore and destination config")
+        self.config = config
+
+    def run(self, spark: SparkSession, which: str = "latest") -> dict[str, DataFrame]:
+        store = Datastore(spark, self.config.datastore.dir)
+        tables = store.restore(which)
+        scheme, path = _parse_uri(self.config.destination.connection_uri)
+        mode = "overwrite" if self.config.destination.wipe_database else "append"
+        if scheme == "parquet":
+            for t, df in tables.items():
+                df.write.mode(mode).parquet(f"{path.rstrip('/')}/{t}")
+        elif scheme in ("postgres", "postgresql", "mysql"):
+            from ..sources.jdbc import write_jdbc_tables
+
+            write_jdbc_tables(tables, self.config.destination.connection_uri, mode)
+        elif scheme == "sqltext":
+            from ..sinks.sqldump_sink import write_sql_dump
+
+            for t, df in tables.items():
+                write_sql_dump(df, t, f"{path.rstrip('/')}/{t}")
+        elif scheme == "console":
+            # reference stdout sink (destination/generic_stdout.rs:98-104)
+            for t, df in tables.items():
+                print(f"-- {t}")
+                df.show(20, truncate=False)
+        else:
+            raise ValueError(f"unsupported destination scheme: {scheme}")
+        return tables
+
+
+def _first_column(df: DataFrame) -> str:
+    return df.columns[0]

@@ -71,6 +71,47 @@ register(Query("transform_orders_mask", _ord_fn, _ord_oracle,
                tags=("transform",)))
 
 
+# --- nested transformer ($[] wildcard) -------------------------------------
+
+def nested_wildcard_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MongoDB-path capability (reference source/mongodb.rs:232-254):
+    build an array-of-structs per customer, transform `contacts.$[].email`
+    through the path compiler, then flatten.  The oracle computes the same
+    values flat — so the nest→wildcard-transform→unnest round-trip must be
+    lossless and value-exact."""
+    from ..functions.nested import transform_nested
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nested = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_custkey",
+                F.struct(F.col("o_orderkey").alias("order_key"),
+                         F.col("c_name").alias("email")).alias("contact"))
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("contact")).alias("contacts"))
+    )
+    masked = transform_nested(nested, "contacts.$[].email", "email")
+    return (masked.select("o_custkey",
+                          F.explode("contacts").alias("c"))
+            .select("o_custkey", F.col("c.order_key").alias("order_key"),
+                    F.col("c.email").alias("email"))
+            .orderBy("o_custkey", "order_key"))
+
+
+from ..functions.transformers import email_sql as _email_sql  # noqa: E402
+
+NESTED_ORACLE = f"""
+SELECT o_custkey, o_orderkey AS order_key,
+       {_email_sql(D.DUCK, 'c_name')} AS email
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_custkey, order_key
+"""
+
+register(Query("nested_wildcard_transform", nested_wildcard_transform,
+               NESTED_ORACLE, tags=("transform", "nested")))
+
+
 # --- SQL-text dump round-trip ----------------------------------------------
 
 def sqldump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
