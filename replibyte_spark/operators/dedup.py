@@ -26,31 +26,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import dialect as D
+from ..util import fan_out
 
 # ---------------------------------------------------------------------------
 # shared cross-dialect expression fragments
 # ---------------------------------------------------------------------------
 
 
-def word_ngrams_sql(d: str, text: str, n: int = 3) -> str:
-    """List of word n-grams of `text` (whitespace-tokenized)."""
-    toks = D.split_ws(d, text)
+def word_ngrams_from_tokens_sql(d: str, toks: str, n: int = 3) -> str:
+    """List of word n-grams from a token-array expression.  Pass a simple
+    column reference as `toks` when possible — a complex expression would be
+    re-evaluated once per element access inside the lambda."""
     joined = " || ' ' || ".join(
-        (f"element_at(_t, i + {k})" if d == D.SPARK else f"_t[i + {k}]")
+        (f"element_at({toks}, i + {k})" if d == D.SPARK else f"{toks}[i + {k}]")
         for k in range(n)
     )
     if d == D.SPARK:
-        return (f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-                f"i -> {joined.replace('_t', toks)})")
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark (it is empty in
+        # DuckDB), so guard the short-document case explicitly or texts with
+        # fewer than n tokens crash with INVALID_INDEX_OF_ZERO
+        return (f"CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n - 1}), i -> {joined}) "
+                f"ELSE array() END")
     return (f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
-            f"i -> {joined.replace('_t', toks)})")
+            f"i -> {joined})")
 
 
-def minhash_sql(d: str, gram: str, i: int) -> str:
-    """The i-th hash of a shingle: md5 with a per-hash salt; the MIN of this
-    hex string over a doc's shingles is its i-th minhash (string min is
-    total-ordered identically in both engines for lowercase hex)."""
-    return f"md5('h{i}:' || {gram})"
+def word_ngrams_sql(d: str, text: str, n: int = 3) -> str:
+    """List of word n-grams of `text` (whitespace-tokenized)."""
+    return word_ngrams_from_tokens_sql(d, D.split_ws(d, text), n)
+
+
+MERSENNE31 = 2147483647  # 2^31-1: (a·x + b) stays < 2^62, exact in BIGINT
+
+# fixed odd multipliers / offsets for the hash family (baked into SQL text so
+# both engines compute the identical family)
+_MINHASH_A = [1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
+              86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
+              198491317, 217645177, 236887691, 256203161]
+
+
+def base_hash_sql(d: str, gram: str) -> str:
+    """ONE md5 per shingle reduced to an int in [0, 2^31-1); the 16-digit
+    decimal prefix fits BIGINT exactly in both engines."""
+    return (f"(CAST(translate(substr(md5({gram}), 1, 15), 'abcdef', '123456') "
+            f"AS BIGINT) % {MERSENNE31})")
+
+
+def minhash_sql(d: str, base: str, i: int) -> str:
+    """The i-th hash: affine mix of the shared base hash modulo 2^31-1.
+    Computing 12-16 mixes of one md5 is ~12× cheaper than 12-16 independent
+    md5 calls per shingle — the difference between a CPU-bound and an
+    IO-bound signature pass at 100 TB."""
+    a = _MINHASH_A[i % len(_MINHASH_A)]
+    return f"((({a} * {base}) + {2 * i + 1}) % {MERSENNE31})"
 
 
 # ---------------------------------------------------------------------------
@@ -73,10 +102,23 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+def _exploded_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) one row per shingle occurrence.
+
+    Tokenization is materialized into a column FIRST: the n-gram lambda then
+    indexes the token array instead of re-running the regex split once per
+    element access (3n splits/row otherwise — the dominant cost of the naive
+    single-expression form)."""
+    toks = F.expr(D.split_ws(D.SPARK, text_col))
+    with_toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("__toks"))
+    grams = F.expr(word_ngrams_from_tokens_sql(D.SPARK, "__toks", n))
+    return with_toks.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, gram) distinct shingle pairs."""
-    grams = F.expr(word_ngrams_sql(D.SPARK, text_col, n))
-    return (df.select(F.col(id_col), F.explode(grams).alias("gram")).distinct())
+    return _exploded_grams(df, id_col, text_col, n).distinct()
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -86,25 +128,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     min() is idempotent over duplicates, so no distinct before aggregation —
     the explode feeds straight into a partial-agg groupBy (one shuffle).
     """
-    grams = F.expr(word_ngrams_sql(D.SPARK, text_col, n))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
-    aggs = [F.min(F.expr(minhash_sql(D.SPARK, "gram", i))).alias(f"h{i}")
+    exploded = (_exploded_grams(df, id_col, text_col, n)
+                .withColumn("bh", F.expr(base_hash_sql(D.SPARK, "gram"))))
+    aggs = [F.min(F.expr(minhash_sql(D.SPARK, "bh", i))).alias(f"h{i}")
             for i in range(n_hashes)]
     return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
-    """(id, band, band_key) — one md5 key per band of `rows` signature rows."""
-    parts = []
+    """(id, band, band_key) — one md5 key per band of `rows` signature rows.
+
+    All bands come from ONE explode over an inline array, so the signature
+    subtree appears once in the plan (a per-band union would recompute the
+    aggregation once per band)."""
+    entries = []
     for b in range(bands):
         cols = [f"h{b * rows + r}" for r in range(rows)]
-        key = F.md5(F.concat_ws("|", *cols))
-        parts.append(sig.select(F.col(id_col), F.lit(b).alias("band"),
-                                key.alias("band_key")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return (sig.select(F.col(id_col), F.explode(F.array(*entries)).alias("e"))
+            .select(F.col(id_col), F.col("e.band").alias("band"),
+                    F.col("e.band_key").alias("band_key")))
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -139,9 +183,22 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            threshold: float = 0.8, n_hashes: int = 12,
                            bands: int = 4, n: int = 3) -> DataFrame:
-    """LSH candidates filtered by true Jaccard ≥ threshold."""
+    """LSH candidates filtered by true Jaccard ≥ threshold.
+
+    Two-phase design sized for scale:
+    1. signatures from the raw shingle explode — the min() aggregation is
+       map-side partial, so the (huge) gram stream is never shuffled;
+    2. verification shingle sets materialized ONLY for docs that appear in
+       a candidate pair (candidates ≪ corpus), via a semi-join before the
+       distinct — the expensive distinct shuffle touches a sliver of data.
+    """
     pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, n)
-    sh = shingles(df, id_col, text_col, n)
+    pairs = pairs.persist()
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    cand_docs = df.join(cand_ids, on=id_col, how="leftsemi")
+    sh = shingles(cand_docs, id_col, text_col, n)
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
@@ -166,7 +223,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     with map-side partial sums, no UDF.
     """
     toks = F.expr(D.split_ws(D.SPARK, text_col))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    exploded = fan_out(df).select(F.col(id_col), F.explode(toks).alias("tok"))
     aggs = [F.sum(F.expr(simhash_bit_sql(D.SPARK, "tok", j))).alias(f"b{j}")
             for j in range(bits)]
     summed = exploded.groupBy(id_col).agg(*aggs)

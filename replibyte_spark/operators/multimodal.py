@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 DECODE_SCHEMA = ("doc_id long, mime string, width int, height int, "
                  "n_channels int, n_pixels long")
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
@@ -105,7 +107,7 @@ def decode_images(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(out, columns=["doc_id", "mime", "width",
                                              "height", "n_channels", "n_pixels"])
 
-    return (df.select(id_col, content_col)
+    return (fan_out(df.select(id_col, content_col))
             .mapInPandas(batches, schema=DECODE_SCHEMA))
 
 
@@ -128,5 +130,5 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
                                 hashlib.md5(window).hexdigest()))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_md5"])
 
-    return (df.select(id_col, content_col)
+    return (fan_out(df.select(id_col, content_col))
             .mapInPandas(batches, schema=FRAME_SCHEMA))

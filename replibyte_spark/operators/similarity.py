@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import dialect as D
+from ..util import fan_out
 
 
 def dot_sql(d: str, a: str, b: str) -> str:
@@ -48,7 +49,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     tie-break on neighbor id.  Returns (query_id, neighbor_id, cosine, rank).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    v = fan_out(vectors).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
         F.broadcast(q).crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -89,7 +90,7 @@ def rp_lsh_buckets(vectors: DataFrame, bits: int = 8, seed: str = "rp",
                    vec_col: str = "embedding") -> DataFrame:
     """Vectors annotated with their LSH bucket id (precompute + partition by
     bucket at scale; bucket computation is one codegen'd projection)."""
-    return vectors.withColumn("bucket", F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, seed)))
+    return fan_out(vectors).withColumn("bucket", F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, seed)))
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
@@ -135,7 +136,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
                              vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine ≥ threshold (exact; quadratic — the LSH bucket
     variant bounds this at scale by pairing within buckets only)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = fan_out(vectors).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))

@@ -102,6 +102,11 @@ def subset_closure(
     /root/reference/subset/src/lib.rs:32-55).
     """
     passthrough = set(passthrough_tables or [])
+    if _is_dag(edges, include_children):
+        return _closure_topological(tables, edges, seed_table, seed_df,
+                                    include_children=include_children,
+                                    passthrough=passthrough)
+    # ---- cyclic fallback: iterate to fixpoint ------------------------------
     # kept[t]: rows of t in the subset (deduped, persisted, monotone growth).
     # expand[t]: the subset of kept rows that still triggers child expansion —
     # seed + child-derived rows only; RI parents never re-expand children.
@@ -146,6 +151,117 @@ def subset_closure(
     for t in passthrough:
         kept[t] = tables[t]
     return SubsetResult(tables=kept, iterations=it)
+
+
+def _is_dag(edges: list[FkEdge], include_children: bool) -> bool:
+    """True when the table graph has no directed cycle in the directions the
+    closure will traverse (parent edges, plus reversed edges when children
+    are included → effectively the undirected reachability must be acyclic
+    for the child pass; we conservatively test the parent digraph and, with
+    children, reject any table pair connected by edges both ways)."""
+    # parent digraph: child -> parent
+    adj: dict[str, set[str]] = {}
+    for e in edges:
+        adj.setdefault(e.child, set()).add(e.parent)
+    # detect cycle via DFS coloring
+    color: dict[str, int] = {}
+
+    def dfs(u: str) -> bool:
+        color[u] = 1
+        for v in adj.get(u, ()):  # noqa: B905
+            if color.get(v) == 1:
+                return False
+            if color.get(v, 0) == 0 and not dfs(v):
+                return False
+        color[u] = 2
+        return True
+
+    return all(dfs(u) for u in list(adj) if color.get(u, 0) == 0)
+
+
+def _closure_topological(tables, edges, seed_table, seed_df, *,
+                         include_children, passthrough) -> SubsetResult:
+    """Single-pass closure for acyclic FK graphs — the common case and the
+    100 TB path: exactly one semi-join per traversed edge, no fixpoint
+    counting jobs.  (The reference rescans the dump once per (row, relation)
+    pair; the iterative fallback above still does one count per edge per
+    round — this does neither.)
+
+    Order:
+    1. child pass: BFS from the seed along reversed edges (seed subtree).
+    2. parent pass in Kahn topological order of `child → parent` edges, so a
+       parent's kept set is computed only after every contributing child's
+       kept set is final.
+    """
+    kept: dict[str, DataFrame] = {seed_table: seed_df}
+    expand: dict[str, DataFrame] = {seed_table: seed_df}
+
+    if include_children:
+        # topo order over reversed edges (parent → child) so a child with
+        # several kept parents (diamond) gets the union of all contributions
+        child_order = _kahn_order(edges, reverse=True)
+        for t in child_order:
+            if t in passthrough or t == seed_table:
+                continue
+            contribs = []
+            for e in edges:
+                if e.child == t and e.parent in expand:
+                    contribs.append(
+                        tables[t].join(
+                            expand[e.parent].select(F.col(e.parent_col).alias(e.fk_col)),
+                            on=e.fk_col, how="leftsemi"))
+            if not contribs:
+                continue
+            rows = contribs[0]
+            for c in contribs[1:]:
+                rows = rows.unionByName(c)
+            if len(contribs) > 1:
+                rows = rows.distinct()
+            kept[t] = rows
+            expand[t] = rows
+
+    # parent pass in Kahn order of child → parent edges
+    for t in _kahn_order(edges, reverse=False):
+        if t in passthrough:
+            continue
+        contribs = []
+        for e in edges:
+            if e.parent == t and e.child in kept:
+                contribs.append(
+                    kept[e.child].select(F.col(e.fk_col).alias(e.parent_col)).na.drop())
+        if not contribs:
+            continue
+        keys = contribs[0]
+        for c in contribs[1:]:
+            keys = keys.unionAll(c)
+        rows = tables[t].join(keys, on=keys.columns[0], how="leftsemi")
+        kept[t] = kept[t].unionByName(rows).distinct() if t in kept else rows
+
+    for t in passthrough:
+        kept[t] = tables[t]
+    return SubsetResult(tables=kept, iterations=1)
+
+
+def _kahn_order(edges: list[FkEdge], reverse: bool) -> list[str]:
+    """Topological order of tables.  reverse=False: children before parents
+    (follow `child → parent`); reverse=True: parents before children."""
+    pairs = [((e.parent, e.child) if reverse else (e.child, e.parent))
+             for e in edges]
+    nodes = {t for p in pairs for t in p}
+    indeg = {t: 0 for t in nodes}
+    for _src, dst in pairs:
+        indeg[dst] += 1
+    order = [t for t in sorted(nodes) if indeg[t] == 0]
+    queue = list(order)
+    while queue:
+        u = queue.pop(0)
+        for src, dst in pairs:
+            if src == u:
+                indeg[dst] -= 1
+                if indeg[dst] == 0:
+                    order.append(dst)
+                    queue.append(dst)
+    return order
 
 
 def _grow(kept, sizes, table, new_rows) -> bool:

@@ -48,20 +48,23 @@ def _minhash_oracle() -> str:
     grams = DD.word_ngrams_sql(d, "text", NGRAM)
     rows = N_HASHES // BANDS
     sig_cols = ", ".join(
-        f"min({DD.minhash_sql(d, 'gram', i)}) AS h{i}" for i in range(N_HASHES)
+        f"min({DD.minhash_sql(d, 'bh', i)}) AS h{i}" for i in range(N_HASHES)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sig".format(
             b=b,
-            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+            key=" || '|' || ".join(
+                D.to_str(d, f"h{b * rows + r}") for r in range(rows)),
         )
         for b in range(BANDS)
     )
     return f"""
 WITH ex AS (
   SELECT doc_id, unnest({grams}) AS gram FROM documents
+), bh AS (
+  SELECT doc_id, gram, {DD.base_hash_sql(d, 'gram')} AS bh FROM ex
 ), sig AS (
-  SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id
+  SELECT doc_id, {sig_cols} FROM bh GROUP BY doc_id
 ), bands AS (
   {band_selects}
 ), cand AS (

@@ -28,7 +28,9 @@ def _doc_metrics_exprs(d: str) -> list[str]:
 
 
 def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.selectExpr(*_doc_metrics_exprs(D.SPARK)).orderBy("doc_id")
 
 
@@ -44,8 +46,10 @@ register(Query("doc_text_metrics", doc_metrics, DOC_METRICS_ORACLE,
 def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation pass: per (source, lang_guess) doc counts and mean
     quality, keeping only docs above a quality floor."""
+    from ..util import fan_out
+
     d = D.SPARK
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = docs.selectExpr(
         "source",
         f"{T.lang_guess_sql(d, 'text')} AS lang_guess",
