@@ -35,16 +35,18 @@ from pyspark.sql import functions as F
 # statement splitter (P1)
 # ---------------------------------------------------------------------------
 
-def split_statements(text: str) -> Iterator[str]:
+def split_statements(text: str, dialect: str = "postgres") -> Iterator[str]:
     """Yield complete SQL statements from dump text.
 
-    Handles: single-quoted strings with `''` and `\\'` escapes, double-quoted
-    identifiers, backtick identifiers (MySQL), `--` line comments, dollar
-    quoting (`$$...$$` / `$tag$...$tag$`, for pg function bodies), semicolon
-    terminators.  Mirrors the reference's scanner states
-    (dump-parser/src/utils.rs:161-302) including its golden tests' cases
-    (embedded `;`, quotes, multi-line statements).
+    Handles: single-quoted strings with `''` escapes (plus `\\'` in the
+    mysql dialect — PostgreSQL standard_conforming_strings treats backslash
+    literally, so the dialects genuinely differ, mirroring the reference's
+    two tokenizers dump-parser/src/postgres vs mysql), double-quoted
+    identifiers, backtick identifiers, `--` line comments, `/* */` blocks,
+    dollar quoting (`$$...$$` / `$tag$...$tag$`), semicolon terminators.
+    Reference scanner: dump-parser/src/utils.rs:161-302.
     """
+    backslash_escapes = dialect == "mysql"
     buf: list[str] = []
     i, n = 0, len(text)
     in_sq = in_dq = in_bt = False       # ', ", `
@@ -62,7 +64,7 @@ def split_statements(text: str) -> Iterator[str]:
             continue
         if in_sq:
             buf.append(c)
-            if c == "\\" and i + 1 < n:      # MySQL backslash escape
+            if backslash_escapes and c == "\\" and i + 1 < n:
                 buf.append(text[i + 1])
                 i += 2
                 continue
@@ -140,8 +142,9 @@ def _unquote_ident(s: str) -> str:
     return s
 
 
-def _split_csv(s: str) -> list[str]:
+def _split_csv(s: str, dialect: str = "postgres") -> list[str]:
     """Split on top-level commas, respecting quotes and parens."""
+    backslash_escapes = dialect == "mysql"
     out, buf, depth = [], [], 0
     in_sq = False
     i, n = 0, len(s)
@@ -149,7 +152,7 @@ def _split_csv(s: str) -> list[str]:
         c = s[i]
         if in_sq:
             buf.append(c)
-            if c == "\\" and i + 1 < n:
+            if backslash_escapes and c == "\\" and i + 1 < n:
                 buf.append(s[i + 1])
                 i += 2
                 continue
@@ -183,7 +186,7 @@ _NUM_RE = re.compile(r"^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
 
 
-def _decode_value(tok: str):
+def _decode_value(tok: str, dialect: str = "postgres"):
     """Typed-cell decoder (reference postgres.rs:375-412 semantics)."""
     t = tok.strip()
     if t.upper() == "NULL":
@@ -194,7 +197,10 @@ def _decode_value(tok: str):
         return False
     if t.startswith("'") and t.endswith("'"):
         body = t[1:-1]
-        return body.replace("''", "'").replace("\\'", "'")
+        body = body.replace("''", "'")
+        if dialect == "mysql":
+            body = body.replace("\\'", "'")
+        return body
     if _NUM_RE.match(t):
         return int(t)
     if _FLOAT_RE.match(t):
@@ -202,14 +208,14 @@ def _decode_value(tok: str):
     return t  # casts, hex literals, function calls pass through as text
 
 
-def parse_insert(stmt: str):
+def parse_insert(stmt: str, dialect: str = "postgres"):
     """(table, columns, typed values) for an INSERT statement, else None."""
     m = _INSERT_RE.match(stmt)
     if not m:
         return None
     table = _unquote_ident(m.group("table").split(".")[-1])
-    cols = [_unquote_ident(c) for c in _split_csv(m.group("cols"))]
-    vals = [_decode_value(v) for v in _split_csv(m.group("vals"))]
+    cols = [_unquote_ident(c) for c in _split_csv(m.group("cols"), dialect)]
+    vals = [_decode_value(v, dialect) for v in _split_csv(m.group("vals"), dialect)]
     if len(cols) != len(vals):
         raise ValueError(
             f"column/value arity mismatch in INSERT INTO {table}: "
@@ -222,7 +228,8 @@ def parse_insert(stmt: str):
 # ---------------------------------------------------------------------------
 
 def read_sql_dump(spark: SparkSession, path: str,
-                  tables: list[str] | None = None) -> dict[str, DataFrame]:
+                  tables: list[str] | None = None,
+                  dialect: str = "postgres") -> dict[str, DataFrame]:
     """Parse .sql dump file(s) into per-table DataFrames.
 
     One task per file (chunked dumps parallelize naturally); INSERT rows are
@@ -233,8 +240,8 @@ def read_sql_dump(spark: SparkSession, path: str,
 
     def emit(kv):
         _fname, text = kv
-        for stmt in split_statements(text):
-            parsed = parse_insert(stmt)
+        for stmt in split_statements(text, dialect):
+            parsed = parse_insert(stmt, dialect)
             if parsed is None:
                 continue
             t, cols, vals = parsed

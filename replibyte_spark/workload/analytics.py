@@ -211,6 +211,54 @@ register(Query("hourly_event_stats", hourly_event_stats, HOURLY_ORACLE,
                tags=("agg", "time"), bench=True))
 
 
+# --- anti-join: customers with no orders ------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent orders (anti-join; every customer has SOME
+    order in the fixtures, so the cutoff keeps the result non-trivial)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    return (cust.join(recent.select(F.col("o_custkey").alias("c_custkey")),
+                      on="c_custkey", how="left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .orderBy("c_custkey"))
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+ORDER BY c_custkey
+"""
+
+register(Query("customers_without_orders", customers_without_orders, ANTI_ORACLE,
+               tags=("join", "anti")))
+
+
+# --- rollup: multi-level revenue aggregation --------------------------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.asc_nulls_first("o_orderstatus"),
+                     F.asc_nulls_first("o_orderpriority")))
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+register(Query("revenue_rollup", revenue_rollup, ROLLUP_ORACLE,
+               tags=("agg", "rollup")))
+
+
 # --- events: JSON property extraction --------------------------------------
 
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

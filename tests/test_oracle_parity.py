@@ -23,7 +23,8 @@ def _norm(v):
 
 
 def _rows(seq):
-    return sorted(tuple(_norm(v) for v in r) for r in seq)
+    rows = [tuple(_norm(v) for v in r) for r in seq]
+    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

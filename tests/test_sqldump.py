@@ -20,11 +20,14 @@ def test_split_embedded_semicolon_in_string():
 
 
 def test_split_quote_escapes():
-    """'' and \\' escapes stay inside one statement (utils.rs cases)."""
-    text = "INSERT INTO t (a) VALUES ('it''s; fine');INSERT INTO t (a) VALUES ('b\\'; c');"
+    """'' escapes stay inside one statement (utils.rs cases); backslash
+    escapes are mysql-dialect only (postgres treats \\ literally)."""
+    text = "INSERT INTO t (a) VALUES ('it''s; fine');INSERT INTO t (a) VALUES ('x');"
     got = list(split_statements(text))
     assert len(got) == 2
     assert got[0] == "INSERT INTO t (a) VALUES ('it''s; fine');"
+    my = "INSERT INTO t (a) VALUES ('b\\'; c');"
+    assert list(split_statements(my, dialect="mysql")) == [my]
 
 
 def test_split_comments_removed():
