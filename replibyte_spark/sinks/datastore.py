@@ -102,11 +102,16 @@ class Datastore:
         encrypt_columns: dict[str, list[str]] | None = None,
         encryption_key: str | None = None,
         max_records_per_file: int = 1_000_000,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> DumpInfo:
         """Write one dump: per-table Parquet + manifest entry.
 
         `encrypt_columns` maps table → string columns to AES-GCM-encrypt
         (stored as base64; random IV per value via Spark's aes_encrypt).
+        `partition_by` maps table → hive-partition columns: at 100 TB the
+        restore/query side then prunes partitions instead of scanning the
+        whole dump (the scale analogue of the reference's per-table chunk
+        files).
         """
         self.init()
         name = name or f"dump-{int(time.time())}"
@@ -120,10 +125,13 @@ class Datastore:
                     df = df.withColumn(
                         c, F.base64(F.expr(f"aes_encrypt(CAST(`{c}` AS STRING), '{key}', 'GCM')"))
                     )
-            (df.write.mode("overwrite")
-             .option("compression", compression if compression != "none" else "uncompressed")
-             .option("maxRecordsPerFile", max_records_per_file)
-             .parquet(os.path.join(dump_dir, t)))
+            writer = (df.write.mode("overwrite")
+                      .option("compression",
+                              compression if compression != "none" else "uncompressed")
+                      .option("maxRecordsPerFile", max_records_per_file))
+            if partition_by and t in partition_by:
+                writer = writer.partitionBy(*partition_by[t])
+            writer.parquet(os.path.join(dump_dir, t))
         info = DumpInfo(
             directory_name=name,
             size=_dir_size(dump_dir),

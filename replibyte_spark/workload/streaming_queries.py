@@ -54,3 +54,42 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 
 register(Query("session_stats", session_stats, SESSION_ORACLE,
                tags=("streaming", "session")))
+
+
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL applyInPandasWithState stream (availableNow) over the
+    events table and returns the final per-user state — which must equal the
+    plain SQL aggregate.  Proves arbitrary-state streaming, not just the
+    built-in windowed aggregations."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.stateful import running_user_totals
+
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = running_user_totals(stream.select("user_id", "value"))
+    name = f"gate_stateful_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="rs_gate_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    emitted = spark.table(name)
+    return (emitted.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("sum_value", "n_events").alias("sum_value"))
+            .orderBy("user_id"))
+
+
+STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+register(Query("stateful_running_totals", stateful_running_totals,
+               STATEFUL_ORACLE, tags=("streaming", "stateful")))

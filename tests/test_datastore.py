@@ -87,6 +87,20 @@ def test_manifest_migration_from_legacy_backups(spark, store):
     assert [d["directory_name"] for d in m["dumps"]] == ["x"]
 
 
+def test_partitioned_dump_prunes(spark, sf_dir, store):
+    """Hive-partitioned dump: restore reads see partition directories and a
+    status filter prunes the scan to matching partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    store.dump({"orders": orders}, "p1", partition_by={"orders": ["o_orderstatus"]})
+    base = os.path.join(store.root, "p1", "orders")
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(base))
+    back = store.restore("p1")["orders"]
+    assert back.count() == orders.count()
+    plan = (back.filter("o_orderstatus = 'O'")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
 def test_wrong_key_fails_or_garbles(spark, sf_dir, store):
     nation = load_table(spark, sf_dir, "nation")
     store.dump({"nation": nation}, "enc",
