@@ -131,6 +131,68 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
             .orderBy("query_id", "rank"))
 
 
+def ivf_assign(vectors: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids default to a deterministic hash-sample of the corpus itself
+    (k-means init without the iterations — at 100 TB you precompute/refine
+    centroids offline once and broadcast them; the assignment pass is the
+    scan-shaped workload).  Returns vectors + `centroid_id`.
+    """
+    if centroids is None:
+        w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+        centroids = (vectors
+                     .withColumn("__r", F.row_number().over(w))
+                     .filter(F.col("__r") <= n_centroids)
+                     .select(F.col("__r").alias("centroid_id"),
+                             F.col(vec_col).alias("cv")))
+    assigned = (
+        fan_out(vectors).crossJoin(F.broadcast(centroids))
+        .withColumn("__d", F.expr(dot_sql(D.SPARK, vec_col, "cv")))
+        .groupBy(id_col, vec_col)
+        .agg(F.max_by("centroid_id", "__d").alias("centroid_id"))
+    )
+    return assigned
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only vectors in the query's `n_probe` nearest
+    centroid cells.  The inverted-file analogue of :func:`lsh_topk` — a
+    corpus partitioned/clustered by `centroid_id` turns each query into a
+    few-partition scan instead of a full pass."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    centroids = (vectors.withColumn("__r", F.row_number().over(w))
+                 .filter(F.col("__r") <= n_centroids)
+                 .select(F.col("__r").alias("centroid_id"),
+                         F.col(vec_col).alias("cv")))
+    corpus = ivf_assign(vectors, n_centroids, id_col, vec_col, centroids)
+    # query → its n_probe closest centroids
+    qc = (queries.crossJoin(F.broadcast(centroids))
+          .withColumn("__d", F.expr(dot_sql(D.SPARK, vec_col, "cv")))
+          .withColumn("__rk", F.row_number().over(
+              Window.partitionBy(id_col).orderBy(F.desc("__d"), F.asc("centroid_id"))))
+          .filter(F.col("__rk") <= n_probe)
+          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                  "centroid_id"))
+    v = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("nv"), "centroid_id")
+    scored = (
+        F.broadcast(qc).join(v, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "qv", "nv")))
+    )
+    rk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:

@@ -130,7 +130,7 @@ def split_statements(text: str, dialect: str = "postgres") -> Iterator[str]:
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>[^\s(]+)\s*\((?P<cols>.*?)\)\s*"
-    r"VALUES\s*\((?P<vals>.*)\)\s*;?\s*$",
+    r"VALUES\s*(?P<vals>\(.*\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -208,19 +208,40 @@ def _decode_value(tok: str, dialect: str = "postgres"):
     return t  # casts, hex literals, function calls pass through as text
 
 
-def parse_insert(stmt: str, dialect: str = "postgres"):
-    """(table, columns, typed values) for an INSERT statement, else None."""
+def parse_insert_rows(stmt: str, dialect: str = "postgres"):
+    """(table, columns, [row, ...]) for an INSERT statement, else None.
+
+    Supports extended inserts — `VALUES (...), (...), ...` — the mysqldump
+    DEFAULT format (the reference forces `--skip-extended-insert`,
+    source/mysql.rs:107; we accept both).
+    """
     m = _INSERT_RE.match(stmt)
     if not m:
         return None
     table = _unquote_ident(m.group("table").split(".")[-1])
     cols = [_unquote_ident(c) for c in _split_csv(m.group("cols"), dialect)]
-    vals = [_decode_value(v, dialect) for v in _split_csv(m.group("vals"), dialect)]
-    if len(cols) != len(vals):
-        raise ValueError(
-            f"column/value arity mismatch in INSERT INTO {table}: "
-            f"{len(cols)} cols vs {len(vals)} values")
-    return table, cols, vals
+    rows = []
+    for tup in _split_csv(m.group("vals"), dialect):
+        tup = tup.strip()
+        if not (tup.startswith("(") and tup.endswith(")")):
+            raise ValueError(f"malformed VALUES tuple in INSERT INTO {table}: {tup[:60]!r}")
+        vals = [_decode_value(v, dialect) for v in _split_csv(tup[1:-1], dialect)]
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"column/value arity mismatch in INSERT INTO {table}: "
+                f"{len(cols)} cols vs {len(vals)} values")
+        rows.append(vals)
+    return table, cols, rows
+
+
+def parse_insert(stmt: str, dialect: str = "postgres"):
+    """(table, columns, typed values) for a single-row INSERT, else None.
+    Multi-row statements return the FIRST row (use parse_insert_rows)."""
+    parsed = parse_insert_rows(stmt, dialect)
+    if parsed is None:
+        return None
+    table, cols, rows = parsed
+    return table, cols, rows[0]
 
 
 # ---------------------------------------------------------------------------
@@ -241,12 +262,13 @@ def read_sql_dump(spark: SparkSession, path: str,
     def emit(kv):
         _fname, text = kv
         for stmt in split_statements(text, dialect):
-            parsed = parse_insert(stmt, dialect)
+            parsed = parse_insert_rows(stmt, dialect)
             if parsed is None:
                 continue
-            t, cols, vals = parsed
-            yield json.dumps({"__table": t, "__cols": cols,
-                              "row": dict(zip(cols, vals))})
+            t, cols, rows = parsed
+            for vals in rows:
+                yield json.dumps({"__table": t, "__cols": cols,
+                                  "row": dict(zip(cols, vals))})
 
     parsed = spark.read.json(files.flatMap(emit)).cache()
     if "__table" not in parsed.columns:

@@ -211,6 +211,33 @@ register(Query("hourly_event_stats", hourly_event_stats, HOURLY_ORACLE,
                tags=("agg", "time"), bench=True))
 
 
+# --- statistical aggregates --------------------------------------------------
+
+def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+                 F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("price_median"),
+                 F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("price_p95"),
+                 F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("o_orderstatus"))
+
+
+STATS_ORACLE = """
+SELECT o_orderstatus,
+       round(stddev_samp(o_totalprice), 4)          AS price_stddev,
+       round(quantile_cont(o_totalprice, 0.5), 4)   AS price_median,
+       round(quantile_cont(o_totalprice, 0.95), 4)  AS price_p95,
+       round(corr(o_totalprice, o_custkey), 6)      AS price_cust_corr,
+       count(*)                                     AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+register(Query("order_price_stats", order_price_stats, STATS_ORACLE,
+               tags=("agg", "stats")))
+
+
 # --- anti-join: customers with no orders ------------------------------------
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,7 +139,7 @@ def sqldump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(Query("sqldump_roundtrip", sqldump_roundtrip,
                "SELECT s_suppkey, s_name, s_nationkey, s_acctbal "
                "FROM supplier ORDER BY s_suppkey",
-               tags=("pipeline", "parser")))
+               tags=("pipeline", "parser"), bench=True))
 
 
 # --- dump manifest with skip/only semantics --------------------------------
@@ -205,7 +205,7 @@ def dump_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register(Query("dump_restore_roundtrip", dump_restore_roundtrip, _cust_oracle,
-               tags=("pipeline",)))
+               tags=("pipeline",), bench=True))
 
 
 _manifest_selects = " UNION ALL ".join(

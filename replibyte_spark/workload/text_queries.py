@@ -77,3 +77,33 @@ GROUP BY source, lang_guess ORDER BY source, lang_guess
 
 register(Query("quality_filter_summary", quality_filter_summary,
                QUALITY_FILTER_ORACLE, tags=("text",)))
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
+    pure-SQL rendering of the same ranking, so the Arrow grouped path is
+    value-checked end to end."""
+    from ..operators.grouped import top_terms_per_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_per_source(docs, k=5)
+
+
+TOP_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT source, token, count(*) AS freq FROM toks GROUP BY source, token
+), ranked AS (
+  SELECT source, token, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT source, token, freq, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+register(Query("top_terms_per_source", top_terms, TOP_TERMS_ORACLE,
+               tags=("text", "grouped")))

@@ -81,6 +81,33 @@ def test_lsh_buckets_are_deterministic(spark, sf_dir):
     assert a == b and all(len(v) == 8 and set(v) <= {"0", "1"} for v in a.values())
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with 2-cell probing recovers most true top-1 neighbors on
+    clustered vectors (same corpus construction as the LSH recall test)."""
+    import random
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = [(i, [x + rng.uniform(-0.05, 0.05) for x in centers[i % 8]])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 40)
+    bf = {r.query_id: r.neighbor_id
+          for r in S.brute_force_topk(df, queries, k=1).collect()}
+    ivf = {r.query_id: r.neighbor_id
+           for r in S.ivf_topk(df, queries, k=1, n_centroids=16, n_probe=2).collect()}
+    agree = sum(ivf.get(q) == n for q, n in bf.items())
+    assert agree / len(bf) >= 0.7, f"top-1 agreement {agree}/{len(bf)}"
+
+
+def test_ivf_assignment_covers_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, n_centroids=8)
+    assert assigned.count() == emb.count()
+    n_cells = assigned.select("centroid_id").distinct().count()
+    assert 1 < n_cells <= 8
+
+
 def test_cosine_is_exact(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
                                 (3, [1.0, 1.0, 0.0])],

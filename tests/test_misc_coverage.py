@@ -58,6 +58,16 @@ def test_mysql_flavor_insert():
     assert vals == [7, "O'Hara"]
 
 
+def test_extended_insert_multi_row():
+    """mysqldump default format: VALUES (..),(..),(..) — all rows parsed."""
+    from replibyte_spark.sources.sqldump import parse_insert_rows
+
+    t, cols, rows = parse_insert_rows(
+        "INSERT INTO t (a, b) VALUES (1, 'x,y'), (2, 'z (q)'), (3, NULL);")
+    assert t == "t" and cols == ["a", "b"]
+    assert rows == [[1, "x,y"], [2, "z (q)"], [3, None]]
+
+
 def test_hex_and_cast_literals_pass_through():
     """P7: unknown literal forms (casts, hex) pass through as text —
     reference maps them to String (postgres.rs:404-410)."""
