@@ -77,6 +77,10 @@ class SourceConfig:
 @dataclass
 class DatastoreConfig:
     dir: str  # local path or s3a://... (Hadoop FS handles the backends)
+    # extension over the reference: which table columns to AES-GCM-encrypt
+    # at rest when `encryption_key` is set (the reference encrypts whole
+    # chunk blobs; column-level keeps scans/pruning working on the rest)
+    encrypted_columns: dict[str, list[str]] | None = None
 
 
 @dataclass
@@ -148,10 +152,11 @@ class Config:
         ds = None
         if "datastore" in raw:
             d = raw["datastore"]
+            enc = d.get("encrypted_columns") or None
             if "local_disk" in d:
-                ds = DatastoreConfig(dir=_env(d["local_disk"]["dir"]))
+                ds = DatastoreConfig(dir=_env(d["local_disk"]["dir"]), encrypted_columns=enc)
             elif "dir" in d:
-                ds = DatastoreConfig(dir=_env(d["dir"]))
+                ds = DatastoreConfig(dir=_env(d["dir"]), encrypted_columns=enc)
             else:
                 raise ValueError(f"unsupported datastore config: {sorted(d)}")
         dst = None

@@ -246,7 +246,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         (F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1)).cast("int")
         for j in range(bits)
     )
-    return (block.withColumn("hamming", hamming)
+    return (block.withColumn("hamming", hamming.cast("long"))
             .filter(F.col("hamming") <= 2)
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b"))

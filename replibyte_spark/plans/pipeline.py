@@ -82,11 +82,16 @@ class DumpPipeline:
         for t, df in tables.items():
             rules = cfg.transformer_rules_for(t)
             transformed[t] = apply_transformers(df, rules) if rules else df
-        # ---- datastore write
+        # ---- datastore write (optional column-level at-rest encryption)
         store = Datastore(spark, cfg.datastore.dir)
+        enc = cfg.datastore.encrypted_columns
+        if enc and not cfg.encryption_key:
+            raise ValueError("datastore.encrypted_columns requires encryption_key")
         return store.dump(
             transformed, name,
             compression="zstd" if cfg.source.compression else "none",
+            encrypt_columns=enc,
+            encryption_key=cfg.encryption_key,
         )
 
 
@@ -98,7 +103,11 @@ class RestorePipeline:
 
     def run(self, spark: SparkSession, which: str = "latest") -> dict[str, DataFrame]:
         store = Datastore(spark, self.config.datastore.dir)
-        tables = store.restore(which)
+        tables = store.restore(
+            which,
+            decrypt_columns=self.config.datastore.encrypted_columns,
+            encryption_key=self.config.encryption_key,
+        )
         scheme, path = _parse_uri(self.config.destination.connection_uri)
         mode = "overwrite" if self.config.destination.wipe_database else "append"
         if scheme == "parquet":

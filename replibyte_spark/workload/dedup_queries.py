@@ -124,6 +124,46 @@ register(Query("simhash_signatures", simhash_signature_query, _simhash_oracle(),
                tags=("dedup",)))
 
 
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(docs, "doc_id", "text", SIMHASH_BITS, prefix=8)
+
+
+def _simhash_pairs_oracle() -> str:
+    d = D.DUCK
+    toks = D.split_ws(d, "text")
+    sums = ", ".join(
+        f"sum({DD.simhash_bit_sql(d, 'tok', j)}) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH_BITS)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {j + 1}, 1) <> substr(b.simhash, {j + 1}, 1) "
+        f"THEN 1 ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), s AS (
+  SELECT doc_id, {sums} FROM ex GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig} AS simhash FROM s
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b
+  ON a.doc_id < b.doc_id
+ AND substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+WHERE {hamming} <= 2
+ORDER BY id_a, id_b
+"""
+
+
+register(Query("simhash_near_dup", simhash_near_dup, _simhash_pairs_oracle(),
+               tags=("dedup",)))
+
+
 # --- exact n-gram Jaccard pairs (ground truth) -----------------------------
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,6 +120,34 @@ datastore:
     assert back["part"].count() == load_table(spark, sf_dir, "part").count()
 
 
+def test_encrypted_pipeline_roundtrip(spark, sf_dir, tmp_path):
+    """encryption_key + datastore.encrypted_columns: dump stores ciphertext,
+    config-driven restore decrypts transparently."""
+    cfg_yaml = f"""
+encryption_key: pipeline-secret
+source:
+  connection_uri: parquet://{sf_dir}
+  only_tables: [{{table: nation}}]
+datastore:
+  local_disk:
+    dir: "{tmp_path / 'store'}"
+  encrypted_columns:
+    nation: [n_name]
+destination:
+  connection_uri: parquet://{tmp_path / 'out'}
+"""
+    cfg = Config.from_yaml(cfg_yaml)
+    DumpPipeline(cfg).run(spark, "e1")
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.datastore import Datastore
+
+    nation = load_table(spark, sf_dir, "nation")
+    raw = Datastore(spark, str(tmp_path / "store")).restore("e1")["nation"]
+    assert {r.n_name for r in raw.collect()} != {r.n_name for r in nation.collect()}
+    restored = RestorePipeline(cfg).run(spark, "e1")["nation"]
+    assert sorted(map(tuple, restored.collect())) == sorted(map(tuple, nation.collect()))
+
+
 def test_introspection(spark, sf_dir):
     schema = source_schema(spark, sf_dir, ["nation", "region"])
     rows = {(r.table_name, r.column_name) for r in schema.collect()}
