@@ -211,6 +211,37 @@ register(Query("hourly_event_stats", hourly_event_stats, HOURLY_ORACLE,
                tags=("agg", "time"), bench=True))
 
 
+# --- as-of join --------------------------------------------------------------
+
+def purchases_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase enriched with the user's most recent prior click.
+    The oracle uses DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    implementation of the semantics, not a transliteration of our plan."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    return (asof_join(purchases, clicks, on="user_id", right_payload=["event_id"])
+            .select("event_id", "user_id", "ts",
+                    F.col("ts_matched").alias("click_ts"),
+                    F.col("event_id_matched").alias("click_event_id"))
+            .orderBy("event_id"))
+
+
+ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+register(Query("purchases_asof_last_click", purchases_asof_last_click,
+               ASOF_ORACLE, tags=("join", "asof"), bench=True))
+
+
 # --- statistical aggregates --------------------------------------------------
 
 def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
