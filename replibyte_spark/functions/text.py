@@ -26,9 +26,14 @@ PUNCT = ".,;:!?'\"()-"
 STOPWORDS = LANG_PROFILES["en"]
 
 
-def token_count_sql(d: str, text: str) -> str:
-    """Whitespace token count (empty string → 0)."""
-    toks = D.split_ws(d, text)
+def token_count_sql(d: str, text: str, toks: str | None = None) -> str:
+    """Whitespace token count (empty string → 0).
+
+    Pass `toks` (a materialized token-array column) on the Spark side when
+    computing many metrics over one text — otherwise every metric re-runs
+    the regex split.  The DuckDB oracle can keep the inline form: values are
+    identical either way."""
+    toks = toks or D.split_ws(d, text)
     return f"CASE WHEN length(trim({text})) = 0 THEN 0 ELSE {D.array_len(d, toks)} END"
 
 
@@ -44,44 +49,48 @@ def punct_ratio_sql(d: str, text: str) -> str:
             f"round(CAST(length({text}) - length({stripped}) AS DOUBLE) / length({text}), 6) END")
 
 
-def stopword_count_sql(d: str, text: str, words: list[str] | None = None) -> str:
-    toks = D.split_ws(d, f"lower({text})")
+def stopword_count_sql(d: str, text: str, words: list[str] | None = None,
+                       ltoks: str | None = None) -> str:
+    toks = ltoks or D.split_ws(d, f"lower({text})")
     pred = D.array_contains_lit(d, words or STOPWORDS, "x")
     return D.array_len(d, D.array_filter(d, toks, f"x -> {pred}"))
 
 
-def stopword_ratio_sql(d: str, text: str, words: list[str] | None = None) -> str:
-    n_tok = token_count_sql(d, text)
-    n_stop = stopword_count_sql(d, text, words)
+def stopword_ratio_sql(d: str, text: str, words: list[str] | None = None,
+                       toks: str | None = None, ltoks: str | None = None) -> str:
+    n_tok = token_count_sql(d, text, toks)
+    n_stop = stopword_count_sql(d, text, words, ltoks)
     return (f"CASE WHEN {n_tok} = 0 THEN CAST(0 AS DOUBLE) ELSE "
             f"round(CAST({n_stop} AS DOUBLE) / {n_tok}, 6) END")
 
 
-def avg_word_len_sql(d: str, text: str) -> str:
-    n_tok = token_count_sql(d, text)
+def avg_word_len_sql(d: str, text: str, toks: str | None = None) -> str:
+    n_tok = token_count_sql(d, text, toks)
     n_char_nospace = f"length({D.regexp_replace(d, text, '[ ]+', '')})"
     return (f"CASE WHEN {n_tok} = 0 THEN CAST(0 AS DOUBLE) ELSE "
             f"round(CAST({n_char_nospace} AS DOUBLE) / {n_tok}, 6) END")
 
 
-def quality_score_sql(d: str, text: str) -> str:
+def quality_score_sql(d: str, text: str, toks: str | None = None,
+                      ltoks: str | None = None) -> str:
     """Composite quality score in [0,1]: length band + stopword presence +
     low punctuation + sane word length.  A deterministic stand-in for the
     fastText-style quality classifiers used in web-corpus curation."""
-    n_tok = token_count_sql(d, text)
+    n_tok = token_count_sql(d, text, toks)
     len_score = (f"CASE WHEN {n_tok} >= 50 AND {n_tok} <= 10000 THEN 0.4 "
                  f"WHEN {n_tok} >= 10 THEN 0.2 ELSE 0.0 END")
-    stop_score = f"CASE WHEN {stopword_ratio_sql(d, text)} >= 0.05 THEN 0.3 ELSE 0.0 END"
+    stop_score = (f"CASE WHEN {stopword_ratio_sql(d, text, None, toks, ltoks)} >= 0.05 "
+                  f"THEN 0.3 ELSE 0.0 END")
     punct_score = f"CASE WHEN {punct_ratio_sql(d, text)} <= 0.2 THEN 0.2 ELSE 0.0 END"
-    wl = avg_word_len_sql(d, text)
+    wl = avg_word_len_sql(d, text, toks)
     wl_score = f"CASE WHEN {wl} >= 2.0 AND {wl} <= 12.0 THEN 0.1 ELSE 0.0 END"
     return (f"round(CAST(({len_score}) + ({stop_score}) + ({punct_score}) + ({wl_score}) AS DOUBLE), 6)")
 
 
-def lang_guess_sql(d: str, text: str) -> str:
+def lang_guess_sql(d: str, text: str, ltoks: str | None = None) -> str:
     """Stopword-profile language guess with deterministic tie-break (first
     language in profile order wins ties; 'und' when nothing matches)."""
-    counts = {lang: stopword_count_sql(d, text, words)
+    counts = {lang: stopword_count_sql(d, text, words, ltoks)
               for lang, words in LANG_PROFILES.items()}
     langs = list(LANG_PROFILES)
     # lang L wins if its count > 0 and >= every later lang, and > every earlier
@@ -104,13 +113,14 @@ def fingerprint_sql(d: str, text: str) -> str:
     return f"md5({norm})"
 
 
-def rolling_hash_sql(d: str, text: str, mod: int = 1 << 40, mult: int = 33) -> str:
+def rolling_hash_sql(d: str, text: str, mod: int = 1 << 40, mult: int = 33,
+                     ltoks: str | None = None) -> str:
     """Polynomial rolling hash over tokens (order-sensitive fingerprint).
 
     Folded as acc*mult + tokenhash (mod 2^40) so intermediate values stay
     < 2^46 — exact in BIGINT arithmetic in both engines.
     """
-    toks = D.split_ws(d, f"lower({text})")
+    toks = ltoks or D.split_ws(d, f"lower({text})")
     tok_h = D.hash_long(d, "x", "rh", 1, 10)
     if d == D.SPARK:
         return (f"aggregate({toks}, CAST(0 AS BIGINT), "

@@ -12,18 +12,19 @@ from ..functions import text as T
 from . import Query, register
 
 
-def _doc_metrics_exprs(d: str) -> list[str]:
+def _doc_metrics_exprs(d: str, toks: str | None = None,
+                       ltoks: str | None = None) -> list[str]:
     return [
         "doc_id",
-        f"{T.token_count_sql(d, 'text')} AS n_tokens",
+        f"{T.token_count_sql(d, 'text', toks)} AS n_tokens",
         f"{T.char_count_sql(d, 'text')} AS n_chars_actual",
         f"{T.punct_ratio_sql(d, 'text')} AS punct_ratio",
-        f"{T.stopword_ratio_sql(d, 'text')} AS stopword_ratio",
-        f"{T.avg_word_len_sql(d, 'text')} AS avg_word_len",
-        f"{T.quality_score_sql(d, 'text')} AS quality",
-        f"{T.lang_guess_sql(d, 'text')} AS lang_guess",
+        f"{T.stopword_ratio_sql(d, 'text', None, toks, ltoks)} AS stopword_ratio",
+        f"{T.avg_word_len_sql(d, 'text', toks)} AS avg_word_len",
+        f"{T.quality_score_sql(d, 'text', toks, ltoks)} AS quality",
+        f"{T.lang_guess_sql(d, 'text', ltoks)} AS lang_guess",
         f"{T.fingerprint_sql(d, 'text')} AS fingerprint",
-        f"{T.rolling_hash_sql(d, 'text')} AS rolling_hash",
+        f"{T.rolling_hash_sql(d, 'text', ltoks=ltoks)} AS rolling_hash",
     ]
 
 
@@ -31,7 +32,17 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..util import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.selectExpr(*_doc_metrics_exprs(D.SPARK)).orderBy("doc_id")
+    # tokenize ONCE into columns; every metric then indexes the arrays
+    # (the oracle keeps the inline splits — identical values, slower oracle)
+    sp = D.SPARK
+    with_toks = docs.selectExpr(
+        "doc_id", "text",
+        f"{D.split_ws(sp, 'text')} AS __toks",
+        f"{D.split_ws(sp, 'lower(text)')} AS __ltoks",
+    )
+    return (with_toks
+            .selectExpr(*_doc_metrics_exprs(sp, "__toks", "__ltoks"))
+            .orderBy("doc_id"))
 
 
 DOC_METRICS_ORACLE = (
