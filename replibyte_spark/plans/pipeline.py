@@ -122,6 +122,12 @@ class RestorePipeline:
 
             for t, df in tables.items():
                 write_sql_dump(df, t, f"{path.rstrip('/')}/{t}")
+        elif scheme == "jsonl":
+            # MongoDB-shaped destination (reference K3): JSON-lines per table
+            # (mongoimport-compatible), gzip-compressed part files
+            for t, df in tables.items():
+                (df.write.mode(mode).option("compression", "gzip")
+                 .json(f"{path.rstrip('/')}/{t}"))
         elif scheme == "console":
             # reference stdout sink (destination/generic_stdout.rs:98-104)
             for t, df in tables.items():

@@ -120,6 +120,28 @@ datastore:
     assert back["part"].count() == load_table(spark, sf_dir, "part").count()
 
 
+def test_jsonl_destination(spark, sf_dir, tmp_path):
+    """K3: JSON-lines destination (mongoimport-shaped output)."""
+    cfg = Config.from_yaml(f"""
+source:
+  connection_uri: parquet://{sf_dir}
+  only_tables: [{{table: nation}}]
+datastore:
+  local_disk:
+    dir: "{tmp_path / 'store'}"
+destination:
+  connection_uri: jsonl://{tmp_path / 'out'}
+""")
+    DumpPipeline(cfg).run(spark, "j1")
+    RestorePipeline(cfg).run(spark, "j1")
+    back = spark.read.json(str(tmp_path / "out" / "nation"))
+    from replibyte_spark.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
 def test_encrypted_pipeline_roundtrip(spark, sf_dir, tmp_path):
     """encryption_key + datastore.encrypted_columns: dump stores ciphertext,
     config-driven restore decrypts transparently."""
