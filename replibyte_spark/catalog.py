@@ -32,6 +32,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # The driver runs queries with its OWN SparkSession; timestamp values
+    # only hash-match the (naive) DuckDB oracle under UTC, so pin it here
+    # rather than relying on session.get_spark having been used.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
