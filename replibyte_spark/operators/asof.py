@@ -58,13 +58,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     w = (Window.partitionBy(on)
          .orderBy(F.col("__ts"), F.col("__side"))
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c)
-               for c in ["__rts", *payload_cols]]
+    # Carry ONE struct per right row (never per-column): a right row with a
+    # NULL payload value must still win as the latest match, with its own
+    # NULL — forward-filling columns independently would pair the newest
+    # timestamp with an older row's payload (torn match).
+    carry_src = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__rts").alias("__rts"),
+                 *[F.col(c).alias(c) for c in payload_cols]))
+    carried = F.last(carry_src, ignorenulls=True).over(w).alias("__carry")
     keep = [c for c in left.columns]
     out = (combined
-           .select(*keep, F.col("__side"), F.col("__ts"), *carried)
+           .select(*keep, F.col("__side"), F.col("__ts"), carried)
            .filter(F.col("__side") == 1)
-           .drop("__side", "__ts"))
+           .select(*keep,
+                   F.col("__carry.__rts").alias("__rts"),
+                   *[F.col(f"__carry.{c}").alias(c) for c in payload_cols]))
     if tolerance_seconds is not None:
         fresh = (F.unix_timestamp(F.col(left_ts)) -
                  F.unix_timestamp(F.col("__rts"))) <= tolerance_seconds

@@ -88,13 +88,26 @@ def minhash_sql(d: str, base: str, i: int) -> str:
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """Keep one row per key: the one with the smallest `order_col`.
+    """Keep one row per key: the FULL row with the smallest `order_col`
+    (ties on `order_col` pick an arbitrary winner among the tied rows).
 
     Semantics of the reference's emitted-set check (dedup.rs:9-63) — first
     occurrence wins — expressed as a single hash aggregation (one shuffle,
-    map-side combine) instead of a driver-side set.
+    map-side combine) instead of a driver-side set.  Non-key payload columns
+    ride along in one `min_by` struct so the winner's values stay together.
     """
-    return df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
+    other = [c for c in df.columns if c not in key_cols and c != order_col]
+    aggs = [F.min(order_col).alias(order_col)]
+    if other:
+        aggs.append(F.min_by(F.struct(*[F.col(c) for c in other]),
+                             F.col(order_col)).alias("__win"))
+    out = df.groupBy(*key_cols).agg(*aggs)
+    if other:
+        out = out.select(*[
+            F.col(c) if (c in key_cols or c == order_col)
+            else F.col(f"__win.{c}").alias(c)
+            for c in df.columns])
+    return out
 
 
 # ---------------------------------------------------------------------------

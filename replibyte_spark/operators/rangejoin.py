@@ -31,7 +31,10 @@ def trailing_window_count(left: DataFrame, right: DataFrame, on: str,
     `left_ts - window <= right_ts <= left_ts` on the same key (0 when none).
     """
     w = int(window_seconds)
-    lb = left.withColumn("__band", F.floor(F.unix_timestamp(F.col(left_ts)) / w))
+    # Unique per-row tag so duplicate left rows each produce their own output
+    # row (grouping by the data columns alone would collapse them).
+    lb = (left.withColumn("__lid", F.monotonically_increasing_id())
+          .withColumn("__band", F.floor(F.unix_timestamp(F.col(left_ts)) / w)))
     rb = (right.select(
             F.col(on).alias("__rk"),
             F.col(right_ts).alias("__rts"))
@@ -44,6 +47,6 @@ def trailing_window_count(left: DataFrame, right: DataFrame, on: str,
         & (rb["__rts"] >= lb[left_ts] - F.expr(f"INTERVAL {w} SECOND"))
     )
     joined = lb.join(rb, cond, how="left")
-    return (joined.groupBy(*[lb[c] for c in left.columns])
+    return (joined.groupBy(lb["__lid"], *[lb[c] for c in left.columns])
             .agg(F.count(rb["__rts"]).alias(count_alias))
-            .drop("__band"))
+            .drop("__lid"))

@@ -102,7 +102,7 @@ def subset_closure(
     /root/reference/subset/src/lib.rs:32-55).
     """
     passthrough = set(passthrough_tables or [])
-    if _is_dag(edges, include_children):
+    if _is_dag(edges):
         return _closure_topological(tables, edges, seed_table, seed_df,
                                     include_children=include_children,
                                     passthrough=passthrough)
@@ -153,12 +153,12 @@ def subset_closure(
     return SubsetResult(tables=kept, iterations=it)
 
 
-def _is_dag(edges: list[FkEdge], include_children: bool) -> bool:
-    """True when the table graph has no directed cycle in the directions the
-    closure will traverse (parent edges, plus reversed edges when children
-    are included → effectively the undirected reachability must be acyclic
-    for the child pass; we conservatively test the parent digraph and, with
-    children, reject any table pair connected by edges both ways)."""
+def _is_dag(edges: list[FkEdge]) -> bool:
+    """True when the `child → parent` digraph has no directed cycle.
+
+    This one check covers the child pass too: the child pass traverses the
+    REVERSED digraph, which has exactly the same cycles (a pair connected by
+    edges both ways is a 2-cycle and is caught here like any other cycle)."""
     # parent digraph: child -> parent
     adj: dict[str, set[str]] = {}
     for e in edges:

@@ -48,6 +48,9 @@ class DumpInfo:
     compressed: bool
     encrypted: bool
     tables: list[str] = field(default_factory=list)
+    # table -> {column -> original Spark type simpleString}; lets restore()
+    # give encrypted columns their pre-encryption type back.
+    encrypted_column_types: dict = field(default_factory=dict)
 
 
 class Datastore:
@@ -117,13 +120,18 @@ class Datastore:
         name = name or f"dump-{int(time.time())}"
         dump_dir = os.path.join(self.root, name)
         key = _normalize_key(encryption_key) if encryption_key else None
+        enc_types: dict[str, dict[str, str]] = {}
         for t, df in tables.items():
             if encrypt_columns and t in encrypt_columns:
                 if not key:
                     raise ValueError("encrypt_columns given without encryption_key")
                 for c in encrypt_columns[t]:
+                    # Column-arg form (not f-string SQL): keys with quotes are
+                    # safe, and the key never rides inside a SQL text fragment.
+                    enc_types.setdefault(t, {})[c] = df.schema[c].dataType.simpleString()
                     df = df.withColumn(
-                        c, F.base64(F.expr(f"aes_encrypt(CAST(`{c}` AS STRING), '{key}', 'GCM')"))
+                        c, F.base64(F.aes_encrypt(
+                            F.col(c).cast("string"), F.lit(key), F.lit("GCM")))
                     )
             writer = (df.write.mode("overwrite")
                       .option("compression",
@@ -139,6 +147,7 @@ class Datastore:
             compressed=compression != "none",
             encrypted=bool(encrypt_columns),
             tables=sorted(tables),
+            encrypted_column_types=enc_types,
         )
         m = self._read_manifest()
         m["dumps"] = [d for d in m["dumps"] if d["directory_name"] != name]
@@ -182,8 +191,11 @@ class Datastore:
                 if not key:
                     raise ValueError("decrypt_columns given without encryption_key")
                 for c in decrypt_columns[t]:
+                    orig = (info.encrypted_column_types.get(t) or {}).get(c, "string")
                     df = df.withColumn(
-                        c, F.expr(f"CAST(aes_decrypt(unbase64(`{c}`), '{key}', 'GCM') AS STRING)")
+                        c, F.aes_decrypt(F.unbase64(F.col(c)),
+                                         F.lit(key), F.lit("GCM"))
+                        .cast("string").cast(orig)
                     )
             out[t] = df
         return out

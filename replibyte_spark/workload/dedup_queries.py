@@ -26,8 +26,11 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_ORACLE = """
-SELECT user_id, event_type, min(event_id) AS event_id
-FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
 """
 
 register(Query("dedup_exact_events", dedup_exact_events, DEDUP_EXACT_ORACLE,

@@ -88,10 +88,10 @@ WITH keep_orders AS (
 
 SUBSET_PARENT_ORACLE = _PARENT_CTES + """
 SELECT * FROM (
-  SELECT 'customer' AS table_name, count(*) AS n_rows, coalesce(sum(c_custkey),0) AS key_sum FROM keep_customer
-  UNION ALL SELECT 'nation', count(*), coalesce(sum(n_nationkey),0) FROM keep_nation
-  UNION ALL SELECT 'orders', count(*), coalesce(sum(o_orderkey),0) FROM keep_orders
-  UNION ALL SELECT 'region', count(*), coalesce(sum(r_regionkey),0) FROM keep_region
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(c_custkey),0) AS BIGINT) AS key_sum FROM keep_customer
+  UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_nationkey),0) AS BIGINT) FROM keep_nation
+  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT), CAST(coalesce(sum(o_orderkey),0) AS BIGINT) FROM keep_orders
+  UNION ALL SELECT 'region', CAST(count(*) AS BIGINT), CAST(coalesce(sum(r_regionkey),0) AS BIGINT) FROM keep_region
 ) ORDER BY table_name
 """
 
@@ -116,13 +116,13 @@ WITH keep_orders AS (
 
 SUBSET_FULL_ORACLE = _FULL_CTES + """
 SELECT * FROM (
-  SELECT 'customer' AS table_name, count(*) AS n_rows, coalesce(sum(c_custkey),0) AS key_sum FROM keep_customer
-  UNION ALL SELECT 'lineitem', count(*), coalesce(sum(l_orderkey * 10 + l_linenumber),0) FROM keep_lineitem
-  UNION ALL SELECT 'nation', count(*), coalesce(sum(n_nationkey),0) FROM keep_nation
-  UNION ALL SELECT 'orders', count(*), coalesce(sum(o_orderkey),0) FROM keep_orders
-  UNION ALL SELECT 'part', count(*), coalesce(sum(p_partkey),0) FROM keep_part
-  UNION ALL SELECT 'region', count(*), coalesce(sum(r_regionkey),0) FROM keep_region
-  UNION ALL SELECT 'supplier', count(*), coalesce(sum(s_suppkey),0) FROM keep_supplier
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(c_custkey),0) AS BIGINT) AS key_sum FROM keep_customer
+  UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(coalesce(sum(l_orderkey * 10 + l_linenumber),0) AS BIGINT) FROM keep_lineitem
+  UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_nationkey),0) AS BIGINT) FROM keep_nation
+  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT), CAST(coalesce(sum(o_orderkey),0) AS BIGINT) FROM keep_orders
+  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT), CAST(coalesce(sum(p_partkey),0) AS BIGINT) FROM keep_part
+  UNION ALL SELECT 'region', CAST(count(*) AS BIGINT), CAST(coalesce(sum(r_regionkey),0) AS BIGINT) FROM keep_region
+  UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT), CAST(coalesce(sum(s_suppkey),0) AS BIGINT) FROM keep_supplier
 ) ORDER BY table_name
 """
 
