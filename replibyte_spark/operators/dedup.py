@@ -11,7 +11,7 @@ operators a 100 TB training-data pipeline needs (BASELINE.json north star):
   band keys (small), candidate verification touches only bucket-collision
   pairs — never the full cross product.
 - :func:`simhash_signatures` — frequency-weighted n-bit signature; near-dup
-  blocking on signature prefix.
+  via pigeonhole block join (complete for Hamming ≤ max_hamming).
 - :func:`ngram_jaccard_pairs` — exact pairwise Jaccard via shared-shingle
   join (quadratic in colliding docs; the LSH path is the scale path, this is
   the ground-truth/verification path).
@@ -245,24 +245,61 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return summed.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                           bits: int = 16, prefix: int = 8) -> DataFrame:
-    """Blocking near-dup: pairs sharing a signature prefix whose Hamming
-    distance over the full signature is ≤ 2 (prefix blocking keeps the join
-    linear in block sizes — the scale path for SimHash)."""
-    sig = simhash_signatures(df, id_col, text_col, bits)
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
-    block = (a.join(b, F.expr(f"substr(sig_a, 1, {prefix}) = substr(sig_b, 1, {prefix})"))
-             .filter(F.col("id_a") < F.col("id_b")))
+def simhash_block_bounds(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(start, length) 1-based substring bounds splitting a `bits`-char
+    signature into `max_hamming + 1` nearly-equal blocks."""
+    n_blocks = max_hamming + 1
+    bounds, start = [], 1
+    for b in range(n_blocks):
+        length = bits // n_blocks + (1 if b < bits % n_blocks else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
+                                  bits: int = 16,
+                                  max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs (Hamming ≤ max_hamming) from an (id, simhash) frame.
+
+    Pigeonhole blocking — COMPLETE for the contract, unlike prefix blocking:
+    the signature splits into `max_hamming + 1` blocks, so any pair within
+    distance `max_hamming` has at least one identical block (at most
+    `max_hamming` blocks can contain a differing bit).  Candidates are pairs
+    sharing any (block_idx, block_value); the exact Hamming filter then
+    removes false positives.  Join fan-out stays linear in block-bucket
+    sizes — the scale path for SimHash dedup.
+    """
+    bounds = simhash_block_bounds(bits, max_hamming)
+    entries = [F.struct(F.lit(i).alias("blk"),
+                        F.substring("simhash", s, ln).alias("bv"))
+               for i, (s, ln) in enumerate(bounds)]
+    bk = (sig.select(F.col(id_col), F.col("simhash"),
+                     F.explode(F.array(*entries)).alias("e"))
+          .select(F.col(id_col), F.col("simhash"),
+                  F.col("e.blk").alias("blk"), F.col("e.bv").alias("bv")))
+    a = bk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+                  "blk", "bv")
+    b = bk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+                  "blk", "bv")
+    cand = (a.join(b, on=["blk", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
     hamming = sum(
         (F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1)).cast("int")
         for j in range(bits)
     )
-    return (block.withColumn("hamming", hamming.cast("long"))
-            .filter(F.col("hamming") <= 2)
+    return (cand.withColumn("hamming", hamming.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Near-dup doc pairs whose SimHash Hamming distance is ≤ max_hamming."""
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    return simhash_pairs_from_signatures(sig, id_col, bits, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -129,10 +129,15 @@ register(Query("simhash_signatures", simhash_signature_query, _simhash_oracle(),
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_near_dup_pairs(docs, "doc_id", "text", SIMHASH_BITS, prefix=8)
+    return DD.simhash_near_dup_pairs(docs, "doc_id", "text", SIMHASH_BITS,
+                                     max_hamming=2)
 
 
 def _simhash_pairs_oracle() -> str:
+    """STRONGER oracle than the engine's blocking: the full quadratic
+    all-pairs Hamming check (feasible at sf0.01).  Pigeonhole blocking is
+    complete for d ≤ max_hamming, so the results must agree exactly —
+    this validates the semantics, not just the implementation."""
     d = D.DUCK
     toks = D.split_ws(d, "text")
     sums = ", ".join(
@@ -157,7 +162,6 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST({hamming} AS BIGINT) AS hamming
 FROM sigs a JOIN sigs b
   ON a.doc_id < b.doc_id
- AND substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
 WHERE {hamming} <= 2
 ORDER BY id_a, id_b
 """

@@ -116,3 +116,27 @@ def test_cosine_is_exact(spark):
            for r in S.brute_force_topk(df, df.filter("vec_id = 1"), k=2).collect()}
     assert out[(1, 3)] == 0.707107  # 1/sqrt(2) rounded to 6
     assert out[(1, 2)] == 0.0
+
+
+def test_simhash_pigeonhole_blocking_is_complete(spark):
+    """A near-dup pair whose differing bits all sit in the first 8 signature
+    bits (the old prefix-blocking blind spot) must still be found, and a
+    pair beyond max_hamming must not."""
+    sigs = spark.createDataFrame(
+        [(1, "0111111111111111"),   # 1 bit off vs id=2, inside the prefix
+         (2, "1111111111111111"),
+         (3, "0011111111111111"),   # 2 bits off vs id=2, both in the prefix
+         (4, "0001011111111111")],  # 4 bits off vs id=2 -> excluded
+        "doc_id long, simhash string")
+    out = DD.simhash_pairs_from_signatures(sigs, "doc_id",
+                                           bits=16, max_hamming=2).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (3, 4): 2}
+
+
+def test_simhash_block_bounds_cover_signature():
+    bounds = DD.simhash_block_bounds(16, 2)
+    assert sum(ln for _s, ln in bounds) == 16
+    assert bounds[0][0] == 1
+    for (s0, l0), (s1, _l1) in zip(bounds, bounds[1:]):
+        assert s1 == s0 + l0
