@@ -131,44 +131,57 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
             .orderBy("query_id", "rank"))
 
 
+def default_centroids(vectors: DataFrame, n_centroids: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic hash-sample of the corpus as IVF centroids.
+
+    The centroid id IS the md5 of the vector id: `orderBy(md5).limit(k)`
+    compiles to TakeOrderedAndProject (per-partition partial top-k merged on
+    the driver) — no global-window row_number forcing the corpus through one
+    partition.  At 100 TB you precompute/refine centroids offline once and
+    broadcast them; this default just makes the zero-config path scale-safe.
+    """
+    return (vectors
+            .select(F.md5(F.col(id_col).cast("string")).alias("centroid_id"),
+                    F.col(vec_col).alias("cv"))
+            .orderBy("centroid_id")
+            .limit(n_centroids))
+
+
 def ivf_assign(vectors: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids: DataFrame | None = None) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid.
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (by dot product; deterministic max-centroid_id tie-break).
 
-    Centroids default to a deterministic hash-sample of the corpus itself
-    (k-means init without the iterations — at 100 TB you precompute/refine
-    centroids offline once and broadcast them; the assignment pass is the
-    scan-shaped workload).  Returns vectors + `centroid_id`.
+    Centroids default to :func:`default_centroids`; the assignment pass is
+    the scan-shaped workload (broadcast k centroids, one map-side partial
+    aggregation).  Returns vectors + `centroid_id`.
     """
     if centroids is None:
-        w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
-        centroids = (vectors
-                     .withColumn("__r", F.row_number().over(w))
-                     .filter(F.col("__r") <= n_centroids)
-                     .select(F.col("__r").alias("centroid_id"),
-                             F.col(vec_col).alias("cv")))
+        centroids = default_centroids(vectors, n_centroids, id_col, vec_col)
     assigned = (
         fan_out(vectors).crossJoin(F.broadcast(centroids))
         .withColumn("__d", F.expr(dot_sql(D.SPARK, vec_col, "cv")))
         .groupBy(id_col, vec_col)
-        .agg(F.max_by("centroid_id", "__d").alias("centroid_id"))
+        .agg(F.max_by("centroid_id",
+                      F.struct(F.col("__d"), F.col("centroid_id")))
+             .alias("centroid_id"))
     )
     return assigned
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF search: score only vectors in the query's `n_probe` nearest
     centroid cells.  The inverted-file analogue of :func:`lsh_topk` — a
     corpus partitioned/clustered by `centroid_id` turns each query into a
     few-partition scan instead of a full pass."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
-    centroids = (vectors.withColumn("__r", F.row_number().over(w))
-                 .filter(F.col("__r") <= n_centroids)
-                 .select(F.col("__r").alias("centroid_id"),
-                         F.col(vec_col).alias("cv")))
+    if centroids is None:
+        centroids = default_centroids(vectors, n_centroids, id_col, vec_col)
     corpus = ivf_assign(vectors, n_centroids, id_col, vec_col, centroids)
     # query → its n_probe closest centroids
     qc = (queries.crossJoin(F.broadcast(centroids))
@@ -196,12 +209,67 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact; quadratic — the LSH bucket
-    variant bounds this at scale by pairing within buckets only)."""
+    """All pairs with cosine ≥ threshold — EXACT and QUADRATIC.
+
+    Ground-truth/verification path only; the scale path is
+    :func:`embedding_near_dup_pairs_bucketed` (bounded bucket joins)."""
     a = fan_out(vectors).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "va", "vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .orderBy("id_a", "id_b"))
+
+
+def rp_multi_table_buckets(vectors: DataFrame, bits: int = 4, tables: int = 8,
+                           seed: str = "rp", id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, tbl, bucket): each vector hashed into `tables` independent
+    RP-LSH tables of `bits` hyperplanes each (seeds `{seed}t0..`).  All
+    tables come from ONE pass (explode over an inline array), so the corpus
+    is scanned once."""
+    entries = [
+        F.struct(F.lit(t).alias("tbl"),
+                 F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, f"{seed}t{t}"))
+                 .alias("bucket"))
+        for t in range(tables)
+    ]
+    return (fan_out(vectors)
+            .select(F.col(id_col), F.col(vec_col),
+                    F.explode(F.array(*entries)).alias("e"))
+            .select(F.col(id_col), F.col(vec_col),
+                    F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")))
+
+
+def embedding_near_dup_pairs_bucketed(vectors: DataFrame,
+                                      threshold: float = 0.4,
+                                      bits: int = 4, tables: int = 8,
+                                      seed: str = "rp",
+                                      id_col: str = "vec_id",
+                                      vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs via multi-table RP-LSH bucketing — the SCALE path.
+
+    Candidates are pairs sharing a bucket in ANY of the `tables` hash
+    tables; exact cosine then filters within candidates.  Join fan-out is
+    bounded by bucket sizes (N/2^bits per table on balanced data), never the
+    full cross product.  Recall is probabilistic: a pair at angle θ shares
+    one table's bucket with p = (1-θ/π)^bits; tables multiply the chance
+    (1-(1-p)^tables — e.g. cosine 0.9, bits=4, tables=8 → ~0.998).  The
+    exact quadratic :func:`embedding_near_dup_pairs` is the ground-truth
+    verification path for recall tests.
+    """
+    bk = rp_multi_table_buckets(vectors, bits, tables, seed, id_col, vec_col)
+    a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  "tbl", "bucket")
+    b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  "tbl", "bucket")
+    cand = (a.join(b, on=["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand
             .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "va", "vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")

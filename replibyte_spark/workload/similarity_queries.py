@@ -69,20 +69,98 @@ register(Query("lsh_bucket_histogram", lsh_bucket_histogram, LSH_HIST_ORACLE,
                tags=("similarity",)))
 
 
+ND_BITS, ND_TABLES, ND_T = 4, 8, 0.45
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-duplicate pairs by cosine (threshold tuned to the fixture
-    distribution, max pairwise cosine ≈ 0.5)."""
+    """Near-duplicate pairs via the BUCKETED path (multi-table RP-LSH +
+    exact cosine within candidates) — the scale path is what the gate
+    checks; the quadratic exact variant is the unit tests' ground truth.
+    Threshold tuned to the fixture distribution (max pairwise cosine ≈ 0.5).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.45)
+    return S.embedding_near_dup_pairs_bucketed(
+        emb, threshold=ND_T, bits=ND_BITS, tables=ND_TABLES)
 
 
-NEAR_DUP_ORACLE = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {S.cosine_sql(D.DUCK, 'a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {S.cosine_sql(D.DUCK, 'a.embedding', 'b.embedding')} >= 0.45
+def _near_dup_oracle() -> str:
+    d = D.DUCK
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{S.rp_bucket_sql(d, 'embedding', ND_BITS, f'rpt{t}')} AS bucket "
+        f"FROM embeddings"
+        for t in range(ND_TABLES)
+    )
+    cos = S.cosine_sql(d, "a.embedding", "b.embedding")
+    return f"""
+WITH bk AS (
+  {per_table}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+            JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {cos} >= {ND_T}
 ORDER BY id_a, id_b
 """
 
-register(Query("embedding_near_dup", embedding_near_dup, NEAR_DUP_ORACLE,
+
+register(Query("embedding_near_dup", embedding_near_dup, _near_dup_oracle(),
+               tags=("similarity",)))
+
+
+# --- IVF ---------------------------------------------------------------------
+
+IVF_CENTROIDS, IVF_PROBE = 16, 2
+
+
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.ivf_topk(emb, queries, k=K,
+                      n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
+
+
+def _ivf_oracle() -> str:
+    d = D.DUCK
+    dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
+    return f"""
+WITH cent AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS centroid_id, embedding AS cv
+  FROM embeddings ORDER BY centroid_id LIMIT {IVF_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id DESC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {IVF_PROBE}
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {S.cosine_sql(d, 'q.qv', 'v.embedding')} AS cosine
+  FROM qprobe q JOIN assign v ON v.centroid_id = q.centroid_id
+                             AND v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+register(Query("ivf_topk", ivf_topk_query, _ivf_oracle(),
                tags=("similarity",)))

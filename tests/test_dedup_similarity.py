@@ -140,3 +140,47 @@ def test_simhash_block_bounds_cover_signature():
     assert bounds[0][0] == 1
     for (s0, l0), (s1, _l1) in zip(bounds, bounds[1:]):
         assert s1 == s0 + l0
+
+
+def test_bucketed_near_dup_subset_and_recall(spark):
+    """Bucketed near-dup must be a subset of the exact quadratic output
+    (same cosine values) and recall near-all truly-close pairs on clustered
+    data (cosine >= 0.9: bits=4 x tables=8 -> ~0.998 expected recall)."""
+    import random
+
+    rng = random.Random(13)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, [x + rng.uniform(-0.03, 0.03) for x in centers[i % 20]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in S.embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    bucketed = {(r.id_a, r.id_b): r.cosine
+                for r in S.embedding_near_dup_pairs_bucketed(
+                    df, threshold=0.9, bits=4, tables=8).collect()}
+    assert set(bucketed) <= set(exact)
+    assert all(exact[p] == c for p, c in bucketed.items())
+    assert exact, "clustered corpus must contain close pairs"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(bucketed)}/{len(exact)})"
+
+
+def test_ivf_plan_has_no_global_window(spark, sf_dir):
+    """The default centroid path must compile to a per-partition top-k
+    (TakeOrderedAndProject), not a single-partition Window over the corpus."""
+    import re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    plan = (S.ivf_topk(emb, queries, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert not re.search(r"Window .*SinglePartition", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_near_dup_plan_has_no_cross_join(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (S.embedding_near_dup_pairs_bucketed(emb, threshold=0.45)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
