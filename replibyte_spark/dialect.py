@@ -126,5 +126,35 @@ def hash_long(d: str, e: str, salt: str, start: int = 1, n: int = 15) -> str:
 
 
 def hash_mod(d: str, e: str, salt: str, m: int, start: int = 1) -> str:
-    """Pseudo-random value in [0, m)."""
+    """Pseudo-random value in [0, m).
+
+    NOTE: built on `hash_digits`' a-f→1-6 translate, so digits 1-6 are twice
+    as likely — fine for fake-data generation, NOT for rate-accurate
+    sampling.  Use :func:`hash_uniform_mod` when the modulus distribution
+    must be uniform.
+    """
     return f"({hash_long(d, e, salt, start, 12)} % {m})"
+
+
+def hash_uniform_long(d: str, e: str, salt: str) -> str:
+    """UNIFORM non-negative bigint (48 bits) from the first 12 md5 hex chars.
+
+    The hex prefix is interpreted as a base-16 integer — every hex char
+    contributes 4 unbiased bits, unlike the `translate` digit trick whose
+    1-6 digits are twice as likely.  Spark renders `conv(hex, 16, 10)`
+    (one md5 evaluation); DuckDB has no conv(), so the oracle renders the
+    equivalent positional polynomial — both compute the same value.
+    """
+    h = md5_hex(d, e, salt)
+    if d == SPARK:
+        return f"CAST(conv(substr({h}, 1, 12), 16, 10) AS BIGINT)"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {k}, 1)) - 1) * {16 ** (12 - k)}"
+        for k in range(1, 13)
+    )
+    return f"({terms})"
+
+
+def hash_uniform_mod(d: str, e: str, salt: str, m: int) -> str:
+    """Uniform pseudo-random value in [0, m) (bias ≤ m/2^48)."""
+    return f"({hash_uniform_long(d, e, salt)} % {m})"

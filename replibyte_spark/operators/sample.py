@@ -27,8 +27,12 @@ from .. import dialect as D
 
 
 def hash_percent_sql(d: str, key_expr: str, pct: int, salt: str = "subset") -> str:
-    """Cross-dialect predicate: deterministic pseudo-random pct% of rows."""
-    return f"{D.hash_mod(d, key_expr, salt, 100)} < {pct}"
+    """Cross-dialect predicate: deterministic pseudo-random pct% of rows.
+
+    Uses the UNIFORM hash (hex→int, not digit-translate), so the observed
+    keep-rate converges to pct (the translate trick under-kept pct=20 by
+    ~1.8pp: digits 1-6 twice as likely as 0,7,8,9)."""
+    return f"{D.hash_uniform_mod(d, key_expr, salt, 100)} < {pct}"
 
 
 def hash_percent_filter(df: DataFrame, key: str, pct: int, salt: str = "subset") -> DataFrame:

@@ -80,3 +80,31 @@ def test_systematic_percent_matches_reference_modulo():
     got = sorted(r.k for r in out.collect())
     assert got == [5, 10, 15, 20, 25, 30, 35, 40, 45, 50,
                    55, 60, 65, 70, 75, 80, 85, 90, 95, 100]
+
+
+def test_hash_percent_keep_rate_is_uniform(spark):
+    """The uniform hex hash must keep pct +/- 0.5pp (the old digit-translate
+    derivation under-kept 20% by ~1.8pp)."""
+    from replibyte_spark.operators.sample import hash_percent_filter
+
+    df = spark.range(100_000).withColumnRenamed("id", "k")
+    for pct in (5, 20, 50):
+        kept = hash_percent_filter(df, "k", pct, salt="rate").count()
+        rate = 100.0 * kept / 100_000
+        assert abs(rate - pct) <= 0.5, f"pct={pct}: observed {rate:.3f}"
+
+
+def test_hash_percent_spark_duckdb_agree(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from replibyte_spark import dialect as D
+    from replibyte_spark.operators.sample import hash_percent_sql
+
+    got = sorted(r.id for r in spark.range(5000).filter(
+        F.expr(hash_percent_sql(D.SPARK, "id", 20, "x"))).collect())
+    con = duckdb.connect()
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT i FROM range(5000) t(i) WHERE "
+        f"{hash_percent_sql(D.DUCK, 'i', 20, 'x')}").fetchall())
+    assert got == want and got
