@@ -49,3 +49,54 @@ def write_sql_dump(df: DataFrame, table: str, path: str,
     if single_file:
         stmts = stmts.coalesce(1)
     stmts.write.mode("overwrite").text(path)
+
+
+def _copy_field_expr(field) -> F.Column:
+    """COPY text-format cell: NULL → `\\N`, bool → t/f (pg rendering),
+    numerics verbatim, text with backslash/tab/newline/CR escaped."""
+    c = F.col(f"`{field.name}`")
+    if isinstance(field.dataType, BooleanType):
+        rendered = F.when(c, F.lit("t")).otherwise(F.lit("f"))
+    elif isinstance(field.dataType, NumericType):
+        rendered = c.cast("string")
+    else:
+        rendered = c.cast("string")
+        for raw, esc in (("\\\\", "\\\\\\\\"), ("\t", "\\\\t"),
+                         ("\n", "\\\\n"), ("\r", "\\\\r")):
+            rendered = F.regexp_replace(rendered, raw, esc)
+    return F.coalesce(rendered, F.lit("\\N"))
+
+
+def to_copy_lines(df: DataFrame, table: str) -> tuple[DataFrame, str]:
+    """(DataFrame[line: string], header) — the tab-separated data lines and
+    the `COPY t (cols) FROM stdin;` header for pg_dump's default format.
+    Every field is coalesced BEFORE concat_ws (which would silently drop
+    nulls), so arity is stable."""
+    cols = ", ".join(f.name for f in df.schema.fields)
+    line = F.concat_ws("\t", *[_copy_field_expr(f) for f in df.schema.fields])
+    header = f"COPY {table} ({cols}) FROM stdin;"
+    return df.select(line.alias("line")), header
+
+
+def write_copy_dump(df: DataFrame, table: str, path: str,
+                    single_file: bool = False) -> None:
+    """Write a COPY-format dump (pg_dump's DEFAULT output shape).
+
+    Each partition becomes one self-contained part-file: header + data
+    lines + `\\.` terminator — exactly the per-file unit
+    :func:`~replibyte_spark.sources.sqldump.read_sql_dump` parses, so
+    chunked dumps read back in parallel.  The row encoding itself stays a
+    Catalyst projection; the per-partition wrap only prepends/appends two
+    constant lines.
+    """
+    lines, header = to_copy_lines(df, table)
+    if single_file:
+        lines = lines.coalesce(1)
+
+    def wrap(it):
+        yield header
+        for row in it:
+            yield row[0]
+        yield "\\."
+
+    lines.rdd.mapPartitions(wrap).saveAsTextFile(path)

@@ -45,6 +45,11 @@ def split_statements(text: str, dialect: str = "postgres") -> Iterator[str]:
     identifiers, backtick identifiers, `--` line comments, `/* */` blocks,
     dollar quoting (`$$...$$` / `$tag$...$tag$`), semicolon terminators.
     Reference scanner: dump-parser/src/utils.rs:161-302.
+
+    `COPY t (cols) FROM stdin;` (pg_dump's DEFAULT data format) is yielded
+    as ONE pseudo-statement including its tab-separated data block and the
+    `\\.` terminator line — the data lines are raw text, not SQL, so they
+    must not flow through the quote/semicolon scanner.
     """
     backslash_escapes = dialect == "mysql"
     buf: list[str] = []
@@ -112,16 +117,36 @@ def split_statements(text: str, dialect: str = "postgres") -> Iterator[str]:
             in_bt = True
         elif c == ";":
             stmt = "".join(buf).strip()
-            if stmt:
-                yield stmt + ";"
             buf = []
             i += 1
+            if stmt and _COPY_HDR_RE.match(stmt):
+                # raw-data mode: consume verbatim lines until the `\.` line
+                nl = text.find("\n", i)
+                if nl == -1:
+                    yield stmt + ";"
+                    continue
+                m = _COPY_END_RE.search(text, nl + 1)
+                if m:
+                    data, i = text[nl + 1:m.start()], m.end()
+                else:                       # unterminated: data to EOF
+                    data, i = text[nl + 1:], n
+                yield stmt + ";\n" + data.rstrip("\n") + "\n\\."
+                continue
+            if stmt:
+                yield stmt + ";"
             continue
         buf.append(c)
         i += 1
     tail = "".join(buf).strip()
     if tail:
         yield tail + ";"
+
+
+_COPY_HDR_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>[^\s(]+)\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin\s*$",
+    re.IGNORECASE,
+)
+_COPY_END_RE = re.compile(r"^\\\.[ \t]*$", re.MULTILINE)
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +270,87 @@ def parse_insert(stmt: str, dialect: str = "postgres"):
 
 
 # ---------------------------------------------------------------------------
+# COPY-format parser (pg_dump default data format)
+# ---------------------------------------------------------------------------
+
+_COPY_ESCAPES = {"b": "\b", "f": "\f", "n": "\n", "r": "\r",
+                 "t": "\t", "v": "\v", "\\": "\\"}
+_HEX_RE = re.compile(r"[0-9a-fA-F]{1,2}")
+_OCT_RE = re.compile(r"[0-7]{1,3}")
+
+
+def _unescape_copy(s: str) -> str:
+    """Decode COPY text-format backslash escapes (\\t \\n \\r \\b \\f \\v
+    \\\\, octal \\ooo, hex \\xhh — PostgreSQL COPY TO's output set)."""
+    if "\\" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nx = s[i + 1]
+            if nx in _COPY_ESCAPES:
+                out.append(_COPY_ESCAPES[nx])
+                i += 2
+                continue
+            if nx == "x":
+                m = _HEX_RE.match(s, i + 2)
+                if m:
+                    out.append(chr(int(m.group(0), 16)))
+                    i = m.end()
+                    continue
+            m = _OCT_RE.match(s, i + 1)
+            if m:
+                out.append(chr(int(m.group(0), 8)))
+                i = m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _decode_copy_field(tok: str):
+    """COPY cells are unquoted text: `\\N` → NULL, numeric literal syntax →
+    int/double, everything else string (pg renders bools as bare `t`/`f`,
+    indistinguishable from text — they stay strings)."""
+    if tok == "\\N":
+        return None
+    if _NUM_RE.match(tok):
+        return int(tok)
+    if _FLOAT_RE.match(tok):
+        return float(tok)
+    return _unescape_copy(tok)
+
+
+def parse_copy_rows(stmt: str):
+    """(table, columns, [row, ...]) for a `COPY ... FROM stdin;` pseudo-
+    statement (header + tab-separated data lines + `\\.`, as yielded by
+    :func:`split_statements`), else None.
+
+    The reference ingests this via its statement stream
+    (dump-parser/src/utils.rs:33-121); data lines are split on literal tabs
+    — escaped tabs appear as the 2-char sequence `\\t`, so a raw tab is
+    always a field separator.
+    """
+    header, _, body = stmt.partition(";")
+    m = _COPY_HDR_RE.match(header.strip())
+    if m is None:
+        return None
+    table = _unquote_ident(m.group("table").split(".")[-1])
+    cols = [_unquote_ident(c) for c in m.group("cols").split(",")]
+    body = body.removeprefix("\n").removesuffix("\\.").removesuffix("\n")
+    rows = []
+    for line in (body.split("\n") if body else []):
+        vals = [_decode_copy_field(f) for f in line.split("\t")]
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"column/value arity mismatch in COPY {table}: "
+                f"{len(cols)} cols vs {len(vals)} values")
+        rows.append(vals)
+    return table, cols, rows
+
+
+# ---------------------------------------------------------------------------
 # distributed read
 # ---------------------------------------------------------------------------
 
@@ -263,6 +369,8 @@ def read_sql_dump(spark: SparkSession, path: str,
         _fname, text = kv
         for stmt in split_statements(text, dialect):
             parsed = parse_insert_rows(stmt, dialect)
+            if parsed is None:
+                parsed = parse_copy_rows(stmt)
             if parsed is None:
                 continue
             t, cols, rows = parsed

@@ -142,6 +142,36 @@ register(Query("sqldump_roundtrip", sqldump_roundtrip,
                tags=("pipeline", "parser"), bench=True))
 
 
+def copy_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → COPY-format text (pg_dump's DEFAULT shape: tab-separated data
+    block + `\\.` terminator) → splitter + COPY parser → rows.  Covers the
+    format the reference's own golden dump uses
+    (db/postgres/fulldump.sql; ingested via its statement stream,
+    dump-parser/src/utils.rs:33-121)."""
+    import tempfile
+
+    from ..sinks.sqldump_sink import write_copy_dump
+    from ..sources.sqldump import read_sql_dump
+
+    part = load_table(spark, sf_dir, "part")
+    path = tempfile.mkdtemp(prefix="rs_gate_copydump_") + "/part"
+    write_copy_dump(part, "public.part", path)
+    back = read_sql_dump(spark, path)["part"]
+    return back.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_name").alias("p_name"),
+        F.col("p_brand").alias("p_brand"),
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).orderBy("p_partkey")
+
+
+register(Query("copy_dump_roundtrip", copy_dump_roundtrip,
+               "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice "
+               "FROM part ORDER BY p_partkey",
+               tags=("pipeline", "parser")))
+
+
 # --- dump manifest with skip/only semantics --------------------------------
 
 DUMP_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -92,3 +92,76 @@ def test_roundtrip_through_text(spark, sf_dir, tmp_path):
     got = sorted((int(r[0]), r[1], int(r[2])) for r in back.collect())
     want = sorted(tuple(r) for r in nation.collect())
     assert got == want
+
+
+# --- COPY format (pg_dump default) -----------------------------------------
+
+def test_split_copy_block_is_one_statement():
+    from replibyte_spark.sources.sqldump import parse_copy_rows
+
+    text = (
+        "CREATE TABLE t (a int);\n"
+        "COPY public.t (a, b) FROM stdin;\n"
+        "1\thello; world\n"
+        "2\t\\N\n"
+        "\\.\n"
+        "INSERT INTO t (a, b) VALUES (3, 'x');\n"
+    )
+    stmts = list(split_statements(text))
+    assert len(stmts) == 3
+    table, cols, rows = parse_copy_rows(stmts[1])
+    assert table == "t" and cols == ["a", "b"]
+    assert rows == [[1, "hello; world"], [2, None]]
+    # the data block must not pollute the following statement
+    assert parse_insert(stmts[2]) == ("t", ["a", "b"], [3, "x"])
+
+
+def test_copy_unescape_round_trips_nasty_strings():
+    from replibyte_spark.sources.sqldump import _unescape_copy
+
+    assert _unescape_copy("a\\tb\\nc\\rd\\\\e") == "a\tb\nc\rd\\e"
+    assert _unescape_copy("\\x41\\102") == "AB"       # hex + octal
+    assert _unescape_copy("plain") == "plain"
+
+
+def test_copy_reference_golden_dump_parses():
+    """The reference ships its Northwind dump in COPY form
+    (db/postgres/fulldump.sql) — parse it and check known table row counts
+    (the counts the reference's own tests assert against that database,
+    subset/src/postgres.rs:917-975)."""
+    from replibyte_spark.sources.sqldump import parse_copy_rows
+
+    text = open("/root/reference/db/postgres/fulldump.sql").read()
+    tables = {}
+    for stmt in split_statements(text):
+        parsed = parse_copy_rows(stmt)
+        if parsed:
+            t, cols, rows = parsed
+            tables[t] = (cols, rows)
+    assert set(tables) >= {"categories", "customers", "orders",
+                           "order_details", "products", "employees"}
+    assert len(tables["categories"][1]) == 8
+    assert len(tables["customers"][1]) == 91
+    assert len(tables["orders"][1]) == 830
+    assert len(tables["products"][1]) == 77
+    # typed decode: first category row is (1, 'Beverages', <text>, '\x')
+    first = tables["categories"][1][0]
+    assert first[0] == 1 and first[1] == "Beverages"
+    # NULLs decoded (employees.reports_to of the CEO row)
+    assert any(v is None for row in tables["employees"][1] for v in row)
+
+
+def test_copy_write_read_roundtrip_with_escapes(spark, tmp_path):
+    from replibyte_spark.sinks.sqldump_sink import write_copy_dump
+    from replibyte_spark.sources.sqldump import read_sql_dump
+
+    df = spark.createDataFrame(
+        [(1, "tab\there"), (2, "line\nbreak"), (3, "back\\slash"),
+         (4, None), (5, "\\N lookalike"), (6, "plain")],
+        "id long, s string")
+    path = str(tmp_path / "copydump")
+    write_copy_dump(df, "t", path)
+    back = read_sql_dump(spark, path)["t"]
+    got = {r.id: r.s for r in back.collect()}
+    assert got == {1: "tab\there", 2: "line\nbreak", 3: "back\\slash",
+                   4: None, 5: "\\N lookalike", 6: "plain"}
