@@ -7,9 +7,11 @@ destination/postgres.rs:38-112).
 a parallel dump the reference cannot do), predicate/column pushdown reaches
 the database, and `df.write.jdbc(mode="overwrite")` is the wipe+restore.
 
-No database (or JDBC driver jar) exists in this container, so these paths
-are exercised only for plan construction in tests; the URI parsing and
-option assembly are the tested surface.
+Raw `jdbc:` URLs pass through untouched, so any driver on the classpath
+works — the integration tests run the full read→transform→write→read loop
+against Apache Derby (embedded; ships inside Spark itself).  No Postgres/
+MySQL server exists in this container, so those flavors are exercised for
+option assembly only.
 """
 
 from __future__ import annotations
@@ -22,9 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 _DEFAULT_PORTS = {"postgres": 5432, "postgresql": 5432, "mysql": 3306}
 
 
-def jdbc_options(uri: str) -> dict[str, str]:
+def jdbc_options(uri: str, driver: str | None = None) -> dict[str, str]:
     """connection_uri → spark JDBC options (reference parses the same URIs,
-    config.rs:464-528)."""
+    config.rs:464-528).  `postgres://`/`mysql://` URIs are translated; a raw
+    `jdbc:` URL (Derby, DuckDB, H2, ...) passes through as-is with the
+    optionally given driver class."""
+    if uri.startswith("jdbc:"):
+        opts = {"url": uri}
+        if driver:
+            opts["driver"] = driver
+        return opts
     u = urlparse(uri)
     scheme = u.scheme
     if scheme not in _DEFAULT_PORTS:
@@ -50,11 +59,13 @@ def read_jdbc_table(spark: SparkSession, uri: str, table: str,
                     partition_column: str | None = None,
                     num_partitions: int = 32,
                     lower_bound: int | None = None,
-                    upper_bound: int | None = None) -> DataFrame:
+                    upper_bound: int | None = None,
+                    driver: str | None = None) -> DataFrame:
     """One table scan; pass a numeric `partition_column` to parallelize the
     read across executors (the scale path — a single-stream read like the
     reference's stdout pipe would bottleneck a cluster)."""
-    reader = spark.read.format("jdbc").options(**jdbc_options(uri), dbtable=table)
+    reader = spark.read.format("jdbc").options(
+        **jdbc_options(uri, driver), dbtable=table)
     if partition_column:
         reader = reader.options(
             partitionColumn=partition_column,
@@ -65,25 +76,33 @@ def read_jdbc_table(spark: SparkSession, uri: str, table: str,
     return reader.load()
 
 
-def list_jdbc_tables(spark: SparkSession, uri: str) -> list[str]:
-    """Table inventory via information_schema (reference `source schema`,
+def list_jdbc_tables(spark: SparkSession, uri: str,
+                     driver: str | None = None) -> list[str]:
+    """Table inventory via the engine's catalog (reference `source schema`,
     I1 — source/postgres.rs:308-339)."""
-    q = ("(SELECT table_name FROM information_schema.tables "
-         "WHERE table_schema NOT IN ('pg_catalog', 'information_schema')) t")
+    if ":derby:" in uri:
+        q = ("(SELECT tablename FROM sys.systables WHERE tabletype = 'T') t")
+    else:
+        q = ("(SELECT table_name FROM information_schema.tables "
+             "WHERE table_schema NOT IN ('pg_catalog', 'information_schema')) t")
     return [r[0] for r in
-            spark.read.format("jdbc").options(**jdbc_options(uri), dbtable=q)
+            spark.read.format("jdbc")
+            .options(**jdbc_options(uri, driver), dbtable=q)
             .load().collect()]
 
 
 def read_jdbc_tables(spark: SparkSession, uri: str,
-                     tables: list[str] | None = None) -> dict[str, DataFrame]:
-    names = tables or list_jdbc_tables(spark, uri)
-    return {t: read_jdbc_table(spark, uri, t) for t in names}
+                     tables: list[str] | None = None,
+                     driver: str | None = None) -> dict[str, DataFrame]:
+    names = tables or list_jdbc_tables(spark, uri, driver)
+    return {t: read_jdbc_table(spark, uri, t, driver=driver) for t in names}
 
 
 def write_jdbc_tables(tables: dict[str, DataFrame], uri: str,
-                      mode: str = "overwrite") -> None:
+                      mode: str = "overwrite",
+                      driver: str | None = None) -> None:
     """Restore: mode='overwrite' ≈ the reference's wipe_database=true default
     (destination/postgres.rs:38-73; commands/dump.rs:452)."""
     for t, df in tables.items():
-        df.write.format("jdbc").options(**jdbc_options(uri), dbtable=t).mode(mode).save()
+        df.write.format("jdbc").options(
+            **jdbc_options(uri, driver), dbtable=t).mode(mode).save()

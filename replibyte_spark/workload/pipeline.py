@@ -172,6 +172,33 @@ register(Query("copy_dump_roundtrip", copy_dump_roundtrip,
                tags=("pipeline", "parser")))
 
 
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → write to an embedded Derby database over JDBC → read back
+    over JDBC.  Actually executes `.save()`/`.load()` (S1/K1 surface;
+    reference source/postgres.rs:566-617) — Derby ships on Spark's own
+    classpath, so the gate needs no external server."""
+    import tempfile
+
+    from ..sources.jdbc import read_jdbc_table, write_jdbc_tables
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    uri = f"jdbc:derby:{tempfile.mkdtemp(prefix='rs_gate_jdbc_')}/db;create=true"
+    nation = load_table(spark, sf_dir, "nation")
+    write_jdbc_tables({"nation": nation}, uri, driver=driver)
+    back = read_jdbc_table(spark, uri, "nation", driver=driver)
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    ).orderBy("n_nationkey")
+
+
+register(Query("jdbc_roundtrip", jdbc_roundtrip,
+               "SELECT n_nationkey, n_name, n_regionkey "
+               "FROM nation ORDER BY n_nationkey",
+               tags=("pipeline", "jdbc")))
+
+
 # --- dump manifest with skip/only semantics --------------------------------
 
 DUMP_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1,0 +1,78 @@
+"""End-to-end JDBC tests against Apache Derby — an embedded SQL database
+that ships on Spark's own classpath, so `.load()`/`.save()` actually
+execute (S1/S2/K1/K2 surface: reference source/postgres.rs:566-617,
+destination/postgres.rs:38-112).  Postgres/MySQL flavors are covered at
+the option-assembly level (no server in this container); the Spark JDBC
+code path below them is identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from replibyte_spark.catalog import load_table
+from replibyte_spark.sources.jdbc import (
+    jdbc_options,
+    list_jdbc_tables,
+    read_jdbc_table,
+    read_jdbc_tables,
+    write_jdbc_tables,
+)
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_options_translation():
+    opts = jdbc_options("postgres://u:p@h:5433/mydb")
+    assert opts == {
+        "url": "jdbc:postgresql://h:5433/mydb",
+        "driver": "org.postgresql.Driver",
+        "user": "u",
+        "password": "p",
+    }
+    assert jdbc_options("mysql://h/db")["url"] == "jdbc:mysql://h:3306/db"
+    raw = jdbc_options("jdbc:derby:/tmp/x;create=true", driver=DERBY)
+    assert raw == {"url": "jdbc:derby:/tmp/x;create=true", "driver": DERBY}
+    with pytest.raises(ValueError):
+        jdbc_options("ftp://h/db")
+
+
+def test_jdbc_write_list_read_roundtrip(spark, sf_dir, tmp_path):
+    """dump → restore loop: write two fixture tables into Derby, list them
+    from the catalog, read them back, values must survive exactly."""
+    uri = f"jdbc:derby:{tmp_path}/gatedb;create=true"
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    write_jdbc_tables({"nation": nation, "supplier": supplier}, uri,
+                      driver=DERBY)
+
+    names = {t.lower() for t in list_jdbc_tables(spark, uri, driver=DERBY)}
+    assert {"nation", "supplier"} <= names
+
+    back = read_jdbc_tables(spark, uri, ["nation", "supplier"], driver=DERBY)
+    got = sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                 for r in back["nation"].collect())
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                  for r in nation.collect())
+    assert got == want
+    assert back["supplier"].count() == supplier.count()
+
+    # overwrite mode = wipe+restore (idempotent re-run must not duplicate)
+    write_jdbc_tables({"nation": nation}, uri, driver=DERBY)
+    assert read_jdbc_table(spark, uri, "nation",
+                           driver=DERBY).count() == nation.count()
+
+
+def test_jdbc_partitioned_read(spark, sf_dir, tmp_path):
+    """The scale path: partitionColumn splits the scan into parallel range
+    queries — the parallel dump the reference's single pg_dump pipe can't
+    do."""
+    uri = f"jdbc:derby:{tmp_path}/pdb;create=true"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    write_jdbc_tables({"orders": orders}, uri, driver=DERBY)
+    back = read_jdbc_table(spark, uri, "orders",
+                           partition_column="o_orderkey", num_partitions=4,
+                           lower_bound=0, upper_bound=1 << 20, driver=DERBY)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == orders.count()
