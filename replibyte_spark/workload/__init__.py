@@ -39,6 +39,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         dedup_queries,
+        introspect_queries,
         multimodal_queries,
         pipeline,
         similarity_queries,

@@ -1,0 +1,146 @@
+"""Gate queries for introspection + datastore lifecycle (I1/I3/I4, C5/C7).
+
+These were previously pytest-only; exposing them as gate queries puts the
+retention/migration/catalog semantics under the driver's oracle check:
+
+- retention (C5): which dumps survive keep-last is asserted end-to-end
+- manifest migration (C7): a v1 `backups` manifest reads back as v2 `dumps`
+- transformer registry (I3) and source schema (I1): the Spark-side catalog
+  vs an INDEPENDENT source — DuckDB's own information_schema for I1, so a
+  type-mapping drift between engines shows up as a gate fail.
+
+Reference: commands/dump.rs:37-65 (list), datastore/mod.rs:62-117
+(retention), migration/rename_backups_to_dumps.rs (C7),
+commands/transformer.rs:61-70 (I3), commands/source.rs:10-56 (I1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..introspect import dump_list, source_schema, transformer_list
+from ..sinks.datastore import Datastore
+from . import Query, register
+
+# --- C5 + I4: retention then dump list --------------------------------------
+
+
+def retention_dump_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create 3 dumps, retain keep_last=2 → the listing must show exactly
+    the two newest (manifest order breaks same-second created_at ties)."""
+    root = tempfile.mkdtemp(prefix="rs_gate_retain_")
+    store = Datastore(spark, root)
+    region = load_table(spark, sf_dir, "region")
+    for name in ("dump-a", "dump-b", "dump-c"):
+        store.dump({"region": region}, name)
+    deleted = store.retain(keep_last=2)
+    assert deleted == ["dump-a"], deleted
+    return (dump_list(spark, root)
+            .select("name", "n_tables", "compressed", "encrypted")
+            .orderBy("name"))
+
+
+RETENTION_ORACLE = """
+SELECT * FROM (VALUES
+  ('dump-b', CAST(1 AS INTEGER), true, false),
+  ('dump-c', CAST(1 AS INTEGER), true, false)
+) AS t(name, n_tables, compressed, encrypted) ORDER BY name
+"""
+
+register(Query("retention_dump_list", retention_dump_list, RETENTION_ORACLE,
+               tags=("datastore", "introspect")))
+
+
+# --- C7 + I4: v1 manifest migration ------------------------------------------
+
+
+def migrated_manifest_dump_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a v1 manifest (`backups` key) by hand; init() must migrate it
+    to v2 `dumps` and the listing must surface the legacy entry."""
+    root = tempfile.mkdtemp(prefix="rs_gate_migrate_")
+    os.makedirs(root, exist_ok=True)
+    v1 = {"v": 1, "backups": [
+        {"directory_name": "legacy-dump", "size": 123, "created_at": 1.0,
+         "compressed": True, "encrypted": False, "tables": ["region"]},
+    ]}
+    with open(os.path.join(root, "metadata.json"), "w") as f:
+        json.dump(v1, f)
+    store = Datastore(spark, root)
+    store.init()  # runs the migration
+    assert store._read_manifest()["v"] == 2
+    return (dump_list(spark, root)
+            .select("name", "n_tables", "compressed", "encrypted"))
+
+
+MIGRATION_ORACLE = """
+SELECT 'legacy-dump' AS name, CAST(1 AS INTEGER) AS n_tables,
+       true AS compressed, false AS encrypted
+"""
+
+register(Query("migrated_manifest_dump_list", migrated_manifest_dump_list,
+               MIGRATION_ORACLE, tags=("datastore", "introspect")))
+
+
+# --- I3: transformer registry -------------------------------------------------
+
+
+def transformer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transformer_list(spark).orderBy("id")
+
+
+def _registry_oracle() -> str:
+    from ..introspect import _DESCRIPTIONS
+    from ..functions.transformers import TRANSFORMERS
+
+    rows = ",\n  ".join(
+        f"('{name}', '{_DESCRIPTIONS.get(name, '')}')"
+        for name in sorted(TRANSFORMERS))
+    return (f"SELECT * FROM (VALUES\n  {rows}\n) AS t(id, description) "
+            f"ORDER BY id")
+
+
+register(Query("transformer_registry", transformer_registry,
+               _registry_oracle(), tags=("introspect",)))
+
+
+# --- I1: source schema vs DuckDB's information_schema -------------------------
+
+_SCHEMA_TABLES = ["customer", "lineitem", "nation", "orders", "part",
+                  "region", "supplier"]
+
+# DuckDB type name → Spark simpleString (the scalar types the fixture uses).
+# DuckDB TIMESTAMP is timezone-naive = Spark's TIMESTAMP_NTZ (Spark 4 reads
+# parquet isAdjustedToUTC=false as NTZ).
+_DUCK_TO_SPARK_TYPE = {
+    "INTEGER": "int", "BIGINT": "bigint", "VARCHAR": "string",
+    "DOUBLE": "double", "TIMESTAMP": "timestamp_ntz", "DATE": "date",
+}
+
+
+def source_schema_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (source_schema(spark, sf_dir, _SCHEMA_TABLES)
+            .orderBy("table_name", "ordinal"))
+
+
+def _schema_oracle() -> str:
+    type_case = " ".join(
+        f"WHEN '{d}' THEN '{s}'" for d, s in _DUCK_TO_SPARK_TYPE.items())
+    tables = ", ".join(f"'{t}'" for t in _SCHEMA_TABLES)
+    return f"""
+SELECT table_name, column_name,
+       CAST(ordinal_position - 1 AS INTEGER) AS ordinal,
+       CASE data_type {type_case} ELSE lower(data_type) END AS data_type
+FROM information_schema.columns
+WHERE table_name IN ({tables})
+ORDER BY table_name, ordinal
+"""
+
+
+register(Query("source_schema_listing", source_schema_listing,
+               _schema_oracle(), tags=("introspect",)))

@@ -199,6 +199,42 @@ register(Query("jdbc_roundtrip", jdbc_roundtrip,
                tags=("pipeline", "jdbc")))
 
 
+def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 MongoDB-shaped destination: config-driven dump → restore to
+    `jsonl://` (mongoimport-compatible JSON lines) → read the lines back.
+    The oracle reads the table directly, so any sink loss hash-fails."""
+    import tempfile
+
+    from ..config import Config
+    from ..plans.pipeline import DumpPipeline, RestorePipeline
+
+    base = tempfile.mkdtemp(prefix="rs_gate_jsonl_")
+    cfg = Config.from_yaml(f"""
+source:
+  connection_uri: parquet://{sf_dir}
+  only_tables: [{{table: nation}}]
+datastore:
+  local_disk:
+    dir: "{base}/store"
+destination:
+  connection_uri: jsonl://{base}/out
+""")
+    DumpPipeline(cfg).run(spark, "gate")
+    RestorePipeline(cfg).run(spark, "gate")
+    back = spark.read.json(f"{base}/out/nation")
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    ).orderBy("n_nationkey")
+
+
+register(Query("jsonl_sink_roundtrip", jsonl_sink_roundtrip,
+               "SELECT n_nationkey, n_name, n_regionkey "
+               "FROM nation ORDER BY n_nationkey",
+               tags=("pipeline", "sink")))
+
+
 # --- dump manifest with skip/only semantics --------------------------------
 
 DUMP_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
