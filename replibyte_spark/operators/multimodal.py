@@ -56,14 +56,19 @@ def attach_binary_content(df: DataFrame, text_col: str = "text",
 def repartition_for_binary(df: DataFrame, bytes_col: str,
                            target_partition_bytes: int = 256 * 1024 * 1024,
                            sample_fraction: float = 0.01) -> DataFrame:
-    """Repartition so each task handles ~target bytes of binary payload."""
-    stats = (df.sample(fraction=min(1.0, sample_fraction), seed=42)
+    """Repartition so each task handles ~target bytes of binary payload.
+
+    ONE sampled pass estimates both avg row bytes and total rows (sample
+    count scaled by 1/fraction) — no second full-table count job over a
+    100 TB input."""
+    frac = min(1.0, sample_fraction)
+    stats = (df.sample(fraction=frac, seed=42)
              .agg(F.avg(F.octet_length(F.col(bytes_col))).alias("avg"),
                   F.count(F.lit(1)).alias("n")).first())
-    if not stats or not stats["avg"]:
+    if not stats or not stats["avg"] or not stats["n"]:
         return df
-    total_rows = df.count()
-    est_total = stats["avg"] * total_rows
+    est_rows = stats["n"] / frac
+    est_total = stats["avg"] * est_rows
     parts = max(1, int(est_total // target_partition_bytes) + 1)
     return df.repartition(parts)
 
@@ -80,30 +85,50 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+def _pil_decode(raw: bytes) -> tuple[str, int, int, int]:
+    """REAL image decode via PIL (import deferred to the executor so the
+    operator stays importable without it): (mime, width, height, channels).
+    """
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(raw)) as img:
+        fmt = (img.format or "unknown").lower()
+        n_channels = len(img.getbands())
+        return f"image/{fmt}", img.width, img.height, n_channels
+
+
 def decode_images(df: DataFrame, content_col: str = "content",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  use_real_codec: bool | None = None) -> DataFrame:
     """Decode stage: (id, content) → typed image metadata.
 
-    Arrow-batched mapInPandas; swap the `_fake_decode` call for
-    `PIL.Image.open(io.BytesIO(payload))` where PIL exists.
+    Arrow-batched mapInPandas.  `use_real_codec=None` (default) uses PIL
+    when importable and otherwise the deterministic fake; True forces PIL
+    (raising if absent), False forces the fake (the oracle-reproducible
+    path the gate query checks).
     """
-    try:  # real decoder unavailable in this container — see module docstring
-        import PIL.Image  # noqa: F401
-        has_pil = True
-    except ImportError:
-        has_pil = False
+    if use_real_codec is None:
+        try:
+            import PIL.Image  # noqa: F401
+            use_real_codec = True
+        except ImportError:
+            use_real_codec = False
+    elif use_real_codec:
+        import PIL.Image  # noqa: F401  # fail fast on the driver if absent
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(payload)
-                if has_pil:
-                    raise NotImplementedError(
-                        "real decode path: PIL detected but no image fixtures; "
-                        "wire PIL.Image.open here")
-                w, h, c = _fake_decode(raw)
-                out.append((int(doc_id), "image/fake", w, h, c, w * h))
+                if use_real_codec:
+                    mime, w, h, c = _pil_decode(raw)
+                else:
+                    w, h, c = _fake_decode(raw)
+                    mime = "image/fake"
+                out.append((int(doc_id), mime, w, h, c, w * h))
             yield pd.DataFrame(out, columns=["doc_id", "mime", "width",
                                              "height", "n_channels", "n_pixels"])
 

@@ -43,10 +43,12 @@ register(Query("binary_metadata", binary_metadata, BINARY_META_ORACLE,
 
 
 def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode stage over binary content → typed metadata."""
+    """mapInPandas decode stage over binary content → typed metadata.
+    Pinned to the deterministic fake codec (fixture bytes are not real
+    images; the PIL branch is covered by a skipped-if-absent unit test)."""
     docs = load_table(spark, sf_dir, "documents")
     mm = MM.attach_binary_content(docs)
-    return MM.decode_images(mm).orderBy("doc_id")
+    return MM.decode_images(mm, use_real_codec=False).orderBy("doc_id")
 
 
 IMAGE_DECODE_ORACLE = """
