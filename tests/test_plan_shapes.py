@@ -1,0 +1,83 @@
+"""Physical-plan shape regression tests — the performance properties SCALE.md
+promises, locked so a future edit can't silently reintroduce a shuffle, a
+cartesian product, or a lost broadcast.  (Counts come from the pre-AQE
+executed plan: join strategies chosen by Catalyst, Exchanges explicit.)"""
+
+from __future__ import annotations
+
+from replibyte_spark.catalog import load_table, load_tables
+from replibyte_spark.operators import dedup as DD
+from replibyte_spark.operators.sample import hash_percent_filter
+from replibyte_spark.operators.subset import FIXTURE_FK_EDGES, subset_closure
+from replibyte_spark.workload import REGISTRY
+
+SUBSET_TABLES = ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_subset_parent_closure_one_semijoin_per_edge(spark, sf_dir):
+    """Topological single pass: the deepest table's plan carries exactly one
+    left-semi join per edge on its path (orders→customer→nation→region),
+    no fixpoint re-joins."""
+    tables = load_tables(spark, sf_dir, SUBSET_TABLES)
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", 20)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed)
+    plan = _plan(res.tables["region"])
+    assert plan.count("LeftSemi") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_subset_full_closure_joins_equal_edge_count(spark, sf_dir):
+    """Child+parent closure: region sits downstream of every FK edge, so its
+    plan contains exactly len(FIXTURE_FK_EDGES)=7 semi-joins — one per
+    edge, proving no edge is traversed twice."""
+    tables = load_tables(spark, sf_dir, SUBSET_TABLES)
+    seed = hash_percent_filter(tables["orders"], "o_orderkey", 20)
+    res = subset_closure(tables, FIXTURE_FK_EDGES, "orders", seed,
+                         include_children=True)
+    plan = _plan(res.tables["region"])
+    assert plan.count("LeftSemi") == len(FIXTURE_FK_EDGES)
+
+
+def test_minhash_gram_stream_is_never_shuffled(spark, sf_dir):
+    """Signature plan has exactly TWO Exchanges: the round-robin fan-out of
+    the (compact) documents and the per-doc aggregation — the exploded
+    shingle stream itself must flow straight into the partial aggregate.
+    A third Exchange means someone shuffled the grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(DD.minhash_signatures(docs, "doc_id", "text", 12, 3))
+    assert plan.count("Exchange") == 2
+    assert plan.count("RoundRobinPartitioning") == 1
+
+
+def test_q3_broadcasts_dims_and_takes_topk(spark, sf_dir):
+    plan = _plan(REGISTRY["q3_top_revenue_orders"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("TakeOrderedAndProject") == 1   # top-k, no global sort
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(REGISTRY["q5_region_volume"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_q1_filter_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and pushed.strip() != "[]"
+
+
+def test_binary_metadata_prunes_scan_columns(spark, sf_dir):
+    """A metadata-only query over a binary-content table must read just the
+    columns it derives from — the payload never leaves the scan."""
+    plan = _plan(REGISTRY["binary_metadata"].spark_fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
