@@ -21,15 +21,19 @@ Spark-first restatement:
   migrations (a v1 manifest with `backups` is upgraded to v2 `dumps`,
   mirroring migration/rename_backups_to_dumps.rs).
 
-Paths are passed straight to Spark, so `file:///`, `s3a://`, `gs://` all
-work — the Hadoop FS layer is the reference's local/S3/GCS switch.  The
-manifest itself is read/written driver-side (tiny JSON).
+ALL paths — the per-table Parquet data AND the JSON manifest — go through
+the Hadoop FileSystem resolved from the root's scheme, so `file:///`,
+`hdfs://`, `s3a://`, `gs://` are one code path (the reference's local/S3/GCS
+switch, datastore/local_disk.rs + s3.rs:213-353).  A bare path resolves via
+the cluster's default FS (local FS in local mode, HDFS on a cluster).
+Object-store jars (hadoop-aws, gcs-connector) are not in this container, so
+the cloud schemes are exercised through the same FS-API path with a
+`file://` scheme in tests.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -54,36 +58,74 @@ class DumpInfo:
 
 
 class Datastore:
-    """Local-path datastore (driver-side manifest; Spark does the data IO)."""
+    """Scheme-agnostic datastore (manifest + data via Hadoop FS; Spark does
+    the heavy data IO)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
 
+    # -- Hadoop FS plumbing (driver-side, tiny files only) -----------------
+
+    def _jpath(self, path: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        return self._jpath(path).getFileSystem(hconf)
+
+    def _join(self, *parts: str) -> str:
+        return "/".join([self.root, *parts])
+
+    def _read_bytes(self, path: str) -> bytes:
+        fs, p = self._fs(path), self._jpath(path)
+        stream = fs.open(p)
+        try:
+            return bytes(self.spark._jvm.org.apache.commons.io.IOUtils
+                         .toByteArray(stream))
+        finally:
+            stream.close()
+
+    def _write_bytes(self, path: str, payload: bytes) -> None:
+        """Write via a temp file + rename (atomic on real filesystems,
+        copy+delete on object stores — fine for a small manifest)."""
+        fs = self._fs(path)
+        tmp, final = self._jpath(path + ".tmp"), self._jpath(path)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)
+
+    def _dir_size(self, path: str) -> int:
+        return int(self._fs(path).getContentSummary(self._jpath(path))
+                   .getLength())
+
     # -- manifest ----------------------------------------------------------
 
     @property
     def _manifest_path(self) -> str:
-        return os.path.join(self.root, MANIFEST_NAME)
+        return self._join(MANIFEST_NAME)
 
     def init(self) -> None:
         """Create the manifest if absent; run migrations if outdated
         (reference: datastore.init() + migrate(), main.rs:140-141)."""
-        os.makedirs(self.root, exist_ok=True)
-        if not os.path.exists(self._manifest_path):
+        fs = self._fs(self.root)
+        fs.mkdirs(self._jpath(self.root))
+        if not fs.exists(self._jpath(self._manifest_path)):
             self._write_manifest({"v": MANIFEST_VERSION, "dumps": []})
         else:
             self._migrate()
 
     def _read_manifest(self) -> dict:
-        with open(self._manifest_path) as f:
-            return json.load(f)
+        return json.loads(self._read_bytes(self._manifest_path))
 
     def _write_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=2, sort_keys=True)
-        os.replace(tmp, self._manifest_path)
+        payload = json.dumps(m, indent=2, sort_keys=True).encode()
+        self._write_bytes(self._manifest_path, payload)
 
     def _migrate(self) -> None:
         """Versioned manifest migrations (reference: migration/mod.rs:48-106;
@@ -118,7 +160,7 @@ class Datastore:
         """
         self.init()
         name = name or f"dump-{int(time.time())}"
-        dump_dir = os.path.join(self.root, name)
+        dump_dir = self._join(name)
         key = _normalize_key(encryption_key) if encryption_key else None
         enc_types: dict[str, dict[str, str]] = {}
         for t, df in tables.items():
@@ -139,10 +181,10 @@ class Datastore:
                       .option("maxRecordsPerFile", max_records_per_file))
             if partition_by and t in partition_by:
                 writer = writer.partitionBy(*partition_by[t])
-            writer.parquet(os.path.join(dump_dir, t))
+            writer.parquet(f"{dump_dir}/{t}")
         info = DumpInfo(
             directory_name=name,
-            size=_dir_size(dump_dir),
+            size=self._dir_size(dump_dir),
             created_at=time.time(),
             compressed=compression != "none",
             encrypted=bool(encrypt_columns),
@@ -186,7 +228,7 @@ class Datastore:
         key = _normalize_key(encryption_key) if encryption_key else None
         out = {}
         for t in info.tables:
-            df = self.spark.read.parquet(os.path.join(self.root, info.directory_name, t))
+            df = self.spark.read.parquet(self._join(info.directory_name, t))
             if decrypt_columns and t in decrypt_columns:
                 if not key:
                     raise ValueError("decrypt_columns given without encryption_key")
@@ -205,7 +247,8 @@ class Datastore:
     def delete(self, name: str) -> None:
         """Delete one dump by name (datastore/mod.rs:41-60)."""
         info = self.find_dump(name)
-        _rm_tree(os.path.join(self.root, info.directory_name))
+        target = self._join(info.directory_name)
+        self._fs(target).delete(self._jpath(target), True)
         m = self._read_manifest()
         m["dumps"] = [d for d in m["dumps"] if d["directory_name"] != name]
         self._write_manifest(m)
@@ -232,17 +275,3 @@ def _normalize_key(key: str) -> str:
     """Pad/truncate to 32 bytes like the reference
     (`get_encryption_key_with_correct_length`, datastore/mod.rs:191-203)."""
     return (key + "0" * 32)[:32]
-
-
-def _dir_size(path: str) -> int:
-    total = 0
-    for dirpath, _dirnames, filenames in os.walk(path):
-        for fn in filenames:
-            total += os.path.getsize(os.path.join(dirpath, fn))
-    return total
-
-
-def _rm_tree(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)

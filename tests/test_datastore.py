@@ -114,3 +114,30 @@ def test_wrong_key_fails_or_garbles(spark, sf_dir, store):
         assert names != {r.n_name for r in nation.collect()}
     except Exception:
         pass  # GCM auth failure raising is also acceptable
+
+
+def test_datastore_with_scheme_qualified_root(spark, sf_dir, tmp_path):
+    """The whole lifecycle through a URI root: manifest + data + retention
+    all resolve via the Hadoop FileSystem API — the same single code path an
+    s3a:// or gs:// root takes when its connector jar is on the classpath
+    (reference s3.rs:213-353)."""
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.datastore import Datastore
+
+    root = f"file://{tmp_path}/uri-store"
+    store = Datastore(spark, root)
+    region = load_table(spark, sf_dir, "region")
+    for name in ("u1", "u2"):
+        info = store.dump({"region": region}, name)
+        assert info.size > 0          # via FS getContentSummary, not os.walk
+    assert [d.directory_name for d in store.list_dumps()] == ["u1", "u2"]
+
+    back = store.restore("u1")["region"]
+    assert back.count() == region.count()
+
+    deleted = store.retain(keep_last=1)
+    assert deleted == ["u1"]
+    assert [d.directory_name for d in store.list_dumps()] == ["u2"]
+    # the dump directory itself is gone from the filesystem
+    assert not (tmp_path / "uri-store" / "u1").exists()
+    assert (tmp_path / "uri-store" / "metadata.json").exists()
