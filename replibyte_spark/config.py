@@ -72,6 +72,9 @@ class SourceConfig:
     only_tables: list[TableRef] = field(default_factory=list)
     database_subset: SubsetConfig | None = None
     compression: bool = True
+    # JDBC driver class for raw `jdbc:` connection URIs (embedded engines);
+    # postgres://, mysql:// infer their driver from the scheme
+    jdbc_driver: str | None = None
 
 
 @dataclass
@@ -87,6 +90,7 @@ class DatastoreConfig:
 class DestinationConfig:
     connection_uri: str
     wipe_database: bool = True  # reference default (commands/dump.rs:452)
+    jdbc_driver: str | None = None
 
 
 @dataclass
@@ -142,6 +146,7 @@ class Config:
                              for x in s.get("only_tables", [])],
                 database_subset=subset,
                 compression=s.get("compression", True),
+                jdbc_driver=s.get("jdbc_driver"),
             )
             if src.skip and src.only_tables:
                 # reference validation (commands/dump.rs:109-128)
@@ -165,6 +170,7 @@ class Config:
             dst = DestinationConfig(
                 connection_uri=_env(t["connection_uri"]),
                 wipe_database=t.get("wipe_database", True),
+                jdbc_driver=t.get("jdbc_driver"),
             )
         key = _env(raw.get("encryption_key"))
         return cls(source=src, datastore=ds, destination=dst, encryption_key=key)

@@ -27,7 +27,10 @@ from ..sinks.datastore import Datastore, DumpInfo
 
 
 def _parse_uri(uri: str) -> tuple[str, str]:
-    """`parquet:///dir`, `postgres://...`, `mysql://...`, `console://`."""
+    """`parquet:///dir`, `postgres://...`, `mysql://...`, `console://`,
+    or a raw `jdbc:<subprotocol>:...` URL (embedded engines like Derby)."""
+    if uri.startswith("jdbc:"):
+        return "jdbc", uri
     m = re.match(r"^([a-z0-9+]+)://(.*)$", uri)
     if not m:
         return "parquet", uri  # bare path = parquet dir
@@ -49,10 +52,13 @@ class DumpPipeline:
 
             names = [f[:-8] for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
             tables = {n: load_table(spark, path, n) for n in names}
-        elif scheme in ("postgres", "postgresql", "mysql"):
+        elif scheme in ("postgres", "postgresql", "mysql", "jdbc"):
             from ..sources.jdbc import read_jdbc_tables
 
-            tables = read_jdbc_tables(spark, self.config.source.connection_uri)
+            only = [t.table for t in self.config.source.only_tables] or None
+            tables = read_jdbc_tables(spark, self.config.source.connection_uri,
+                                      tables=only,
+                                      driver=self.config.source.jdbc_driver)
         else:
             raise ValueError(f"unsupported source scheme: {scheme}")
         # skip/only pushdown = not reading the table at all
@@ -113,10 +119,11 @@ class RestorePipeline:
         if scheme == "parquet":
             for t, df in tables.items():
                 df.write.mode(mode).parquet(f"{path.rstrip('/')}/{t}")
-        elif scheme in ("postgres", "postgresql", "mysql"):
+        elif scheme in ("postgres", "postgresql", "mysql", "jdbc"):
             from ..sources.jdbc import write_jdbc_tables
 
-            write_jdbc_tables(tables, self.config.destination.connection_uri, mode)
+            write_jdbc_tables(tables, self.config.destination.connection_uri,
+                              mode, driver=self.config.destination.jdbc_driver)
         elif scheme == "sqltext":
             from ..sinks.sqldump_sink import write_sql_dump
 
