@@ -67,6 +67,40 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_window_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str = "15 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window counts per event type (each event lands in
+    window/slide overlapping windows — 4 for 1h/15m).  Same unified
+    batch/stream contract as the tumbling variant."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"),
+                    F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def dedup_event_stream(events: DataFrame, keys: list[str],
+                       watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key events, unified batch/stream.
+
+    Streaming mode: watermark-bounded dedup state
+    (`dropDuplicatesWithinWatermark`) — state is evicted once the watermark
+    passes, so a 100 TB/day stream holds hours of keys, not forever.  Batch
+    mode: plain `dropDuplicates`.  (The reference's dedup is the batch
+    spill-file set, subset/src/dedup.rs:9-63; this is its streaming
+    counterpart.)
+    """
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
 def sessionized_stats(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     """Per-user session stats via `session_window` (merge-on-gap semantics)."""
     src = events.withWatermark("ts", "1 day") if events.isStreaming else events

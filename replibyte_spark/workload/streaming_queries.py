@@ -26,6 +26,71 @@ register(Query("tumbling_window_counts", tumbling_window_counts, TUMBLING_ORACLE
                tags=("streaming",)))
 
 
+def sliding_window_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import sliding_window_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return (sliding_window_counts(ev, "1 hour", "15 minutes")
+            .orderBy("window_start", "event_type"))
+
+
+# every event belongs to exactly window/slide = 4 overlapping windows; the
+# oracle enumerates them with pure naive-timestamp arithmetic (no TZ types)
+SLIDING_ORACLE = """
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + ((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * INTERVAL 15 MINUTE)
+         AS window_start,
+         event_type, value
+  FROM events, generate_series(0, 3) t(k)
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register(Query("sliding_window_counts", sliding_window_counts_query,
+               SLIDING_ORACLE, tags=("streaming",)))
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL watermark-bounded streaming dedup (availableNow) on
+    (user_id, event_type), then counts survivors per event_type — a
+    winner-independent summary, so the oracle is exact even though which
+    duplicate survives is arbitrary."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import dedup_event_stream, read_event_stream
+
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dd = dedup_event_stream(stream, ["user_id", "event_type"],
+                            watermark="1 day")
+    name = f"gate_dedup_{uuid.uuid4().hex[:8]}"
+    q = (dd.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="rs_gate_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("event_type"))
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_pairs
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+register(Query("streaming_dedup_counts", streaming_dedup_counts,
+               STREAM_DEDUP_ORACLE, tags=("streaming", "dedup")))
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return sessionized_stats(ev, gap="6 hours").orderBy("user_id", "session_start")
