@@ -43,6 +43,7 @@ def _load_all() -> None:
         multimodal_queries,
         pipeline,
         similarity_queries,
+        skew_queries,
         streaming_queries,
         subset_queries,
         text_queries,
