@@ -303,6 +303,57 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → canonical survivors
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(node, cluster_id) connected components of a near-dup pair graph;
+    `cluster_id` is the MIN doc id in the component.
+
+    Min-label propagation: each round pushes every node's current label to
+    its neighbors and keeps the minimum — rounds = component diameter, and
+    near-dup components are shallow (dups of dups of the same source), so
+    a handful of shuffles closes the graph.  `localCheckpoint` per round
+    bounds lineage.  At extreme diameters the alternating large-star/
+    small-star algorithm is the drop-in upgrade; the contract (min-id
+    labeling) is identical, which is what the oracle checks.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionAll(pairs.select(F.col("id_b").alias("src"),
+                                    F.col("id_a").alias("dst")))
+             .persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("cluster_id", F.col("node")))
+    for _ in range(max_iterations):
+        prop = (edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("cluster_id")))
+        new_labels = (labels.unionAll(prop).groupBy("node")
+                      .agg(F.min("cluster_id").alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id doc of its cluster
+    (docs in no pair survive untouched) — the step that turns a pair list
+    into an actually-deduplicated corpus.  One anti-join against the
+    (small) loser set."""
+    labels = near_dup_clusters(pairs)
+    losers = (labels.filter(F.col("node") != F.col("cluster_id"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (ground truth / verification path)
 # ---------------------------------------------------------------------------
 

@@ -46,7 +46,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending in `nd(id_a, id_b)` — verified near-dup
+    pairs at JACCARD_T; reused by the pair gate and the clustering gates."""
     d = D.DUCK
     grams = DD.word_ngrams_sql(d, "text", NGRAM)
     rows = N_HASHES // BANDS
@@ -61,8 +63,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""
-WITH ex AS (
+    return f"""ex AS (
   SELECT doc_id, unnest({grams}) AS gram FROM documents
 ), bh AS (
   SELECT doc_id, gram, {DD.base_hash_sql(d, 'gram')} AS bh FROM ex
@@ -81,16 +82,91 @@ WITH ex AS (
   SELECT id_a, id_b, count(*) AS i
   FROM cand JOIN shd x ON x.doc_id = id_a JOIN shd y ON y.doc_id = id_b AND y.gram = x.gram
   GROUP BY id_a, id_b
-)
-SELECT id_a, id_b, round(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
-FROM inter JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
-WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= {JACCARD_T}
-ORDER BY id_a, id_b
-"""
+), nd AS (
+  SELECT id_a, id_b, round(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+  FROM inter JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
+  WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= {JACCARD_T}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return (f"WITH {_minhash_ctes()}\n"
+            f"SELECT id_a, id_b, jaccard FROM nd ORDER BY id_a, id_b")
 
 
 register(Query("minhash_near_dup", minhash_near_dup, _minhash_oracle(),
                tags=("dedup", "lsh"), bench=True))
+
+
+# --- near-dup clustering + canonical survivors ------------------------------
+
+def near_dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified minhash pairs: every paired
+    doc labeled with its cluster's minimum doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                      threshold=JACCARD_T,
+                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+    return DD.near_dup_clusters(pairs).orderBy("node")
+
+
+def _cluster_oracle() -> str:
+    """Independent clustering oracle: DuckDB recursive CTE reachability
+    (min root propagates along descending-id paths) over the same pairs."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, nodes AS (
+  SELECT id_a AS n FROM nd UNION SELECT id_b FROM nd
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd UNION ALL SELECT id_b, id_a FROM nd
+), reach(node, root) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.root < e.dst
+)
+SELECT node, CAST(min(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+register(Query("near_dup_cluster_labels", near_dup_cluster_labels,
+               _cluster_oracle(), tags=("dedup", "cluster")))
+
+
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus dedup: keep one canonical doc per near-dup
+    cluster, pass unpaired docs through."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup_pairs(docs, "doc_id", "text",
+                                      threshold=JACCARD_T,
+                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+    return (DD.keep_canonical(docs, pairs, "doc_id")
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
+def _survivors_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()}, nodes AS (
+  SELECT id_a AS n FROM nd UNION SELECT id_b FROM nd
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd UNION ALL SELECT id_b, id_a FROM nd
+), reach(node, root) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.root < e.dst
+), labels AS (
+  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+ORDER BY doc_id
+"""
+
+
+register(Query("near_dup_survivors", near_dup_survivors,
+               _survivors_oracle(), tags=("dedup", "cluster")))
 
 
 # --- SimHash signatures ----------------------------------------------------

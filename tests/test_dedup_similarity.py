@@ -184,3 +184,21 @@ def test_bucketed_near_dup_plan_has_no_cross_join(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_near_dup_clusters_chain_and_islands(spark):
+    """Label propagation must close transitive chains (1-2-3-11) and keep
+    disjoint components apart; keep_canonical keeps exactly the min-id doc
+    per cluster plus all unpaired docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11)],
+        "id_a long, id_b long")
+    labels = {r.node: r.cluster_id
+              for r in DD.near_dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 11: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 13)],
+                                 "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  DD.keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 4, 5, 7, 8, 12]
