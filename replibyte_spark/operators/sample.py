@@ -5,13 +5,20 @@ Reference: `SubsetStrategy::RandomPercent`
 systematic modulo selection over the INSERT-statement order: deterministic
 given row order, not truly random.
 
-Two strategies here:
+Strategies:
 
 - :func:`hash_percent_filter` — the 100 TB path.  Keep rows where a
   deterministic md5-derived value of the key is < pct.  Embarrassingly
   parallel (no global ordering, no shuffle), stable across partitioning,
   retries and engines, and exactly reproducible in the DuckDB oracle via the
   shared dialect builder.
+- :func:`stratified_percent_filter` — per-stratum rates (training-data
+  curation: downsample the dominant language/source, keep the tail) — still
+  a pure per-row predicate, zero shuffles.
+- :func:`stratified_sample_n` — EXACTLY n rows per stratum, chosen by
+  deterministic hash rank (the distributed analogue of per-group reservoir
+  sampling).  One shuffle on the stratum key; the window is per-group, never
+  global.
 - :func:`systematic_percent` — reference-faithful every-k-th-row selection.
   Needs a global row_number (single-partition sort bottleneck), so it is the
   small-data/compat path only.
@@ -37,6 +44,40 @@ def hash_percent_sql(d: str, key_expr: str, pct: int, salt: str = "subset") -> s
 
 def hash_percent_filter(df: DataFrame, key: str, pct: int, salt: str = "subset") -> DataFrame:
     return df.filter(F.expr(hash_percent_sql(D.SPARK, key, pct, salt)))
+
+
+def stratified_percent_sql(d: str, key_expr: str, stratum_expr: str,
+                           rates: dict[str, int], default_pct: int = 100,
+                           salt: str = "strata") -> str:
+    """Cross-dialect predicate: keep `rates[stratum]`% of each stratum
+    (`default_pct`% for unlisted strata).  The hash mixes the stratum in so
+    the same key sampled under two strata draws independently."""
+    branches = " ".join(
+        f"WHEN {D.q(s)} THEN {p}" for s, p in sorted(rates.items()))
+    pct_expr = f"(CASE {stratum_expr} {branches} ELSE {default_pct} END)"
+    draw = D.hash_uniform_mod(
+        d, f"({D.to_str(d, key_expr)} || '|' || {D.to_str(d, stratum_expr)})",
+        salt, 100)
+    return f"{draw} < {pct_expr}"
+
+
+def stratified_percent_filter(df: DataFrame, key: str, stratum: str,
+                              rates: dict[str, int], default_pct: int = 100,
+                              salt: str = "strata") -> DataFrame:
+    return df.filter(F.expr(
+        stratified_percent_sql(D.SPARK, key, stratum, rates, default_pct, salt)))
+
+
+def stratified_sample_n(df: DataFrame, stratum: str, key: str, n: int,
+                        salt: str = "strata-n") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministically: rank
+    rows inside each stratum by a hash of the key and keep the first n.
+    Per-group window ⇒ one shuffle on the stratum, no global sort."""
+    h = F.expr(D.md5_hex(D.SPARK, key, salt))
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk"))
 
 
 def systematic_percent(df: DataFrame, order_key: str, pct: int) -> DataFrame:

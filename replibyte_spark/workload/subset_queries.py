@@ -130,3 +130,64 @@ register(Query("subset_parent_closure", subset_parent_closure, SUBSET_PARENT_ORA
                tags=("subset",)))
 register(Query("subset_full_closure", subset_full_closure, SUBSET_FULL_ORACLE,
                tags=("subset",), bench=True))
+
+
+# --- stratified sampling (SS3 generalized for training-data curation) -------
+
+LANG_RATES = {"en": 10, "de": 50}
+TOPN_PER_SOURCE = 5
+
+
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rates: downsample dominant languages, keep the tail —
+    summarized per language so the gate is order-stable."""
+    from ..catalog import load_table
+    from ..operators.sample import stratified_percent_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_percent_filter(docs, "doc_id", "lang", LANG_RATES)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("key_sum"))
+            .orderBy("lang"))
+
+
+def _stratified_oracle() -> str:
+    from ..operators.sample import stratified_percent_sql
+
+    pred = stratified_percent_sql(D.DUCK, "doc_id", "lang", LANG_RATES)
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS key_sum
+FROM documents WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
+register(Query("stratified_doc_sample", stratified_doc_sample,
+               _stratified_oracle(), tags=("sample",)))
+
+
+def stratified_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly N docs per source by deterministic hash rank."""
+    from ..catalog import load_table
+    from ..operators.sample import stratified_sample_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (stratified_sample_n(docs, "source", "doc_id", TOPN_PER_SOURCE)
+            .select("doc_id", "source").orderBy("source", "doc_id"))
+
+
+def _topn_oracle() -> str:
+    h = D.md5_hex(D.DUCK, "doc_id", "strata-n")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {TOPN_PER_SOURCE} ORDER BY source, doc_id
+"""
+
+
+register(Query("stratified_topn_docs", stratified_topn_docs,
+               _topn_oracle(), tags=("sample",)))

@@ -108,3 +108,36 @@ def test_hash_percent_spark_duckdb_agree(spark):
         f"SELECT i FROM range(5000) t(i) WHERE "
         f"{hash_percent_sql(D.DUCK, 'i', 20, 'x')}").fetchall())
     assert got == want and got
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.sample import stratified_percent_filter
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("s"))
+    kept = stratified_percent_filter(df, "k", "s", {"big": 10}, default_pct=80)
+    rates = {r.s: r.n for r in
+             kept.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(rates["big"] / 20_000 - 0.10) < 0.01
+    assert abs(rates["small"] / 20_000 - 0.80) < 0.01
+
+
+def test_stratified_sample_n_exact_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.sample import stratified_sample_n
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("s"))
+    a = stratified_sample_n(df, "s", "k", 10)
+    counts = {r.s: r.n for r in
+              a.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 10 for v in counts.values()) and len(counts) == 7
+    b = stratified_sample_n(df, "s", "k", 10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # short stratum keeps everything
+    tiny = df.filter(F.col("k") < 3)
+    assert stratified_sample_n(tiny, "s", "k", 10).count() == 3
