@@ -39,3 +39,24 @@ def top_terms_per_source(docs: DataFrame, k: int = 5,
             .groupBy(source_col)
             .applyInPandas(per_group, schema=TOP_TERMS_SCHEMA)
             .orderBy("source", "rank"))
+
+
+def pack_token_budget(df, group_col: str, order_col: str, token_col,
+                      budget: int, bin_alias: str = "bin_id"):
+    """Assign each document a sequence-packing bin: within a group, in
+    deterministic `order_col` order, bin = floor(exclusive-prefix-sum of
+    tokens / budget).
+
+    The prefix-sum packing (vs. greedy first-fit) is chosen BECAUSE it is
+    order-deterministic and engine-reproducible — the property a resumable
+    100 TB packing job needs (greedy bin state isn't associative; a prefix
+    sum is one per-group window, shuffles once on the group key).  Bins can
+    overshoot by at most one document — the standard trade for determinism.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(group_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(bin_alias, F.floor(prefix / budget))

@@ -118,3 +118,50 @@ FROM ranked WHERE rank <= 5 ORDER BY source, rank
 
 register(Query("top_terms_per_source", top_terms, TOP_TERMS_ORACLE,
                tags=("text", "grouped")))
+
+
+# --- sequence packing (token-budget bins) -----------------------------------
+
+PACK_BUDGET = 512
+
+
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per source, docs in doc_id order accumulate
+    into bins of ~PACK_BUDGET tokens (deterministic prefix-sum packing —
+    see operators.grouped.pack_token_budget)."""
+    from ..functions.text import token_count_sql
+    from ..operators.grouped import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source",
+        F.expr(token_count_sql(D.SPARK, "text")).cast("long").alias("n_tokens"))
+    packed = pack_token_budget(with_tokens, "source", "doc_id",
+                               "n_tokens", PACK_BUDGET)
+    return (packed.select("doc_id", "source", "n_tokens",
+                          F.col("bin_id").cast("long").alias("bin_id"))
+            .orderBy("source", "doc_id"))
+
+
+def _pack_oracle() -> str:
+    from ..functions.text import token_count_sql
+
+    ntok = token_count_sql(D.DUCK, "text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {ntok} AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS prefix
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(prefix / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+FROM p ORDER BY source, doc_id
+"""
+
+
+register(Query("doc_pack_bins", doc_pack_bins, _pack_oracle(),
+               tags=("text", "packing")))

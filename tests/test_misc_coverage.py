@@ -75,3 +75,28 @@ def test_hex_and_cast_literals_pass_through():
         "INSERT INTO t (a, b) VALUES (X'CAFE', '2024-01-01'::date);")
     assert vals[0] == "X'CAFE'"
     assert vals[1] == "'2024-01-01'::date"
+
+
+def test_pack_token_budget_properties(spark):
+    """Every bin's exclusive prefix stays under budget + one-doc overshoot,
+    bins are contiguous from 0, and packing is order-deterministic."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.grouped import pack_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", 100 + (i * 37) % 200) for i in range(50)]
+        + [(i, "t", 400) for i in range(50, 60)],
+        "doc_id long, source string, n_tokens long")
+    out = pack_token_budget(df, "source", "doc_id", "n_tokens", 512).collect()
+    by_group = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_group.setdefault(r.source, []).append(r)
+    for rows in by_group.values():
+        bins = [r.bin_id for r in rows]
+        assert bins[0] == 0 and all(b2 - b1 in (0, 1)
+                                    for b1, b2 in zip(bins, bins[1:]))
+        prefix = 0
+        for r in rows:
+            assert r.bin_id == prefix // 512
+            prefix += r.n_tokens
