@@ -53,3 +53,24 @@ def test_asof_tolerance(spark):
     tight = asof_join(left, right, on="k", tolerance_seconds=30).first()
     assert loose.v_matched == 5.0
     assert tight.v_matched is None and tight.ts_matched is None
+
+
+def test_asof_null_payload_not_torn(spark):
+    """A right row with a NULL payload must win as the latest match WITH its
+    own NULL — not borrow an older row's payload (the torn-match bug)."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long").select(
+        "k", F.timestamp_seconds("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 50, None)], "k long, ts long, v string").select(
+        "k", F.timestamp_seconds("ts").alias("ts"), "v")
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.ts_matched.second == 50 or row.ts_matched.minute == 0
+    # matched timestamp is the newest right row (t=50)...
+    import datetime
+    assert row.ts_matched == datetime.datetime(1970, 1, 1, 0, 0, 50)
+    # ...and the payload is THAT row's NULL, not "old"
+    assert row.v_matched is None

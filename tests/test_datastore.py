@@ -141,3 +141,27 @@ def test_datastore_with_scheme_qualified_root(spark, sf_dir, tmp_path):
     # the dump directory itself is gone from the filesystem
     assert not (tmp_path / "uri-store" / "u1").exists()
     assert (tmp_path / "uri-store" / "metadata.json").exists()
+
+
+def test_encrypted_non_string_column_type_restored(spark, sf_dir, tmp_path):
+    """Encrypting a DOUBLE column must round-trip as DOUBLE (the manifest
+    records pre-encryption types), and keys containing quotes must work
+    (column-arg AES, not SQL-text interpolation)."""
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.datastore import Datastore
+
+    store = Datastore(spark, str(tmp_path / "enc-types"))
+    cust = load_table(spark, sf_dir, "customer")
+    key = "it's a quoted'key"
+    store.dump({"customer": cust}, "e1",
+               encrypt_columns={"customer": ["c_acctbal", "c_name"]},
+               encryption_key=key)
+    stored = store.restore("e1")["customer"]  # no decrypt: ciphertext strings
+    assert dict(stored.dtypes)["c_acctbal"] == "string"
+    back = store.restore("e1",
+                         decrypt_columns={"customer": ["c_acctbal", "c_name"]},
+                         encryption_key=key)["customer"]
+    assert dict(back.dtypes)["c_acctbal"] == "double"
+    got = {r.c_custkey: (r.c_acctbal, r.c_name) for r in back.collect()}
+    want = {r.c_custkey: (r.c_acctbal, r.c_name) for r in cust.collect()}
+    assert got == want

@@ -40,3 +40,20 @@ def test_no_double_count_across_replicas(spark):
     right = _ts(spark, [(1, 120)], "k long, ts long")  # same band as left
     out = trailing_window_count(left, right, on="k", window_seconds=w).first()
     assert out.n_in_window == 1
+
+
+def test_duplicate_left_rows_each_produce_output(spark):
+    """Two identical left rows must yield two rows with their own counts,
+    not one collapsed row with a doubled count."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.rangejoin import trailing_window_count
+
+    left = spark.createDataFrame([(1, 100), (1, 100)], "k long, ts long") \
+        .select("k", F.timestamp_seconds("ts").alias("ts"))
+    right = spark.createDataFrame([(1, 80)], "k long, ts long") \
+        .select("k", F.timestamp_seconds("ts").alias("ts"))
+    out = trailing_window_count(left, right, on="k",
+                                window_seconds=3600).collect()
+    assert len(out) == 2
+    assert [r.n_in_window for r in out] == [1, 1]
