@@ -136,6 +136,62 @@ def decode_images(df: DataFrame, content_col: str = "content",
             .mapInPandas(batches, schema=DECODE_SCHEMA))
 
 
+AUDIO_SCHEMA = ("doc_id long, codec string, sample_rate int, n_channels int, "
+                "n_frames long, duration_ms long")
+
+
+def _wav_decode(raw: bytes) -> tuple[str, int, int, int, int] | None:
+    """REAL audio decode for WAV/RIFF payloads via the stdlib `wave` module
+    (no external codec needed): (codec, rate, channels, frames, ms).
+    Returns None when the payload is not a parseable WAV."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw)) as w:
+            rate = w.getframerate()
+            frames = w.getnframes()
+            ms = int(frames * 1000 // rate) if rate else 0
+            return "audio/wav", rate, w.getnchannels(), frames, ms
+    except Exception:
+        return None
+
+
+def _fake_audio_decode(raw: bytes) -> tuple[str, int, int, int, int]:
+    """DETERMINISTIC FAKE for non-WAV payloads (md5-derived, same translate
+    scheme as the SQL dialect so a DuckDB oracle reproduces it)."""
+    hx = hashlib.md5(raw).hexdigest()
+    tr = str.maketrans("abcdef", "123456")
+    rate = 8000 + int(hx[0:4].translate(tr)) % 40000
+    channels = 1 + int(hx[4:6].translate(tr)) % 2
+    frames = 1 + int(hx[6:12].translate(tr)) % 1_000_000
+    return "audio/fake", rate, channels, frames, frames * 1000 // rate
+
+
+def decode_audio(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Decode stage: (id, content) → typed audio metadata.
+
+    Arrow-batched mapInPandas.  Real WAV payloads decode through the stdlib
+    `wave` module (a genuinely live path — no container dependency); other
+    payloads get the deterministic fake, which is the oracle path for the
+    text-derived fixture bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(payload)
+                meta = _wav_decode(raw) or _fake_audio_decode(raw)
+                out.append((int(doc_id), *meta))
+            yield pd.DataFrame(out, columns=["doc_id", "codec", "sample_rate",
+                                             "n_channels", "n_frames",
+                                             "duration_ms"])
+
+    return (fan_out(df.select(id_col, content_col))
+            .mapInPandas(batches, schema=AUDIO_SCHEMA))
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64,
                   content_col: str = "content", id_col: str = "doc_id",
                   max_frames: int = 8) -> DataFrame:

@@ -87,3 +87,34 @@ ORDER BY doc_id, frame_idx
 
 register(Query("frame_samples", frame_samples, FRAME_ORACLE,
                tags=("multimodal",)))
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio decode: fixture bytes are not WAV, so every row
+    takes the deterministic fake path the oracle mirrors (the REAL stdlib
+    `wave` path is unit-tested with generated WAV payloads)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = MM.attach_binary_content(docs)
+    return MM.decode_audio(mm).orderBy("doc_id")
+
+
+AUDIO_DECODE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+), f AS (
+  SELECT doc_id,
+         8000 + CAST(translate(substr(hx, 1, 4), 'abcdef', '123456') AS BIGINT) % 40000 AS rate,
+         1 + CAST(translate(substr(hx, 5, 2), 'abcdef', '123456') AS BIGINT) % 2 AS channels,
+         1 + CAST(translate(substr(hx, 7, 6), 'abcdef', '123456') AS BIGINT) % 1000000 AS frames
+  FROM h
+)
+SELECT doc_id, 'audio/fake' AS codec,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(channels AS INTEGER) AS n_channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(frames * 1000 // rate AS BIGINT) AS duration_ms
+FROM f ORDER BY doc_id
+"""
+
+register(Query("audio_decode_stats", audio_decode_stats, AUDIO_DECODE_ORACLE,
+               tags=("multimodal",)))

@@ -79,3 +79,27 @@ def test_sample_frames_fan_out(spark):
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert sorted(per_doc[1]) == [0, 1, 2]   # 200 // 64 = 3 windows
     assert sorted(per_doc[2]) == [0]         # short payload → 1 window
+
+
+def test_decode_audio_real_wav_via_stdlib(spark):
+    """REAL audio branch: a genuine WAV payload decodes through the stdlib
+    wave module — correct rate/channels/frames/duration."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x01" * 2 * 8000)  # 8000 frames = 500 ms
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(payload)),
+                                (2, bytearray(b"not a wav"))],
+                               "doc_id long, content binary")
+    rows = {r.doc_id: r for r in MM.decode_audio(df).collect()}
+    real = rows[1]
+    assert (real.codec, real.sample_rate, real.n_channels,
+            real.n_frames, real.duration_ms) == ("audio/wav", 16000, 2,
+                                                 8000, 500)
+    assert rows[2].codec == "audio/fake"
