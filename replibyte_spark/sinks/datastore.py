@@ -55,6 +55,10 @@ class DumpInfo:
     # table -> {column -> original Spark type simpleString}; lets restore()
     # give encrypted columns their pre-encryption type back.
     encrypted_column_types: dict = field(default_factory=dict)
+    # incremental-dump chain: name of the dump this one is a delta over, and
+    # table -> (watermark_col, max_value_as_string) high-water marks
+    parent: str | None = None
+    watermarks: dict = field(default_factory=dict)
 
 
 class Datastore:
@@ -148,6 +152,8 @@ class Datastore:
         encryption_key: str | None = None,
         max_records_per_file: int = 1_000_000,
         partition_by: dict[str, list[str]] | None = None,
+        watermark_cols: dict[str, str] | None = None,
+        _parent: str | None = None,
     ) -> DumpInfo:
         """Write one dump: per-table Parquet + manifest entry.
 
@@ -157,6 +163,9 @@ class Datastore:
         restore/query side then prunes partitions instead of scanning the
         whole dump (the scale analogue of the reference's per-table chunk
         files).
+        `watermark_cols` maps table → a monotonically-increasing column;
+        the manifest records each table's max value so later
+        :meth:`dump_incremental` calls write only newer rows.
         """
         self.init()
         name = name or f"dump-{int(time.time())}"
@@ -182,6 +191,14 @@ class Datastore:
             if partition_by and t in partition_by:
                 writer = writer.partitionBy(*partition_by[t])
             writer.parquet(f"{dump_dir}/{t}")
+        watermarks = {}
+        if watermark_cols:
+            for t, wc in watermark_cols.items():
+                if t not in tables:
+                    continue
+                mx = tables[t].agg(F.max(F.col(wc)).alias("m")).first()["m"]
+                if mx is not None:
+                    watermarks[t] = [wc, str(mx)]
         info = DumpInfo(
             directory_name=name,
             size=self._dir_size(dump_dir),
@@ -190,11 +207,55 @@ class Datastore:
             encrypted=bool(encrypt_columns),
             tables=sorted(tables),
             encrypted_column_types=enc_types,
+            parent=_parent,
+            watermarks=watermarks,
         )
         m = self._read_manifest()
         m["dumps"] = [d for d in m["dumps"] if d["directory_name"] != name]
         m["dumps"].append(asdict(info))
         self._write_manifest(m)
+        return info
+
+    def dump_incremental(
+        self,
+        tables: dict[str, DataFrame],
+        name: str | None = None,
+        *,
+        watermark_cols: dict[str, str],
+        base: str = "latest",
+        **dump_kwargs,
+    ) -> DumpInfo:
+        """Delta dump: write only rows whose watermark column exceeds the
+        base dump's recorded high-water mark (insert-only CDC — the
+        reference re-dumps everything every run; no analogue).
+
+        Contract: watermark columns are monotonically increasing for new
+        rows and existing rows are immutable.  `restore()` of an
+        incremental dump unions its whole parent chain.  Tables without a
+        recorded base watermark are dumped in full.
+        """
+        base_info = self.find_dump(base)
+        deltas: dict[str, DataFrame] = {}
+        for t, df in tables.items():
+            wm = base_info.watermarks.get(t)
+            wc = watermark_cols.get(t)
+            if wm and wc:
+                dtype = df.schema[wc].dataType
+                deltas[t] = df.filter(F.col(wc) > F.lit(wm[1]).cast(dtype))
+            else:
+                deltas[t] = df
+        info = self.dump(deltas, name, watermark_cols=watermark_cols,
+                         _parent=base_info.directory_name, **dump_kwargs)
+        # empty deltas record no watermark of their own — inherit the base's
+        inherited = {t: wm for t, wm in base_info.watermarks.items()
+                     if t not in info.watermarks}
+        if inherited:
+            info.watermarks.update(inherited)
+            m = self._read_manifest()
+            for d in m["dumps"]:
+                if d["directory_name"] == info.directory_name:
+                    d["watermarks"] = info.watermarks
+            self._write_manifest(m)
         return info
 
     # -- restore (read) ----------------------------------------------------
@@ -224,6 +285,8 @@ class Datastore:
         decrypt_columns: dict[str, list[str]] | None = None,
         encryption_key: str | None = None,
     ) -> dict[str, DataFrame]:
+        """Read one dump back; an incremental dump unions its parent chain
+        (base rows + every delta — exact under the insert-only contract)."""
         info = self.find_dump(which)
         key = _normalize_key(encryption_key) if encryption_key else None
         out = {}
@@ -240,6 +303,11 @@ class Datastore:
                         .cast("string").cast(orig)
                     )
             out[t] = df
+        if info.parent:
+            base = self.restore(info.parent, decrypt_columns=decrypt_columns,
+                                encryption_key=encryption_key)
+            for t, df in base.items():
+                out[t] = out[t].unionByName(df) if t in out else df
         return out
 
     # -- retention ---------------------------------------------------------

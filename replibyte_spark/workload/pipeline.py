@@ -235,6 +235,38 @@ register(Query("jsonl_sink_roundtrip", jsonl_sink_roundtrip,
                tags=("pipeline", "sink")))
 
 
+def incremental_dump_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only CDC: base dump of events up to a cutoff, then an
+    incremental dump against the full table (only rows past the recorded
+    ts high-water mark are written), restore unions the chain — which must
+    reproduce the complete table exactly."""
+    import tempfile
+
+    from ..sinks.datastore import Datastore
+
+    events = load_table(spark, sf_dir, "events")
+    store = Datastore(spark, tempfile.mkdtemp(prefix="rs_gate_incr_"))
+    base = events.filter(F.col("ts") <= F.lit("2024-01-15").cast("timestamp"))
+    store.dump({"events": base}, "base", watermark_cols={"events": "ts"})
+    store.dump_incremental({"events": events}, "delta",
+                           watermark_cols={"events": "ts"}, base="base")
+    back = store.restore("delta")["events"]
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("event_id").alias("id_sum"))
+            .orderBy("event_type"))
+
+
+INCREMENTAL_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+register(Query("incremental_dump_restore", incremental_dump_restore,
+               INCREMENTAL_ORACLE, tags=("pipeline", "incremental")))
+
+
 # --- dump manifest with skip/only semantics --------------------------------
 
 DUMP_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

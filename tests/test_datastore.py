@@ -165,3 +165,42 @@ def test_encrypted_non_string_column_type_restored(spark, sf_dir, tmp_path):
     got = {r.c_custkey: (r.c_acctbal, r.c_name) for r in back.collect()}
     want = {r.c_custkey: (r.c_acctbal, r.c_name) for r in cust.collect()}
     assert got == want
+
+
+def test_incremental_dump_chain(spark, sf_dir, tmp_path):
+    """Two increments: each delta writes only new rows; an empty delta
+    inherits the base watermark; restoring the head unions the chain back
+    to the full table."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.datastore import Datastore
+
+    ev = load_table(spark, sf_dir, "events")
+    cut1 = F.lit("2024-01-10").cast("timestamp")
+    cut2 = F.lit("2024-01-20").cast("timestamp")
+    store = Datastore(spark, str(tmp_path / "incr"))
+
+    store.dump({"events": ev.filter(F.col("ts") <= cut1)}, "d0",
+               watermark_cols={"events": "ts"})
+    i1 = store.dump_incremental({"events": ev.filter(F.col("ts") <= cut2)},
+                                "d1", watermark_cols={"events": "ts"},
+                                base="d0")
+    i2 = store.dump_incremental({"events": ev}, "d2",
+                                watermark_cols={"events": "ts"}, base="d1")
+    assert i1.parent == "d0" and i2.parent == "d1"
+
+    n_total = ev.count()
+    n_base = ev.filter(F.col("ts") <= cut1).count()
+    n_mid = ev.filter(F.col("ts") <= cut2).count()
+    # deltas hold only the new slices
+    assert spark.read.parquet(str(tmp_path / "incr" / "d1" / "events")) \
+        .count() == n_mid - n_base
+    assert store.restore("d2")["events"].count() == n_total
+    assert store.restore("d1")["events"].count() == n_mid
+
+    # empty delta: nothing new, watermark inherited, chain still restores
+    i3 = store.dump_incremental({"events": ev}, "d3",
+                                watermark_cols={"events": "ts"}, base="d2")
+    assert i3.watermarks["events"] == i2.watermarks["events"]
+    assert store.restore("d3")["events"].count() == n_total
