@@ -153,6 +153,7 @@ class Datastore:
         max_records_per_file: int = 1_000_000,
         partition_by: dict[str, list[str]] | None = None,
         watermark_cols: dict[str, str] | None = None,
+        parallel: int = 1,
         _parent: str | None = None,
     ) -> DumpInfo:
         """Write one dump: per-table Parquet + manifest entry.
@@ -166,13 +167,18 @@ class Datastore:
         `watermark_cols` maps table → a monotonically-increasing column;
         the manifest records each table's max value so later
         :meth:`dump_incremental` calls write only newer rows.
+        `parallel` > 1 submits up to that many table writes concurrently —
+        Spark's scheduler interleaves the jobs, so small tables no longer
+        serialize behind big ones (a many-table dump is otherwise
+        driver-submission-bound).
         """
         self.init()
         name = name or f"dump-{int(time.time())}"
         dump_dir = self._join(name)
         key = _normalize_key(encryption_key) if encryption_key else None
         enc_types: dict[str, dict[str, str]] = {}
-        for t, df in tables.items():
+
+        def write_one(t: str, df: DataFrame) -> None:
             if encrypt_columns and t in encrypt_columns:
                 if not key:
                     raise ValueError("encrypt_columns given without encryption_key")
@@ -191,6 +197,18 @@ class Datastore:
             if partition_by and t in partition_by:
                 writer = writer.partitionBy(*partition_by[t])
             writer.parquet(f"{dump_dir}/{t}")
+
+        if parallel > 1 and len(tables) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallel) as pool:
+                futures = [pool.submit(write_one, t, df)
+                           for t, df in tables.items()]
+                for f in futures:
+                    f.result()
+        else:
+            for t, df in tables.items():
+                write_one(t, df)
         watermarks = {}
         if watermark_cols:
             for t, wc in watermark_cols.items():

@@ -204,3 +204,16 @@ def test_incremental_dump_chain(spark, sf_dir, tmp_path):
                                 watermark_cols={"events": "ts"}, base="d2")
     assert i3.watermarks["events"] == i2.watermarks["events"]
     assert store.restore("d3")["events"].count() == n_total
+
+
+def test_parallel_dump_writes_equal_serial(spark, sf_dir, tmp_path):
+    from replibyte_spark.catalog import load_tables
+    from replibyte_spark.sinks.datastore import Datastore
+
+    tables = load_tables(spark, sf_dir, ["region", "nation", "supplier"])
+    store = Datastore(spark, str(tmp_path / "par"))
+    info = store.dump(tables, "p1", parallel=3)
+    assert sorted(info.tables) == ["nation", "region", "supplier"]
+    back = store.restore("p1")
+    for t, df in tables.items():
+        assert back[t].count() == df.count()
