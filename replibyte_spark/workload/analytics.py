@@ -242,6 +242,47 @@ register(Query("purchases_asof_last_click", purchases_asof_last_click,
                ASOF_ORACLE, tags=("join", "asof"), bench=True))
 
 
+def purchases_asof_recent_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a freshness tolerance: clicks older than one hour
+    are discarded (pandas merge_asof tolerance semantics)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    return (asof_join(purchases, clicks, on="user_id",
+                      right_payload=["event_id"], tolerance_seconds=3600)
+            .select("event_id", "user_id", "ts",
+                    F.col("ts_matched").alias("click_ts"),
+                    F.col("event_id_matched").alias("click_event_id"))
+            .orderBy("event_id"))
+
+
+# Spark's tolerance compares unix_timestamp() values (per-side seconds
+# truncation); floor(epoch()) mirrors that exactly.
+ASOF_TOL_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     j AS (
+       SELECT p.event_id, p.user_id, p.ts,
+              c.ts AS click_ts, c.event_id AS click_event_id
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+     ), fresh AS (
+       SELECT *, (click_ts IS NOT NULL AND
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(click_ts)) AS BIGINT) <= 3600) AS ok
+       FROM j
+     )
+SELECT event_id, user_id, ts,
+       CASE WHEN ok THEN click_ts END AS click_ts,
+       CASE WHEN ok THEN click_event_id END AS click_event_id
+FROM fresh ORDER BY event_id
+"""
+
+register(Query("purchases_asof_recent_click", purchases_asof_recent_click,
+               ASOF_TOL_ORACLE, tags=("join", "asof")))
+
+
 # --- banded range join --------------------------------------------------------
 
 def purchases_clicks_last_hour(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,38 @@ register(Query("lsh_bucket_histogram", lsh_bucket_histogram, LSH_HIST_ORACLE,
                tags=("similarity",)))
 
 
+def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full approximate top-k through the LSH index (single-probe):
+    rank by exact cosine within the query's bucket only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.lsh_topk(emb, queries, k=K, bits=BITS, multi_probe=0)
+
+
+LSH_TOPK_ORACLE = f"""
+WITH bk AS (
+  SELECT vec_id, embedding,
+         {S.rp_bucket_sql(D.DUCK, 'embedding', BITS)} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {S.cosine_sql(D.DUCK, 'q.embedding', 'v.embedding')} AS cosine
+  FROM bk q JOIN bk v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+register(Query("lsh_topk", lsh_topk_query, LSH_TOPK_ORACLE,
+               tags=("similarity",)))
+
+
 ND_BITS, ND_TABLES, ND_T = 4, 8, 0.45
 
 
