@@ -165,3 +165,26 @@ def test_copy_write_read_roundtrip_with_escapes(spark, tmp_path):
     got = {r.id: r.s for r in back.collect()}
     assert got == {1: "tab\there", 2: "line\nbreak", 3: "back\\slash",
                    4: None, 5: "\\N lookalike", 6: "plain"}
+
+
+def test_copy_roundtrip_fuzz_corpus(spark, tmp_path):
+    """One-job fuzz: 60 seeded-random strings over a nasty alphabet
+    (tabs, newlines, CRs, backslashes, quotes, unicode, \\N lookalikes)
+    must survive the COPY write→parse loop byte-for-byte."""
+    import random
+
+    from replibyte_spark.sinks.sqldump_sink import write_copy_dump
+    from replibyte_spark.sources.sqldump import read_sql_dump
+
+    rng = random.Random(99)
+    alphabet = list("ab\t\n\r\\'\"xyN ") + ["\\N", "é", "中", "\\x41", "\\."]
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 30))) or None)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    path = str(tmp_path / "fuzzcopy")
+    write_copy_dump(df, "t", path, single_file=True)
+    back = read_sql_dump(spark, path)["t"]
+    got = {r.id: r.s for r in back.collect()}
+    want = dict(rows)
+    assert got == want
