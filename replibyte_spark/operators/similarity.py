@@ -172,6 +172,53 @@ def ivf_assign(vectors: DataFrame, n_centroids: int = 16,
     return assigned
 
 
+def refine_centroids(vectors: DataFrame, centroids: DataFrame,
+                     iterations: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     normalize: bool = False) -> DataFrame:
+    """Lloyd refinement for IVF centroids: repeat (assign to nearest
+    centroid → replace each centroid with its cell's element-wise mean).
+
+    Fully declarative: the mean is a posexplode to (cell, dim, value) rows
+    + one groupBy — shuffle volume is N·D scalars, the offline-refinement
+    job you run once before partitioning a 100 TB corpus by cell.  Keeps
+    the (centroid_id, cv) contract of :func:`default_centroids`, so the
+    result broadcasts straight into :func:`ivf_assign` / :func:`ivf_topk`.
+    Empty cells keep their previous centroid (no NaNs, stable k).
+
+    `normalize=True` renormalizes each mean to unit length (spherical
+    k-means) — the right variant for cosine/dot retrieval over normalized
+    embeddings, where the plain mean's norm shrinkage would otherwise
+    deflate dot scores.
+    """
+    for _ in range(iterations):
+        assigned = ivf_assign(vectors, id_col=id_col, vec_col=vec_col,
+                              centroids=centroids)
+        dims = (assigned.select("centroid_id",
+                                F.posexplode(F.col(vec_col))
+                                .alias("pos", "x")))
+        means = (dims.groupBy("centroid_id", "pos")
+                 .agg(F.avg("x").alias("m")))
+        rebuilt = (means.groupBy("centroid_id")
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                       lambda s: s["m"]).alias("cv")))
+        if normalize:
+            rebuilt = rebuilt.withColumn(
+                "cv", F.expr(f"transform(cv, x -> x / {norm_sql(D.SPARK, 'cv')})"))
+        centroids = (centroids.select("centroid_id").join(
+            rebuilt, on="centroid_id", how="left")
+            .join(centroids.select("centroid_id",
+                                   F.col("cv").alias("__old")),
+                  on="centroid_id")
+            .select("centroid_id",
+                    F.coalesce(F.col("cv"),
+                               F.col("__old").cast("array<double>"))
+                    .alias("cv"))
+            .localCheckpoint(eager=True))
+    return centroids
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",

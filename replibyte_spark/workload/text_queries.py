@@ -165,3 +165,35 @@ FROM p ORDER BY source, doc_id
 
 register(Query("doc_pack_bins", doc_pack_bins, _pack_oracle(),
                tags=("text", "packing")))
+
+
+# --- normalization ----------------------------------------------------------
+
+def normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized-text fingerprints: lowercase / punctuation-stripped /
+    whitespace-collapsed text hashed per doc (the robustness pre-pass for
+    near-dup pipelines), plus the normalized token count."""
+    from ..functions.text import normalize_text_sql, token_count_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text_sql(D.SPARK, "text")
+    return (docs.select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("norm_md5"),
+        F.expr(token_count_sql(D.SPARK, norm)).cast("long").alias("n_tokens"))
+        .orderBy("doc_id"))
+
+
+def _normalized_oracle() -> str:
+    from ..functions.text import normalize_text_sql, token_count_sql
+
+    norm = normalize_text_sql(D.DUCK, "text")
+    return f"""
+SELECT doc_id, md5({norm}) AS norm_md5,
+       CAST({token_count_sql(D.DUCK, norm)} AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+register(Query("normalized_fingerprints", normalized_fingerprints,
+               _normalized_oracle(), tags=("text",)))

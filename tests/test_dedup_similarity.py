@@ -202,3 +202,42 @@ def test_near_dup_clusters_chain_and_islands(spark):
     kept = sorted(r.doc_id for r in
                   DD.keep_canonical(docs, pairs, "doc_id").collect())
     assert kept == [1, 4, 5, 7, 8, 12]
+
+
+def test_lloyd_refinement_improves_quantization(spark):
+    """On normalized clustered vectors, two Lloyd iterations must improve
+    mean best-dot over the hash-sampled init (centroids move to cluster
+    means), while keeping exactly k centroids and the (id, cv) contract."""
+    import math
+    import random
+
+    rng = random.Random(21)
+    centers = []
+    for _ in range(8):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        centers.append([x / n for x in v])
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = [x + rng.uniform(-0.05, 0.05) for x in c]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    init = S.default_centroids(df, n_centroids=8)
+    refined = S.refine_centroids(df, init, iterations=2, normalize=True)
+    assert refined.count() == 8
+
+    def mean_best_dot(cents):
+        from pyspark.sql import functions as F
+
+        from replibyte_spark import dialect as D
+
+        scored = (df.crossJoin(F.broadcast(cents))
+                  .withColumn("__d", F.expr(S.dot_sql(D.SPARK, "embedding", "cv")))
+                  .groupBy("vec_id").agg(F.max("__d").alias("best")))
+        return scored.agg(F.avg("best")).first()[0]
+
+    before, after = mean_best_dot(init), mean_best_dot(refined)
+    assert after > before, (before, after)
