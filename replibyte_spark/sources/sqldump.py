@@ -390,3 +390,84 @@ def read_sql_dump(spark: SparkSession, path: str,
         col_order = sub.select("__cols").first()[0]
         out[t] = sub.select(*[F.col(f"row.`{c}`").alias(c) for c in col_order])
     return out
+
+
+def read_copy_dump_parallel(spark: SparkSession, path: str,
+                            tables: list[str] | None = None,
+                            min_partitions: int = 32) -> dict[str, DataFrame]:
+    """Parse a MONOLITHIC COPY-format dump with full parallelism.
+
+    `read_sql_dump`'s one-task-per-file model is right for chunked dumps but
+    serializes on a single multi-GB pg_dump file.  COPY data lines are
+    line-structured, so this reader splits the file by lines instead:
+
+    1. `textFile(minPartitions=N).zipWithIndex` — distributed read with a
+       global line index.
+    2. The (tiny) set of `COPY ... FROM stdin;` headers and `\\.`
+       terminators is collected to the driver and paired into
+       (start, end, table, columns) block ranges.
+    3. Every data line maps to its block by index range (broadcast ranges,
+       binary-search per line) and decodes in parallel.
+
+    Constraint: the COPY header must sit on one line (pg_dump's output
+    shape).  INSERT statements in the same file are ignored here — mixed
+    dumps go through `read_sql_dump`.
+    """
+    import bisect
+    import json as _json
+
+    lines = spark.sparkContext.textFile(path, minPartitions=min_partitions) \
+        .zipWithIndex()
+
+    def is_marker(t):
+        line, _idx = t
+        return line.startswith("COPY ") or line.rstrip() == "\\."
+
+    markers = sorted(lines.filter(is_marker).collect(), key=lambda t: t[1])
+    blocks = []  # (start_idx_exclusive, end_idx_exclusive, table, cols)
+    open_hdr = None
+    for line, idx in markers:
+        if line.startswith("COPY "):
+            m = _COPY_HDR_RE.match(line.rstrip().rstrip(";"))
+            if m:
+                open_hdr = (idx, _unquote_ident(m.group("table").split(".")[-1]),
+                            [_unquote_ident(c) for c in m.group("cols").split(",")])
+        elif open_hdr is not None:
+            blocks.append((open_hdr[0], idx, open_hdr[1], open_hdr[2]))
+            open_hdr = None
+    if open_hdr is not None:  # unterminated final block: data to EOF
+        blocks.append((open_hdr[0], float("inf"), open_hdr[1], open_hdr[2]))
+
+    starts = [b[0] for b in blocks]
+    bc = spark.sparkContext.broadcast((starts, blocks))
+
+    def emit(t):
+        line, idx = t
+        starts_, blocks_ = bc.value
+        i = bisect.bisect_right(starts_, idx) - 1
+        if i < 0:
+            return
+        start, end, table, cols = blocks_[i]
+        if not (start < idx < end) or line.startswith("COPY ") \
+                or line.rstrip() == "\\.":
+            return
+        vals = [_decode_copy_field(f) for f in line.split("\t")]
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"column/value arity mismatch in COPY {table}: "
+                f"{len(cols)} cols vs {len(vals)} values")
+        yield _json.dumps({"__table": table, "__cols": cols,
+                           "row": dict(zip(cols, vals))})
+
+    parsed = spark.read.json(lines.flatMap(emit)).cache()
+    if "__table" not in parsed.columns:
+        return {}
+    found = [r["__table"] for r in parsed.select("__table").distinct().collect()]
+    out: dict[str, DataFrame] = {}
+    for t in sorted(found):
+        if tables and t not in tables:
+            continue
+        sub = parsed.filter(F.col("__table") == t)
+        col_order = sub.select("__cols").first()[0]
+        out[t] = sub.select(*[F.col(f"row.`{c}`").alias(c) for c in col_order])
+    return out

@@ -172,6 +172,34 @@ register(Query("copy_dump_roundtrip", copy_dump_roundtrip,
                tags=("pipeline", "parser")))
 
 
+def copy_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE monolithic COPY file read back through the line-splitting
+    parallel reader (read_copy_dump_parallel) — the path that keeps a
+    single multi-GB pg_dump from serializing on one task."""
+    import tempfile
+
+    from ..sinks.sqldump_sink import write_copy_dump
+    from ..sources.sqldump import read_copy_dump_parallel
+
+    part = load_table(spark, sf_dir, "part")
+    path = tempfile.mkdtemp(prefix="rs_gate_copypar_") + "/part"
+    write_copy_dump(part, "public.part", path, single_file=True)
+    back = read_copy_dump_parallel(spark, path)["part"]
+    return back.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_name").alias("p_name"),
+        F.col("p_brand").alias("p_brand"),
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).orderBy("p_partkey")
+
+
+register(Query("copy_parallel_roundtrip", copy_parallel_roundtrip,
+               "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice "
+               "FROM part ORDER BY p_partkey",
+               tags=("pipeline", "parser")))
+
+
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → write to an embedded Derby database over JDBC → read back
     over JDBC.  Actually executes `.save()`/`.load()` (S1/K1 surface;

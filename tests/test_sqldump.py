@@ -188,3 +188,35 @@ def test_copy_roundtrip_fuzz_corpus(spark, tmp_path):
     got = {r.id: r.s for r in back.collect()}
     want = dict(rows)
     assert got == want
+
+
+def test_copy_parallel_reader_monolithic_file(spark, sf_dir, tmp_path):
+    """The line-splitting reader parses ONE monolithic multi-table COPY
+    file across many partitions and agrees with the per-file parser."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.sqldump_sink import to_copy_lines
+    from replibyte_spark.sources.sqldump import read_copy_dump_parallel
+
+    # build one file holding TWO tables' COPY blocks back to back
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    chunks = []
+    for t, df in (("nation", nation), ("region", region)):
+        lines, header = to_copy_lines(df, f"public.{t}")
+        chunks.append("\n".join([header] +
+                               [r.line for r in lines.collect()] + ["\\."]))
+    mono = tmp_path / "mono"
+    mono.mkdir()
+    (mono / "all.sql").write_text("\n".join(chunks) + "\n")
+
+    out = read_copy_dump_parallel(spark, str(mono / "all.sql"),
+                                  min_partitions=8)
+    assert set(out) == {"nation", "region"}
+    got = sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                 for r in out["nation"].collect())
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                  for r in nation.collect())
+    assert got == want
+    assert out["region"].count() == region.count()
