@@ -91,18 +91,30 @@ class Datastore:
             stream.close()
 
     def _write_bytes(self, path: str, payload: bytes) -> None:
-        """Write via a temp file + rename (atomic on real filesystems,
-        copy+delete on object stores — fine for a small manifest)."""
+        """Write via temp file + rename, keeping the old file as `.bak`
+        until the new one is in place — there is never a moment with NO
+        manifest on disk, and every rename's boolean result is checked
+        (Hadoop FS rename signals failure by returning false, not raising)."""
         fs = self._fs(path)
         tmp, final = self._jpath(path + ".tmp"), self._jpath(path)
+        bak = self._jpath(path + ".bak")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(payload))
         finally:
             out.close()
-        if fs.exists(final):
-            fs.delete(final, False)
-        fs.rename(tmp, final)
+        had_old = fs.exists(final)
+        if had_old:
+            if fs.exists(bak):
+                fs.delete(bak, False)
+            if not fs.rename(final, bak):
+                raise IOError(f"rename {final} -> {bak} failed")
+        if not fs.rename(tmp, final):
+            if had_old:
+                fs.rename(bak, final)  # roll back: old manifest restored
+            raise IOError(f"rename {tmp} -> {final} failed")
+        if had_old:
+            fs.delete(bak, False)
 
     def _dir_size(self, path: str) -> int:
         return int(self._fs(path).getContentSummary(self._jpath(path))
@@ -214,7 +226,16 @@ class Datastore:
             for t, wc in watermark_cols.items():
                 if t not in tables:
                     continue
-                mx = tables[t].agg(F.max(F.col(wc)).alias("m")).first()["m"]
+                if wc in (encrypt_columns or {}).get(t, []):
+                    raise ValueError(
+                        f"watermark column {t}.{wc} cannot be encrypted")
+                # Read the max back from the Parquet actually WRITTEN, not by
+                # re-evaluating the lazy source: against a live source, rows
+                # arriving between the write job and a source-side max() would
+                # be covered by the recorded mark but absent from the dump —
+                # the next incremental would skip them forever.
+                mx = (self.spark.read.parquet(f"{dump_dir}/{t}")
+                      .agg(F.max(F.col(wc)).alias("m")).first()["m"])
                 if mx is not None:
                     watermarks[t] = [wc, str(mx)]
         info = DumpInfo(

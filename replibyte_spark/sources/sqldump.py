@@ -23,7 +23,6 @@ double, bare integer → long, TRUE/FALSE → bool, NULL → null.
 
 from __future__ import annotations
 
-import json
 import re
 from collections.abc import Iterator
 
@@ -210,6 +209,35 @@ def _split_csv(s: str, dialect: str = "postgres") -> list[str]:
 _NUM_RE = re.compile(r"^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
 
+# MySQL string-literal escapes (mysqldump output set); \% and \_ keep their
+# backslash outside LIKE context, any other unknown \x drops the backslash.
+_MYSQL_ESCAPES = {"0": "\0", "'": "'", '"': '"', "b": "\b", "n": "\n",
+                  "r": "\r", "t": "\t", "Z": "\x1a", "\\": "\\",
+                  "%": "\\%", "_": "\\_"}
+
+
+def _unescape_mysql(s: str) -> str:
+    """Decode a mysql-dialect string-literal body: backslash escapes AND
+    the standard `''` escape, in one left-to-right scan (the two can
+    interleave in mysqldump output)."""
+    if "\\" not in s and "''" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nx = s[i + 1]
+            out.append(_MYSQL_ESCAPES.get(nx, nx))
+            i += 2
+            continue
+        if c == "'" and i + 1 < n and s[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 def _decode_value(tok: str, dialect: str = "postgres"):
     """Typed-cell decoder (reference postgres.rs:375-412 semantics)."""
@@ -222,10 +250,9 @@ def _decode_value(tok: str, dialect: str = "postgres"):
         return False
     if t.startswith("'") and t.endswith("'"):
         body = t[1:-1]
-        body = body.replace("''", "'")
         if dialect == "mysql":
-            body = body.replace("\\'", "'")
-        return body
+            return _unescape_mysql(body)
+        return body.replace("''", "'")
     if _NUM_RE.match(t):
         return int(t)
     if _FLOAT_RE.match(t):
@@ -351,6 +378,129 @@ def parse_copy_rows(stmt: str):
 
 
 # ---------------------------------------------------------------------------
+# typed rows → DataFrames (single-pass, explicit schema)
+# ---------------------------------------------------------------------------
+#
+# All three readers below produce an RDD of (table, cols_tuple, values_list)
+# and hand it here.  Earlier rounds serialized rows to JSON and used
+# `spark.read.json`, whose schema INFERENCE is a second full pass over the
+# data; instead we fold a per-column type lattice into the same job that
+# materializes the persisted decode (one scan of the dump), then build each
+# table's DataFrame with an explicit schema — no inference job, no
+# per-table `first()`.
+
+_T_BOOL, _T_INT, _T_FLOAT, _T_STR, _T_BIGNUM = 1, 2, 4, 8, 16
+_INT64_MAX = (1 << 63) - 1
+
+
+def _type_bit(v) -> int:
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        return _T_BOOL
+    if isinstance(v, int):
+        return _T_INT | (_T_BIGNUM if abs(v) > _INT64_MAX else 0)
+    if isinstance(v, float):
+        return _T_FLOAT
+    return _T_STR
+
+
+def _mask_to_type(mask: int):
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType)
+    if mask == _T_BOOL:
+        return BooleanType()
+    if mask == _T_INT:
+        return LongType()
+    if mask in (_T_FLOAT, _T_INT | _T_FLOAT):
+        return DoubleType()
+    return StringType()  # all-null, strings, or mixed/oversized → string
+
+
+def _coerce(v, mask: int):
+    """Align a decoded python value with its column's resolved type."""
+    if v is None:
+        return None
+    if mask in (_T_FLOAT, _T_INT | _T_FLOAT):
+        return float(v)
+    if mask in (_T_BOOL, _T_INT):
+        return v
+    # string column: render non-strings the way JSON would
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if not isinstance(v, str):
+        return str(v)
+    return v
+
+
+def _frames_from_typed_rdd(spark: SparkSession, rdd,
+                           tables: list[str] | None) -> dict[str, DataFrame]:
+    """rdd of (table, cols_tuple, values_list) → {table: DataFrame}.
+
+    One job computes per-(table, column-list) type masks AND materializes
+    the persisted decode; each table's DataFrame then reads from cache with
+    an explicit schema.
+    """
+    from pyspark.sql.types import StructField, StructType
+    from pyspark import StorageLevel
+
+    rdd = rdd.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def part_stats(it):
+        acc: dict = {}
+        for t, cols, vals in it:
+            key = (t, cols)
+            masks = acc.get(key)
+            if masks is None:
+                masks = acc[key] = [0] * len(cols)
+            for j, v in enumerate(vals):
+                masks[j] |= _type_bit(v)
+        yield from acc.items()
+
+    def merge(a, b):
+        return [x | y for x, y in zip(a, b)]
+
+    stats = rdd.mapPartitions(part_stats).reduceByKey(merge).collect()
+
+    # group by table; a table dumped with several column lists (legal in
+    # hand-written dumps) unions by name with nulls for absent columns
+    per_table: dict[str, dict] = {}
+    for (t, cols), masks in stats:
+        info = per_table.setdefault(t, {"order": list(cols), "mask": {}})
+        for c in cols:
+            if c not in info["order"]:
+                info["order"].append(c)
+        for c, m in zip(cols, masks):
+            info["mask"][c] = info["mask"].get(c, 0) | m
+
+    out: dict[str, DataFrame] = {}
+    for t in sorted(per_table):
+        if tables and t not in tables:
+            continue
+        order = per_table[t]["order"]
+        cmask = per_table[t]["mask"]
+        schema = StructType([StructField(c, _mask_to_type(cmask[c]), True)
+                             for c in order])
+        masks_in_order = [cmask[c] for c in order]
+        pos = {c: i for i, c in enumerate(order)}
+        tname = t
+
+        def build(rec, _m=masks_in_order, _pos=pos, _n=len(order), _t=tname):
+            rt, cols, vals = rec
+            if list(cols) == list(_pos):  # common case: exact order match
+                return tuple(_coerce(v, m) for v, m in zip(vals, _m))
+            row = [None] * _n
+            for c, v in zip(cols, vals):
+                j = _pos[c]
+                row[j] = _coerce(v, _m[j])
+            return tuple(row)
+
+        data = rdd.filter(lambda r, _t=tname: r[0] == _t).map(build)
+        out[t] = spark.createDataFrame(data, schema, verifySchema=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # distributed read
 # ---------------------------------------------------------------------------
 
@@ -359,9 +509,10 @@ def read_sql_dump(spark: SparkSession, path: str,
                   dialect: str = "postgres") -> dict[str, DataFrame]:
     """Parse .sql dump file(s) into per-table DataFrames.
 
-    One task per file (chunked dumps parallelize naturally); INSERT rows are
-    emitted as JSON lines and schema-inferred by Spark's distributed JSON
-    reader, then columns are restored to dump order.
+    One task per file (chunked dumps parallelize naturally); rows decode to
+    typed tuples in the same pass and each table gets an explicit schema —
+    see :func:`_frames_from_typed_rdd`.  For a single monolithic file use
+    :func:`read_copy_dump_parallel` / :func:`read_insert_dump_parallel`.
     """
     files = spark.sparkContext.wholeTextFiles(path)
 
@@ -374,22 +525,11 @@ def read_sql_dump(spark: SparkSession, path: str,
             if parsed is None:
                 continue
             t, cols, rows = parsed
+            cols_t = tuple(cols)
             for vals in rows:
-                yield json.dumps({"__table": t, "__cols": cols,
-                                  "row": dict(zip(cols, vals))})
+                yield t, cols_t, vals
 
-    parsed = spark.read.json(files.flatMap(emit)).cache()
-    if "__table" not in parsed.columns:
-        return {}
-    found = [r["__table"] for r in parsed.select("__table").distinct().collect()]
-    out: dict[str, DataFrame] = {}
-    for t in sorted(found):
-        if tables and t not in tables:
-            continue
-        sub = parsed.filter(F.col("__table") == t)
-        col_order = sub.select("__cols").first()[0]
-        out[t] = sub.select(*[F.col(f"row.`{c}`").alias(c) for c in col_order])
-    return out
+    return _frames_from_typed_rdd(spark, files.flatMap(emit), tables)
 
 
 def read_copy_dump_parallel(spark: SparkSession, path: str,
@@ -409,12 +549,20 @@ def read_copy_dump_parallel(spark: SparkSession, path: str,
     3. Every data line maps to its block by index range (broadcast ranges,
        binary-search per line) and decodes in parallel.
 
+    Block membership is decided by LINE INDEX alone: a data row whose first
+    field begins with ``COPY `` is legal COPY text (only \\t \\n \\r \\\\ are
+    escaped) and must survive — header-looking lines are only treated as
+    headers when no block is open (a real header cannot appear before the
+    previous ``\\.`` terminator), and interior lines are never re-matched
+    against marker patterns.  A line of exactly ``\\.`` IS always a
+    terminator: a literal backslash in data is escaped to ``\\\\``, so no
+    data row can render as ``\\.``.
+
     Constraint: the COPY header must sit on one line (pg_dump's output
     shape).  INSERT statements in the same file are ignored here — mixed
     dumps go through `read_sql_dump`.
     """
     import bisect
-    import json as _json
 
     lines = spark.sparkContext.textFile(path, minPartitions=min_partitions) \
         .zipWithIndex()
@@ -424,17 +572,21 @@ def read_copy_dump_parallel(spark: SparkSession, path: str,
         return line.startswith("COPY ") or line.rstrip() == "\\."
 
     markers = sorted(lines.filter(is_marker).collect(), key=lambda t: t[1])
-    blocks = []  # (start_idx_exclusive, end_idx_exclusive, table, cols)
+    blocks = []  # (header_idx, terminator_idx, table, cols) — both exclusive
     open_hdr = None
     for line, idx in markers:
-        if line.startswith("COPY "):
-            m = _COPY_HDR_RE.match(line.rstrip().rstrip(";"))
-            if m:
-                open_hdr = (idx, _unquote_ident(m.group("table").split(".")[-1]),
-                            [_unquote_ident(c) for c in m.group("cols").split(",")])
-        elif open_hdr is not None:
-            blocks.append((open_hdr[0], idx, open_hdr[1], open_hdr[2]))
-            open_hdr = None
+        if line.rstrip() == "\\.":
+            if open_hdr is not None:
+                blocks.append((open_hdr[0], idx, open_hdr[1], open_hdr[2]))
+                open_hdr = None
+            continue
+        if open_hdr is not None:
+            continue  # 'COPY '-prefixed DATA line inside an open block
+        m = _COPY_HDR_RE.match(line.rstrip().rstrip(";"))
+        if m:
+            open_hdr = (idx, _unquote_ident(m.group("table").split(".")[-1]),
+                        tuple(_unquote_ident(c)
+                              for c in m.group("cols").split(",")))
     if open_hdr is not None:  # unterminated final block: data to EOF
         blocks.append((open_hdr[0], float("inf"), open_hdr[1], open_hdr[2]))
 
@@ -448,26 +600,141 @@ def read_copy_dump_parallel(spark: SparkSession, path: str,
         if i < 0:
             return
         start, end, table, cols = blocks_[i]
-        if not (start < idx < end) or line.startswith("COPY ") \
-                or line.rstrip() == "\\.":
+        if not (start < idx < end):  # header/terminator/outside → not data
             return
         vals = [_decode_copy_field(f) for f in line.split("\t")]
         if len(cols) != len(vals):
             raise ValueError(
                 f"column/value arity mismatch in COPY {table}: "
                 f"{len(cols)} cols vs {len(vals)} values")
-        yield _json.dumps({"__table": table, "__cols": cols,
-                           "row": dict(zip(cols, vals))})
+        yield table, cols, vals
 
-    parsed = spark.read.json(lines.flatMap(emit)).cache()
-    if "__table" not in parsed.columns:
-        return {}
-    found = [r["__table"] for r in parsed.select("__table").distinct().collect()]
-    out: dict[str, DataFrame] = {}
-    for t in sorted(found):
-        if tables and t not in tables:
-            continue
-        sub = parsed.filter(F.col("__table") == t)
-        col_order = sub.select("__cols").first()[0]
-        out[t] = sub.select(*[F.col(f"row.`{c}`").alias(c) for c in col_order])
-    return out
+    return _frames_from_typed_rdd(spark, lines.flatMap(emit), tables)
+
+
+# ---------------------------------------------------------------------------
+# parallel INSERT-format reader
+# ---------------------------------------------------------------------------
+
+_QUOTE_OR_ESC = re.compile(r"\\.|'")
+
+
+def _line_quote_parity(line: str, dialect: str = "postgres") -> int:
+    """Number of effective single-quote delimiters in a line, mod 2.
+
+    A statement spans multiple lines iff a string literal contains a raw
+    newline, and exactly the first and last lines of that literal have odd
+    parity (interior lines are wholly inside the string).  `''` contributes
+    two quotes (parity even — consistent whether it means escape or
+    close+open); in the mysql dialect a backslash always escapes the next
+    character.
+    """
+    parity = 0
+    if dialect == "mysql":
+        for m in _QUOTE_OR_ESC.finditer(line):
+            if m.group(0) == "'":
+                parity ^= 1
+        return parity
+    return line.count("'") & 1
+
+
+_VALUES_RE = re.compile(r"\bVALUES\b", re.IGNORECASE)
+
+
+def read_insert_dump_parallel(spark: SparkSession, path: str,
+                              tables: list[str] | None = None,
+                              dialect: str = "postgres",
+                              min_partitions: int = 32) -> dict[str, DataFrame]:
+    """Parse a MONOLITHIC INSERT-format dump (pg_dump ``--column-inserts`` /
+    mysqldump) with full parallelism.
+
+    The reference streams these incrementally through one reader
+    (dump-parser/src/utils.rs:33-121); a 1000-executor cluster instead wants
+    the file line-split.  Dump writers emit ONE statement per line, so every
+    line parses independently — except statements whose string literals
+    contain raw newlines.  Those are found exactly (not heuristically):
+
+    1. Distributed pass collects the indices of lines with ODD quote parity
+       (:func:`_line_quote_parity`) — the opening and closing lines of any
+       newline-carrying string literal.  Data rows themselves can never
+       hide one (a quoted value contributes quotes in pairs on one line).
+    2. Consecutive odd indices pair into [start, end] spans; the (few)
+       spanned lines are collected, rejoined, and parsed on the driver.
+    3. Every line outside a span decodes in parallel; non-INSERT statements
+       (DDL, SET, comments) are skipped, but an INSERT-with-VALUES line
+       that fails to parse raises — silent row loss is never acceptable in
+       a dump reader.
+
+    Constraint: statements start at line starts and end on the line where
+    their last string literal closes (every pg_dump/mysqldump output does).
+    Dumps with unbalanced quotes outside string context (e.g. procedural
+    bodies) belong to :func:`read_sql_dump` — span validation raises rather
+    than guessing.
+    """
+    from pyspark import StorageLevel
+
+    lines = (spark.sparkContext.textFile(path, minPartitions=min_partitions)
+             .zipWithIndex().persist(StorageLevel.MEMORY_AND_DISK))
+
+    odd = sorted(lines
+                 .filter(lambda t: _line_quote_parity(t[0], dialect) == 1)
+                 .map(lambda t: t[1]).collect())
+    if len(odd) % 2:
+        raise ValueError(
+            f"unterminated string literal in {path} (line {odd[-1] + 1}); "
+            "not a line-parallel INSERT dump — use read_sql_dump")
+    spans = [(odd[i], odd[i + 1]) for i in range(0, len(odd), 2)]
+
+    spanned_rows: list[tuple] = []
+    if spans:
+        span_set = spans  # tiny; linear scan per line below uses bisect
+        import bisect as _b
+        starts = [s for s, _ in span_set]
+
+        def in_span(t):
+            i = _b.bisect_right(starts, t[1]) - 1
+            return i >= 0 and span_set[i][0] <= t[1] <= span_set[i][1]
+
+        frag_lines = sorted(lines.filter(in_span).collect(), key=lambda t: t[1])
+        by_span: dict[tuple, list[str]] = {}
+        for line, idx in frag_lines:
+            i = _b.bisect_right(starts, idx) - 1
+            by_span.setdefault(span_set[i], []).append(line)
+        for span, parts in sorted(by_span.items()):
+            stmt = "\n".join(parts)
+            parsed = parse_insert_rows(stmt, dialect)
+            if parsed is None:
+                raise ValueError(
+                    f"lines {span[0] + 1}-{span[1] + 1} of {path} span a "
+                    "statement that is not a plain INSERT — use read_sql_dump")
+            t, cols, rows = parsed
+            spanned_rows += [(t, tuple(cols), vals) for vals in rows]
+
+    bc_spans = spark.sparkContext.broadcast(([s for s, _ in spans], spans))
+
+    def emit(t):
+        import bisect as _b
+        line, idx = t
+        starts_, spans_ = bc_spans.value
+        if spans_:
+            i = _b.bisect_right(starts_, idx) - 1
+            if i >= 0 and spans_[i][0] <= idx <= spans_[i][1]:
+                return  # handled on the driver
+        s = line.strip()
+        if not s or not s[:7].upper().startswith("INSERT"):
+            return
+        parsed = parse_insert_rows(s, dialect)
+        if parsed is None:
+            if _VALUES_RE.search(s):
+                raise ValueError(
+                    f"unparseable INSERT at line {idx + 1}: {s[:80]!r}")
+            return  # INSERT ... SELECT etc. — not a data row
+        tname, cols, rows = parsed
+        cols_t = tuple(cols)
+        for vals in rows:
+            yield tname, cols_t, vals
+
+    rdd = lines.flatMap(emit)
+    if spanned_rows:
+        rdd = rdd.union(spark.sparkContext.parallelize(spanned_rows, 1))
+    return _frames_from_typed_rdd(spark, rdd, tables)

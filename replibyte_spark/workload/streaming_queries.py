@@ -67,8 +67,13 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import dedup_event_stream, read_event_stream
 
     stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # Watermark WIDER than any fixture's full ts span: the oracle's exact
+    # count-distinct equivalence requires that no same-key pair can ever be
+    # separated by more than the watermark, however the source splits into
+    # micro-batches — with "1 day" it was only true while availableNow
+    # happened to process everything in one batch.
     dd = dedup_event_stream(stream, ["user_id", "event_type"],
-                            watermark="1 day")
+                            watermark="3650 days")
     name = f"gate_dedup_{uuid.uuid4().hex[:8]}"
     q = (dd.writeStream.format("memory").queryName(name)
          .outputMode("append")
