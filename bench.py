@@ -20,26 +20,33 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     from replibyte_spark.session import get_spark
-    from replibyte_spark.workload import REGISTRY
+    from replibyte_spark.workload import all_queries
 
     spark = get_spark("replibyte-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+    bench_queries = {n: q for n, q in all_queries().items() if q.bench}
 
     # warm the JVM + parquet footer cache once with the cheapest plan
     next(iter(bench_queries.values())).spark_fn(spark, sf_dir).limit(1).collect()
 
+    # min-of-N (default 3): the box's run-to-run variance at sf0.1 is larger
+    # than most plan-level differences; min isolates the plan cost.
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        # noop sink materializes EVERY column (count() would let Catalyst
-        # prune the projections we're trying to measure)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            # noop sink materializes EVERY column (count() would let Catalyst
+            # prune the projections we're trying to measure)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

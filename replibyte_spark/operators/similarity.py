@@ -49,7 +49,11 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     tie-break on neighbor id.  Returns (query_id, neighbor_id, cosine, rank).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    v = fan_out(vectors).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # size floor: scoring is one codegen HOF fold per (query, vector) — for
+    # a corpus under ~32 MB the repartition exchange costs more than the
+    # serial fold (round-2 bench: +0.6 s at sf0.1 for zero win)
+    v = (fan_out(vectors, min_bytes=32 << 20)
+         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")))
     scored = (
         F.broadcast(q).crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))

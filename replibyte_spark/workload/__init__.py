@@ -25,28 +25,44 @@ class Query:
     bench: bool = False  # include in bench.py headline set
 
 
+# The driver's correctness artifact records only the FIRST 50 entries of
+# __spark_entry__.queries().  REGISTRY therefore holds at most 50 gate
+# queries (one per operator family / risk surface — enforced by
+# tests/test_misc_coverage.py) and the highest-risk modules register first
+# so nothing load-bearing can ever fall past the cap.  EXTRA holds
+# subsumed/redundant variants: still oracle-checked by pytest
+# (tests/test_oracle_parity.py) and usable by bench.py, but invisible to
+# the driver.
 REGISTRY: dict[str, Query] = {}
+EXTRA: dict[str, Query] = {}
 
 
-def register(q: Query) -> Query:
-    assert q.name not in REGISTRY, f"duplicate query {q.name}"
-    REGISTRY[q.name] = q
+def register(q: Query, *, extra: bool = False) -> Query:
+    assert q.name not in REGISTRY and q.name not in EXTRA, \
+        f"duplicate query {q.name}"
+    (EXTRA if extra else REGISTRY)[q.name] = q
     return q
 
 
+def all_queries() -> dict[str, Query]:
+    """Driver-gated + pytest-only queries (for tests and bench)."""
+    return {**REGISTRY, **EXTRA}
+
+
 def _load_all() -> None:
-    # one module per operator family; extend as operators land
+    # one module per operator family; ORDER MATTERS: highest-risk gate
+    # queries (subset closure, text/sampling — the round-1 failures) first.
     from . import (  # noqa: F401
-        analytics,
-        dedup_queries,
-        introspect_queries,
-        multimodal_queries,
-        pipeline,
-        similarity_queries,
-        skew_queries,
-        streaming_queries,
         subset_queries,
         text_queries,
+        dedup_queries,
+        similarity_queries,
+        skew_queries,
+        analytics,
+        pipeline,
+        multimodal_queries,
+        streaming_queries,
+        introspect_queries,
     )
 
 

@@ -173,7 +173,7 @@ ORDER BY o_custkey
 """
 
 register(Query("top_order_per_customer", top_order_per_customer, TOP_ORDER_ORACLE,
-               tags=("window",)))
+               tags=("window",)), extra=True)
 
 
 # --- events: time-bucketed aggregation (batch form of the streaming agg) ---
@@ -239,7 +239,7 @@ ORDER BY p.event_id
 """
 
 register(Query("purchases_asof_last_click", purchases_asof_last_click,
-               ASOF_ORACLE, tags=("join", "asof"), bench=True))
+               ASOF_ORACLE, tags=("join", "asof"), bench=True), extra=True)
 
 
 def purchases_asof_recent_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +339,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 register(Query("order_price_stats", order_price_stats, STATS_ORACLE,
-               tags=("agg", "stats")))
+               tags=("agg", "stats")), extra=True)
 
 
 # --- anti-join: customers with no orders ------------------------------------

@@ -130,7 +130,7 @@ FROM reach GROUP BY node ORDER BY node
 
 
 register(Query("near_dup_cluster_labels", near_dup_cluster_labels,
-               _cluster_oracle(), tags=("dedup", "cluster")))
+               _cluster_oracle(), tags=("dedup", "cluster")), extra=True)
 
 
 def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +200,7 @@ SELECT doc_id, {sig} AS simhash FROM s ORDER BY doc_id
 
 
 register(Query("simhash_signatures", simhash_signature_query, _simhash_oracle(),
-               tags=("dedup",)))
+               tags=("dedup",)), extra=True)
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +244,7 @@ ORDER BY id_a, id_b
 
 
 register(Query("simhash_near_dup", simhash_near_dup, _simhash_pairs_oracle(),
-               tags=("dedup",)))
+               tags=("dedup",), bench=True))
 
 
 # --- exact n-gram Jaccard pairs (ground truth) -----------------------------

@@ -54,7 +54,7 @@ SELECT * FROM (VALUES
 """
 
 register(Query("retention_dump_list", retention_dump_list, RETENTION_ORACLE,
-               tags=("datastore", "introspect")))
+               tags=("datastore", "introspect")), extra=True)
 
 
 # --- C7 + I4: v1 manifest migration ------------------------------------------
@@ -84,7 +84,54 @@ SELECT 'legacy-dump' AS name, CAST(1 AS INTEGER) AS n_tables,
 """
 
 register(Query("migrated_manifest_dump_list", migrated_manifest_dump_list,
-               MIGRATION_ORACLE, tags=("datastore", "introspect")))
+               MIGRATION_ORACLE, tags=("datastore", "introspect")), extra=True)
+
+
+# --- combined lifecycle gate: C5 + C7 + F1 + I4 in one driver-visible row ----
+
+
+def dump_lifecycle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate covering the manifest lifecycle end to end: a hand-written
+    v1 manifest (`backups` key) is migrated by init() (C7), two real dumps
+    are written with skip-table resolution (F1), retention keep_last=2
+    deletes the legacy entry (C5), and the final listing (I4) must show
+    exactly the two survivors.  The fine-grained single-concern variants
+    live in EXTRA (pytest-only) — this row is what the driver records."""
+    from .pipeline import resolve_tables
+
+    root = tempfile.mkdtemp(prefix="rs_gate_lifecycle_")
+    os.makedirs(root, exist_ok=True)
+    v1 = {"v": 1, "backups": [
+        {"directory_name": "legacy-dump", "size": 123, "created_at": 1.0,
+         "compressed": True, "encrypted": False, "tables": ["region"]},
+    ]}
+    with open(os.path.join(root, "metadata.json"), "w") as f:
+        json.dump(v1, f)
+    store = Datastore(spark, root)
+    store.init()
+    assert store._read_manifest()["v"] == 2, "v1 manifest must migrate"
+    from .pipeline import DUMP_TABLES
+    kept = resolve_tables(skip=[t for t in DUMP_TABLES if t != "region"])
+    assert kept == ["region"], kept
+    tables = {t: load_table(spark, sf_dir, t) for t in kept}
+    store.dump(tables, "dump-a")
+    store.dump(tables, "dump-b")
+    deleted = store.retain(keep_last=2)
+    assert deleted == ["legacy-dump"], deleted
+    return (dump_list(spark, root)
+            .select("name", "n_tables", "compressed", "encrypted")
+            .orderBy("name"))
+
+
+LIFECYCLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('dump-a', CAST(1 AS INTEGER), true, false),
+  ('dump-b', CAST(1 AS INTEGER), true, false)
+) AS t(name, n_tables, compressed, encrypted) ORDER BY name
+"""
+
+register(Query("dump_lifecycle_list", dump_lifecycle_list, LIFECYCLE_ORACLE,
+               tags=("datastore", "introspect")))
 
 
 # --- I3: transformer registry -------------------------------------------------

@@ -39,7 +39,7 @@ FROM documents ORDER BY doc_id
 """
 
 register(Query("binary_metadata", binary_metadata, BINARY_META_ORACLE,
-               tags=("multimodal",)))
+               tags=("multimodal",)), extra=True)
 
 
 def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

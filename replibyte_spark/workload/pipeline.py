@@ -169,7 +169,7 @@ def copy_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(Query("copy_dump_roundtrip", copy_dump_roundtrip,
                "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice "
                "FROM part ORDER BY p_partkey",
-               tags=("pipeline", "parser")))
+               tags=("pipeline", "parser")), extra=True)
 
 
 def copy_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,6 +197,34 @@ def copy_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(Query("copy_parallel_roundtrip", copy_parallel_roundtrip,
                "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice "
                "FROM part ORDER BY p_partkey",
+               tags=("pipeline", "parser")))
+
+
+def insert_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE monolithic INSERT-format file (pg_dump --column-inserts shape)
+    read back through the line-splitting parallel reader
+    (read_insert_dump_parallel) — kills the last single-task ingestion
+    path (the reference streams these serially, dump-parser/src/utils.rs:33)."""
+    import tempfile
+
+    from ..sinks.sqldump_sink import write_sql_dump
+    from ..sources.sqldump import read_insert_dump_parallel
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="rs_gate_inspar_") + "/supplier"
+    write_sql_dump(supplier, "public.supplier", path, single_file=True)
+    back = read_insert_dump_parallel(spark, path)["supplier"]
+    return back.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_name").alias("s_name"),
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    ).orderBy("s_suppkey")
+
+
+register(Query("insert_parallel_roundtrip", insert_parallel_roundtrip,
+               "SELECT s_suppkey, s_name, s_nationkey, s_acctbal "
+               "FROM supplier ORDER BY s_suppkey",
                tags=("pipeline", "parser")))
 
 
@@ -368,4 +396,4 @@ _manifest_selects = " UNION ALL ".join(
 DUMP_MANIFEST_ORACLE = f"SELECT * FROM ({_manifest_selects}) ORDER BY table_name"
 
 register(Query("dump_manifest_skip_tables", dump_manifest, DUMP_MANIFEST_ORACLE,
-               tags=("pipeline",)))
+               tags=("pipeline",)), extra=True)

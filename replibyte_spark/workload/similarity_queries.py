@@ -66,7 +66,7 @@ FROM embeddings GROUP BY bucket ORDER BY bucket
 """
 
 register(Query("lsh_bucket_histogram", lsh_bucket_histogram, LSH_HIST_ORACLE,
-               tags=("similarity",)))
+               tags=("similarity",)), extra=True)
 
 
 def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +141,7 @@ ORDER BY id_a, id_b
 
 
 register(Query("embedding_near_dup", embedding_near_dup, _near_dup_oracle(),
-               tags=("similarity",)))
+               tags=("similarity",), bench=True))
 
 
 # --- IVF ---------------------------------------------------------------------

@@ -23,7 +23,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register(Query("tumbling_window_counts", tumbling_window_counts, TUMBLING_ORACLE,
-               tags=("streaming",)))
+               tags=("streaming",)), extra=True)
 
 
 def sliding_window_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,26 @@ import math
 
 import pytest
 
-from replibyte_spark.workload import REGISTRY
+from replibyte_spark.workload import REGISTRY, all_queries
+
+ALL = all_queries()  # driver-gated (REGISTRY) + pytest-only (EXTRA)
+
+
+def test_registry_fits_driver_cap():
+    """The driver's correctness artifact records only the FIRST 50 entries
+    of queries() — every registered gate must be inside that window, or a
+    failure there would be invisible (the round-2 defect)."""
+    assert len(REGISTRY) <= 50, (
+        f"{len(REGISTRY)} driver-visible queries > 50: move redundant gates "
+        f"to EXTRA (register(..., extra=True))")
+
+
+def test_high_risk_gates_are_driver_visible():
+    names = list(REGISTRY)
+    for must in ("subset_parent_closure", "subset_full_closure",
+                 "stratified_doc_sample", "doc_text_metrics",
+                 "minhash_near_dup", "simhash_near_dup"):
+        assert must in names[:50], f"{must} fell outside the driver window"
 
 
 def _norm(v):
@@ -27,9 +46,9 @@ def _rows(seq):
     return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize("name", sorted(ALL))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    q = REGISTRY[name]
+    q = ALL[name]
     df = q.spark_fn(spark, sf_dir)
     got_cols = df.columns
     got = _rows(tuple(r) for r in df.collect())

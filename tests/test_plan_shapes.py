@@ -9,7 +9,9 @@ from replibyte_spark.catalog import load_table, load_tables
 from replibyte_spark.operators import dedup as DD
 from replibyte_spark.operators.sample import hash_percent_filter
 from replibyte_spark.operators.subset import FIXTURE_FK_EDGES, subset_closure
-from replibyte_spark.workload import REGISTRY
+from replibyte_spark.workload import all_queries
+
+REGISTRY = all_queries()
 
 SUBSET_TABLES = ["region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem"]
