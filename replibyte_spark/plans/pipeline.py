@@ -59,6 +59,18 @@ class DumpPipeline:
             tables = read_jdbc_tables(spark, self.config.source.connection_uri,
                                       tables=only,
                                       driver=self.config.source.jdbc_driver)
+        elif scheme == "sqltext":
+            # .sql dump files (INSERT and/or COPY statements)
+            from ..sources.sqldump import read_sql_dump
+
+            tables = read_sql_dump(spark, path)
+        elif scheme in ("mongodump", "mongodb-archive"):
+            # a mongodump --archive file: the reference's S3 entry point
+            # (source/mongodb.rs:66-101), minus the live `mongodump` spawn —
+            # the archive bytes are the interchange format either way
+            from ..sources.mongo_archive import read_mongo_archive
+
+            tables = read_mongo_archive(spark, path)
         else:
             raise ValueError(f"unsupported source scheme: {scheme}")
         # skip/only pushdown = not reading the table at all

@@ -228,6 +228,44 @@ register(Query("insert_parallel_roundtrip", insert_parallel_roundtrip,
                tags=("pipeline", "parser")))
 
 
+def archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 completion: customers rendered as nested Mongo documents inside a
+    real mongodump --archive byte stream (magic, BSON blocks, CRC64
+    footers), parsed back by the distributed archive reader and flattened.
+    Byte-level parse→serialize identity is asserted in-line; the oracle
+    reads the table directly, so any codec loss hash-fails."""
+    import tempfile
+
+    from ..sources.mongo_archive import (build_archive, parse_archive,
+                                         read_mongo_archive,
+                                         serialize_archive)
+
+    cust = load_table(spark, sf_dir, "customer")
+    docs = [{"_id": int(r.c_custkey), "name": r.c_name,
+             "contact": {"segment": r.c_mktsegment,
+                         "balance": float(r.c_acctbal)}}
+            for r in cust.select("c_custkey", "c_name", "c_mktsegment",
+                                 "c_acctbal").collect()]
+    archive = build_archive({"customers": docs}, db="tpch")
+    assert serialize_archive(parse_archive(archive)) == archive
+    path = tempfile.mkdtemp(prefix="rs_gate_archive_") + "/dump.archive"
+    with open(path, "wb") as f:
+        f.write(archive)
+    back = read_mongo_archive(spark, path)["customers"]
+    return back.select(
+        F.col("_id").cast("int").alias("c_custkey"),
+        F.col("name").alias("c_name"),
+        F.col("contact.segment").alias("c_mktsegment"),
+        F.col("contact.balance").alias("c_acctbal"),
+    ).orderBy("c_custkey")
+
+
+register(Query("archive_roundtrip", archive_roundtrip,
+               "SELECT c_custkey, c_name, c_mktsegment, c_acctbal "
+               "FROM customer ORDER BY c_custkey",
+               tags=("pipeline", "mongo")))
+
+
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → write to an embedded Derby database over JDBC → read back
     over JDBC.  Actually executes `.save()`/`.load()` (S1/K1 surface;

@@ -177,3 +177,41 @@ def test_introspection(spark, sf_dir):
     tl = transformer_list(spark)
     ids = {r.id for r in tl.collect()}
     assert {"email", "redacted", "transient", "random-date"} <= ids
+
+
+def test_mongodump_archive_source_pipeline(spark, tmp_path):
+    """Config-driven end-to-end from a mongodump --archive file: archive →
+    nested-doc transform rules → datastore dump → restore to jsonl
+    (the reference's full MongoDB lifecycle, source/mongodb.rs +
+    destination/mongodb.rs, minus live mongod)."""
+    from replibyte_spark.sources.mongo_archive import build_archive
+
+    archive = build_archive({
+        "users": [{"_id": i, "name": f"person-{i}", "score": i * 1.5}
+                  for i in range(30)],
+    }, db="app")
+    src = tmp_path / "dump.archive"
+    src.write_bytes(archive)
+    cfg = Config.from_yaml(f"""
+source:
+  connection_uri: mongodump://{src}
+  transformers:
+    - database: app
+      table: users
+      columns:
+        - name: name
+          transformer_name: first-name
+datastore:
+  local_disk:
+    dir: "{tmp_path / 'store'}"
+destination:
+  connection_uri: jsonl://{tmp_path / 'out'}
+""")
+    DumpPipeline(cfg).run(spark, "m1")
+    tables = RestorePipeline(cfg).run(spark, "m1")
+    back = spark.read.json(str(tmp_path / "out" / "users"))
+    assert back.count() == 30
+    names = {r.name for r in back.select("name").collect()}
+    assert not any(n.startswith("person-") for n in names)  # transformed
+    scores = {r._id: r.score for r in back.collect()}
+    assert scores[4] == 6.0  # untouched columns survive exactly
