@@ -223,22 +223,39 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_bit_sql(d: str, tok: str, j: int) -> str:
-    """±1 contribution of a token to signature bit j (md5 hex-digit parity)."""
-    return (f"CASE WHEN substr(md5('s:' || {tok}), {j + 1}, 1) "
+    """±1 contribution of a token to signature bit j (md5 hex-digit parity).
+
+    One md5 yields 32 hex digits = 32 bits, so bit j draws digit j%32 from
+    md5 number j//32 (salt-differentiated) — 64-bit signatures cost exactly
+    two md5 evaluations per token (both engines CSE the repeated call)."""
+    grp, pos = divmod(j, 32)
+    return (f"CASE WHEN substr(md5('s{grp}:' || {tok}), {pos + 1}, 1) "
             f"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       bits: int = 16) -> DataFrame:
+                       bits: int = 64) -> DataFrame:
     """Frequency-weighted SimHash: bit j = sign of Σ_tokens ±1.
 
     One explode + one groupBy with `bits` sum aggregates — a single shuffle
     with map-side partial sums, no UDF.
     """
     toks = F.expr(D.split_ws(D.SPARK, text_col))
-    exploded = fan_out(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    aggs = [F.sum(F.expr(simhash_bit_sql(D.SPARK, "tok", j))).alias(f"b{j}")
-            for j in range(bits)]
+    n_groups = (bits + 31) // 32
+    # materialize each token's md5 hex ONCE per 32-bit group before the
+    # aggregation: the per-bit sum expressions are then plain substring
+    # parities.  (Inlining md5 into all `bits` aggregate expressions defeats
+    # codegen CSE across aggregates — 64 md5/token, 8 s at sf0.1.)
+    exploded = (fan_out(df)
+                .select(F.col(id_col), F.explode(toks).alias("tok"))
+                .select(F.col(id_col),
+                        *[F.md5(F.concat(F.lit(f"s{g}:"), F.col("tok")))
+                          .alias(f"h{g}") for g in range(n_groups)]))
+    aggs = [
+        F.sum(F.when(F.substring(f"h{j // 32}", j % 32 + 1, 1)
+                     .isin(*"89abcdef"), 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
     summed = exploded.groupBy(id_col).agg(*aggs)
     sig = F.concat(*[F.when(F.col(f"b{j}") > 0, "1").otherwise("0")
                      for j in range(bits)])
@@ -258,8 +275,8 @@ def simhash_block_bounds(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
-                                  bits: int = 16,
-                                  max_hamming: int = 2) -> DataFrame:
+                                  bits: int = 64,
+                                  max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs (Hamming ≤ max_hamming) from an (id, simhash) frame.
 
     Pigeonhole blocking — COMPLETE for the contract, unlike prefix blocking:
@@ -296,9 +313,15 @@ def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                           bits: int = 16, max_hamming: int = 2) -> DataFrame:
-    """Near-dup doc pairs whose SimHash Hamming distance is ≤ max_hamming."""
-    sig = simhash_signatures(df, id_col, text_col, bits)
+                           bits: int = 64, max_hamming: int = 3) -> DataFrame:
+    """Near-dup doc pairs whose SimHash Hamming distance is ≤ max_hamming.
+
+    The signature frame (one short row per doc — corpus-cardinality, not
+    token-cardinality) is persisted before the block self-join: both join
+    sides reference it, and without materialization the whole
+    explode+hash+aggregate pipeline is evaluated twice — measured 5× slower
+    at sf0.1 (AQE also re-plans each duplicated subtree independently)."""
+    sig = simhash_signatures(df, id_col, text_col, bits).persist()
     return simhash_pairs_from_signatures(sig, id_col, bits, max_hamming)
 
 

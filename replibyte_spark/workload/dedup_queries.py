@@ -171,7 +171,14 @@ register(Query("near_dup_survivors", near_dup_survivors,
 
 # --- SimHash signatures ----------------------------------------------------
 
-SIMHASH_BITS = 16
+# 64-bit signatures, Hamming ≤ 3 — the classic near-dup operating point
+# (Charikar simhash as deployed in Manku et al., WWW'07).  16 bits collapses
+# at corpus scale: at sf0.1 (5k docs) a 16-bit space made ~35% of ALL pairs
+# "near-dup" and the pigeonhole buckets quadratic (92 s in the r3 bench);
+# 64-bit blocks are ~16 bits wide, so buckets are near-singleton and the
+# candidate join stays linear.
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_signature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +213,7 @@ register(Query("simhash_signatures", simhash_signature_query, _simhash_oracle(),
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_near_dup_pairs(docs, "doc_id", "text", SIMHASH_BITS,
-                                     max_hamming=2)
+                                     max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def _simhash_pairs_oracle() -> str:
@@ -238,7 +245,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST({hamming} AS BIGINT) AS hamming
 FROM sigs a JOIN sigs b
   ON a.doc_id < b.doc_id
-WHERE {hamming} <= 2
+WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
 ORDER BY id_a, id_b
 """
 

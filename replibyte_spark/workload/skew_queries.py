@@ -56,3 +56,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 register(Query("salted_distinct_users", salted_distinct_users,
                SALTED_DISTINCT_ORACLE, tags=("skew",)))
+
+
+# ---------------------------------------------------------------------------
+# Zipfian hot-key bench pair: the same join/agg once through the PLAIN plan
+# (hot key funnels through one sort-merge partition) and once through
+# salted_join (hot key spread over FACTOR partitions).  Identical semantics,
+# identical oracle — BENCH_r{N}.json shows the wall-clock delta side by side,
+# and tests/test_plan_shapes.py locks the (key, salt) exchange +
+# partition-spread ratio.
+
+ZIPF_MULT = 50  # row amplifier so the hot partition is big enough to time
+
+
+def _zipf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events amplified ×ZIPF_MULT with user_id remapped so one synthetic
+    user (-1) owns every 5th event_id ≈ 20% of all rows."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev = ev.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(ZIPF_MULT))))
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(-1)).otherwise(F.col("user_id")))
+
+
+def _zipf_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dimension over the remapped id space (includes the hot -1).
+    hint("merge") forces the sort-merge join a too-big-to-broadcast dim
+    would get at 100 TB — without it this tiny dim broadcasts and the
+    skew never reaches a shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(-1))
+        .otherwise(F.col("user_id")).alias("user_id"))
+        .distinct().hint("merge"))
+
+
+def _zipf_agg(joined: DataFrame) -> DataFrame:
+    return (joined.groupBy((F.col("user_id") % 10).alias("cohort"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value") * F.col("rep")), 2).alias("wsum"))
+            .orderBy("cohort"))
+
+
+def zipf_hot_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline: plain sort-merge join — the hot key's ~20% of rows land in
+    ONE shuffle partition (the problem salting exists to fix)."""
+    return _zipf_agg(_zipf_events(spark, sf_dir)
+                     .join(_zipf_dim(spark, sf_dir), "user_id"))
+
+
+def zipf_hot_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through salted_join: the equi-key becomes (user_id, salt),
+    spreading the hot key over FACTOR partitions."""
+    joined = salted_join(_zipf_events(spark, sf_dir),
+                         _zipf_dim(spark, sf_dir),
+                         on="user_id", factor=FACTOR,
+                         salt_by=["event_id", "rep"])
+    return _zipf_agg(joined)
+
+
+ZIPF_ORACLE = f"""
+WITH z AS (
+    SELECT CASE WHEN event_id % 5 = 0 THEN -1 ELSE user_id END AS user_id,
+           value, r AS rep
+    FROM events, range(1, {ZIPF_MULT + 1}) t(r)
+), d AS (
+    SELECT DISTINCT CASE WHEN event_id % 5 = 0 THEN -1 ELSE user_id END AS user_id
+    FROM events
+)
+SELECT z.user_id % 10 AS cohort, count(*) AS n,
+       round(sum(z.value * z.rep), 2) AS wsum
+FROM z JOIN d ON z.user_id = d.user_id
+GROUP BY cohort ORDER BY cohort
+"""
+
+register(Query("zipf_hot_join_plain", zipf_hot_join_plain, ZIPF_ORACLE,
+               tags=("skew", "bench"), bench=True), extra=True)
+register(Query("zipf_hot_join_salted", zipf_hot_join_salted, ZIPF_ORACLE,
+               tags=("skew", "bench"), bench=True), extra=True)

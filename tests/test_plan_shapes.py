@@ -76,6 +76,48 @@ def test_q1_filter_reaches_parquet_scan(spark, sf_dir):
     assert "l_shipdate" in pushed and pushed.strip() != "[]"
 
 
+def test_zipf_salted_join_exchanges_on_key_and_salt(spark, sf_dir):
+    """The salted variant's join exchange must partition on (user_id, salt) —
+    the property that spreads the hot key — while the plain variant's join
+    exchange partitions on user_id alone (and both stay sort-merge: the
+    hint models a dim too big to broadcast)."""
+    salted = _plan(REGISTRY["zipf_hot_join_salted"].spark_fn(spark, sf_dir))
+    assert "SortMergeJoin" in salted
+    join_exchanges = [ln for ln in salted.splitlines()
+                      if "Exchange hashpartitioning" in ln and "__salt" in ln]
+    assert len(join_exchanges) >= 2  # both join sides keyed by (user_id, salt)
+    assert all("user_id" in ln for ln in join_exchanges)
+
+    plain = _plan(REGISTRY["zipf_hot_join_plain"].spark_fn(spark, sf_dir))
+    assert "SortMergeJoin" in plain
+    assert "__salt" not in plain
+
+
+def test_zipf_salted_join_spreads_hot_partition(spark, sf_dir):
+    """Empirical skew spread, measured on the shuffle KEY distribution (the
+    physical partition layout is AQE-coalesced at test scale): the hot user
+    owns ~20% of rows under the plain key, so one shuffle partition gets at
+    least that share; under (user_id, salt) the max key share must drop by
+    at least 4× (factor=8 gives ~8× in theory)."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.skew import _salt_col
+    from replibyte_spark.workload.skew_queries import FACTOR, _zipf_events
+
+    ev = _zipf_events(spark, sf_dir)
+    total = ev.count()
+
+    def max_key_share(keys):
+        top = (ev.withColumn("__salt", _salt_col(["event_id", "rep"], FACTOR))
+               .groupBy(*keys).count().agg(F.max("count")).first()[0])
+        return top / total
+
+    plain_share = max_key_share(["user_id"])
+    salted_share = max_key_share(["user_id", "__salt"])
+    assert plain_share >= 0.15          # the hot key really is ~20%
+    assert salted_share <= plain_share / 4
+
+
 def test_binary_metadata_prunes_scan_columns(spark, sf_dir):
     """A metadata-only query over a binary-content table must read just the
     columns it derives from — the payload never leaves the scan."""
