@@ -175,12 +175,16 @@ class Config:
         key = _env(raw.get("encryption_key"))
         return cls(source=src, datastore=ds, destination=dst, encryption_key=key)
 
-    def transformer_rules_for(self, table: str) -> dict[str, str]:
+    def transformer_rules_for(self, table: str,
+                              with_options: bool = False) -> dict:
         """{column: transformer_id} for one table (address semantics of
-        transformer/mod.rs:60-76, schema part ignored for parquet sources)."""
-        out: dict[str, str] = {}
+        transformer/mod.rs:60-76, schema part ignored for parquet sources).
+        ``with_options=True`` yields {column: (id, options)} — required for
+        option-carrying transformers (redacted widths, custom-wasm path)."""
+        out: dict = {}
         for rule in (self.source.transformers if self.source else []):
             if rule.table == table:
                 for c in rule.columns:
-                    out[c.name] = c.transformer_name
+                    out[c.name] = ((c.transformer_name, c.options)
+                                   if with_options else c.transformer_name)
         return out

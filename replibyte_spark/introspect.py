@@ -30,7 +30,14 @@ _DESCRIPTIONS = {
     "redacted": "first 3 chars + mask (configurable char/width)",
     "transient": "identity / no-op",
     "random-date": "deterministic pseudo-random date (1970-2020)",
+    "custom-wasm": "run a user WebAssembly module per value (WASI stdio)",
 }
+
+# transformers with no SQL form (dispatched in apply_transformers, not
+# expression builders) — listed alongside TRANSFORMERS in the registry,
+# mirroring the reference's registry which includes custom-wasm
+# (transformer/mod.rs:25-37)
+NON_SQL_TRANSFORMERS = ("custom-wasm",)
 
 
 def source_schema(spark: SparkSession, sf_dir: str,
@@ -45,7 +52,8 @@ def source_schema(spark: SparkSession, sf_dir: str,
 
 
 def transformer_list(spark: SparkSession) -> DataFrame:
-    rows = [(name, _DESCRIPTIONS.get(name, "")) for name in sorted(TRANSFORMERS)]
+    names = sorted(set(TRANSFORMERS) | set(NON_SQL_TRANSFORMERS))
+    rows = [(name, _DESCRIPTIONS.get(name, "")) for name in names]
     return spark.createDataFrame(rows, "id string, description string")
 
 

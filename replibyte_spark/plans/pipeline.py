@@ -98,7 +98,7 @@ class DumpPipeline:
         # ---- per-column transformers (one projection per table)
         transformed = {}
         for t, df in tables.items():
-            rules = cfg.transformer_rules_for(t)
+            rules = cfg.transformer_rules_for(t, with_options=True)
             transformed[t] = apply_transformers(df, rules) if rules else df
         # ---- datastore write (optional column-level at-rest encryption)
         store = Datastore(spark, cfg.datastore.dir)

@@ -142,12 +142,12 @@ def transformer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _registry_oracle() -> str:
-    from ..introspect import _DESCRIPTIONS
+    from ..introspect import _DESCRIPTIONS, NON_SQL_TRANSFORMERS
     from ..functions.transformers import TRANSFORMERS
 
     rows = ",\n  ".join(
         f"('{name}', '{_DESCRIPTIONS.get(name, '')}')"
-        for name in sorted(TRANSFORMERS))
+        for name in sorted(set(TRANSFORMERS) | set(NON_SQL_TRANSFORMERS)))
     return (f"SELECT * FROM (VALUES\n  {rows}\n) AS t(id, description) "
             f"ORDER BY id")
 

@@ -215,3 +215,43 @@ destination:
     assert not any(n.startswith("person-") for n in names)  # transformed
     scores = {r._id: r.score for r in back.collect()}
     assert scores[4] == 6.0  # untouched columns survive exactly
+
+
+def test_custom_wasm_transformer_in_config_pipeline(spark, sf_dir, tmp_path):
+    """The reference's WASM extension point end-to-end: conf.yaml names a
+    .wasm module for a column (examples/wasm/replibyte.yaml shape); the dump
+    runs it per value under WASI stdio semantics."""
+    from test_wasm import build_reverse_wasm
+
+    wasm_path = tmp_path / "reverse.wasm"
+    wasm_path.write_bytes(build_reverse_wasm())
+    cfg = Config.from_yaml(f"""
+source:
+  connection_uri: parquet://{sf_dir}
+  only_tables: [{{table: nation}}]
+  transformers:
+    - database: public
+      table: nation
+      columns:
+        - name: n_name
+          transformer_name: custom-wasm
+          transformer_options:
+            path: "{wasm_path}"
+datastore:
+  local_disk:
+    dir: "{tmp_path / 'store'}"
+""")
+    DumpPipeline(cfg).run(spark, "w1")
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.datastore import Datastore
+
+    back = Datastore(spark, str(tmp_path / "store")).restore("w1")["nation"]
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    src = {r.n_nationkey: r.n_name
+           for r in load_table(spark, sf_dir, "nation").collect()}
+    assert got == {k: v[::-1] for k, v in src.items()}
+
+
+def test_transformer_registry_lists_custom_wasm(spark):
+    ids = {r.id for r in transformer_list(spark).collect()}
+    assert "custom-wasm" in ids

@@ -1,0 +1,213 @@
+"""Custom-WASM transformer tests.
+
+A reverse-string WASI command module — functionally equivalent to the
+reference's examples/wasm/wasm-transformer-reverse-string.wasm (1.8 MB of
+Rust) — is assembled here byte-by-byte (~200 bytes) and executed through the
+built-in interpreter, so the WASM path is exercised even without wasmtime.
+When wasmtime IS importable, the same module plus the reference's actual
+Rust-built module run under it too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from replibyte_spark.functions import wasm as W
+
+REF_WASM = "/root/reference/examples/wasm/wasm-transformer-reverse-string.wasm"
+
+
+# ---------------------------------------------------------------------------
+# module assembler (test-local: the module is DATA, built from public spec)
+# ---------------------------------------------------------------------------
+
+
+def _u(n: int) -> bytes:        # unsigned LEB128
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _sec(sec_id: int, payload: bytes) -> bytes:
+    return bytes([sec_id]) + _u(len(payload)) + payload
+
+
+def _vec(items: list[bytes]) -> bytes:
+    return _u(len(items)) + b"".join(items)
+
+
+def _name(s: str) -> bytes:
+    b = s.encode()
+    return _u(len(b)) + b
+
+
+I32, EMPTY = 0x7F, 0x40
+(GET, SET, _TEE) = (0x20, 0x21, 0x22)
+(CONST, ADD, SUB, EQ, GE_S, GT_S, LOAD, LOAD8U, STORE, STORE8) = (
+    0x41, 0x6A, 0x6B, 0x46, 0x4E, 0x4A, 0x28, 0x2D, 0x36, 0x3A)
+(BLOCK, LOOP, IF, END, BR, BR_IF, CALL, DROP) = (
+    0x02, 0x03, 0x04, 0x0B, 0x0C, 0x0D, 0x10, 0x1A)
+
+BUF = 64          # input/output buffer
+IOV_R, NREAD = 0, 8
+IOV_W, NWRITTEN = 16, 24
+
+
+def _i32(n: int) -> bytes:      # i32.const with signed LEB128 immediate
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        done = (n == 0 and not b & 0x40) or (n == -1 and b & 0x40)
+        out.append(b | (0 if done else 0x80))
+        if done:
+            return bytes([CONST]) + bytes(out)
+
+
+def _mem(op: int, offset: int = 0) -> bytes:
+    return bytes([op]) + _u(0) + _u(offset)          # align=0, offset
+
+
+def build_reverse_wasm() -> bytes:
+    """A WASI command module: read stdin, reverse the (newline-stripped)
+    bytes, write to stdout.  Mirrors the reference example's contract."""
+    # locals: 0=n 1=i 2=j 3=tmp
+    body = bytearray()
+    # iovec for read: base BUF, len 4096
+    body += _i32(IOV_R) + _i32(BUF) + _mem(STORE)
+    body += _i32(IOV_R + 4) + _i32(4096) + _mem(STORE)
+    # fd_read(0, IOV_R, 1, NREAD)
+    body += _i32(0) + _i32(IOV_R) + _i32(1) + _i32(NREAD)
+    body += bytes([CALL]) + _u(0) + bytes([DROP])
+    body += _i32(NREAD) + _mem(LOAD) + bytes([SET]) + _u(0)      # n = *NREAD
+    # if n>0 and buf[n-1]=='\n': n -= 1
+    body += bytes([GET]) + _u(0) + _i32(0) + bytes([GT_S])
+    body += bytes([IF, EMPTY])
+    body += _i32(BUF - 1) + bytes([GET]) + _u(0) + bytes([ADD]) + _mem(LOAD8U)
+    body += _i32(10) + bytes([EQ])
+    body += bytes([IF, EMPTY])
+    body += bytes([GET]) + _u(0) + _i32(1) + bytes([SUB]) + bytes([SET]) + _u(0)
+    body += bytes([END, END])
+    # i = 0; j = n - 1
+    body += _i32(0) + bytes([SET]) + _u(1)
+    body += bytes([GET]) + _u(0) + _i32(1) + bytes([SUB]) + bytes([SET]) + _u(2)
+    # while i < j: swap buf[i], buf[j]
+    body += bytes([BLOCK, EMPTY, LOOP, EMPTY])
+    body += bytes([GET]) + _u(1) + bytes([GET]) + _u(2) + bytes([GE_S])
+    body += bytes([BR_IF]) + _u(1)                                # exit block
+    body += bytes([GET]) + _u(1) + _mem(LOAD8U, BUF) + bytes([SET]) + _u(3)
+    body += (bytes([GET]) + _u(1)
+             + bytes([GET]) + _u(2) + _mem(LOAD8U, BUF) + _mem(STORE8, BUF))
+    body += bytes([GET]) + _u(2) + bytes([GET]) + _u(3) + _mem(STORE8, BUF)
+    body += bytes([GET]) + _u(1) + _i32(1) + bytes([ADD]) + bytes([SET]) + _u(1)
+    body += bytes([GET]) + _u(2) + _i32(1) + bytes([SUB]) + bytes([SET]) + _u(2)
+    body += bytes([BR]) + _u(0) + bytes([END, END])
+    # iovec for write: base BUF, len n; fd_write(1, IOV_W, 1, NWRITTEN)
+    body += _i32(IOV_W) + _i32(BUF) + _mem(STORE)
+    body += _i32(IOV_W + 4) + bytes([GET]) + _u(0) + _mem(STORE)
+    body += _i32(1) + _i32(IOV_W) + _i32(1) + _i32(NWRITTEN)
+    body += bytes([CALL]) + _u(1) + bytes([DROP])
+    body += bytes([END])
+
+    func_body = _vec([_u(4) + bytes([I32])]) + bytes(body)       # 4 i32 locals
+    fd_type = bytes([0x60]) + _vec([bytes([I32])] * 4) + _vec([bytes([I32])])
+    void_type = bytes([0x60]) + _vec([]) + _vec([])
+    return (
+        b"\x00asm\x01\x00\x00\x00"
+        + _sec(1, _vec([fd_type, void_type]))
+        + _sec(2, _vec([
+            _name("wasi_snapshot_preview1") + _name("fd_read") + b"\x00" + _u(0),
+            _name("wasi_snapshot_preview1") + _name("fd_write") + b"\x00" + _u(0),
+        ]))
+        + _sec(3, _vec([_u(1)]))                                  # _start: type 1
+        + _sec(5, _vec([b"\x00" + _u(1)]))                        # memory min 1
+        + _sec(7, _vec([_name("memory") + b"\x02" + _u(0),
+                        _name("_start") + b"\x00" + _u(2)]))
+        + _sec(10, _vec([_u(len(func_body)) + func_body]))
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpreter unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_interpreter_reverses_stdin():
+    wasm = build_reverse_wasm()
+    mod = W.WasmModule(wasm)
+    assert mod.run_wasi(b"hello world\n") == b"dlrow olleh"
+    assert mod.run_wasi(b"abc") == b"cba"            # no trailing newline
+    assert mod.run_wasi(b"\n") == b""
+    assert mod.run_wasi(b"") == b""
+    assert mod.run_wasi("café!\n".encode()) == "café!".encode()[::-1]
+
+
+def test_transform_values_contract():
+    """The reference's per-value contract: value+\\n in, trimmed stdout out
+    (custom_wasm.rs:66-99); None passes through."""
+    wasm = build_reverse_wasm()
+    assert W.wasm_transform_values(wasm, ["abc", None, "12345"]) == \
+        ["cba", None, "54321"]
+
+
+def test_unsupported_opcode_traps_cleanly():
+    # f32.add (0x92) is outside the integer subset
+    wasm = bytearray(build_reverse_wasm())
+    with pytest.raises(W.WasmError):
+        W.WasmModule(b"\x00asm\x02\x00\x00\x00")     # bad version
+
+
+def test_interpreter_rejects_module_without_start():
+    wasm = build_reverse_wasm()
+    mod = W.WasmModule(wasm)
+    mod2 = W.WasmModule(wasm)
+    mod2.exports.pop("_start")
+    with pytest.raises(W.WasmError):
+        mod2.run_wasi(b"x")
+    assert mod.run_wasi(b"x") == b"x"
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def test_wasm_transformer_in_spark(spark, tmp_path):
+    path = tmp_path / "reverse.wasm"
+    path.write_bytes(build_reverse_wasm())
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None)], "id int, name string")
+    out = (df.withColumn("name", W.wasm_transformer(str(path))("name"))
+           .orderBy("id").collect())
+    assert [r.name for r in out] == ["ecila", "bob"[::-1], None]
+    assert [r.id for r in out] == [1, 2, 3]
+    # other columns untouched
+    assert df.schema["id"].dataType.simpleString() == "int"
+    _ = F  # keep import local to the test
+
+
+# ---------------------------------------------------------------------------
+# wasmtime path (skipped where unavailable — this container has none)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not W._have_wasmtime(), reason="wasmtime not installed")
+def test_wasmtime_runs_hand_built_module():
+    assert W.wasi_run(build_reverse_wasm(), b"hello\n") == b"olleh"
+
+
+@pytest.mark.skipif(
+    not (W._have_wasmtime() and os.path.exists(REF_WASM)),
+    reason="wasmtime or reference module unavailable")
+def test_wasmtime_runs_reference_rust_module():
+    with open(REF_WASM, "rb") as fh:
+        wasm = fh.read()
+    assert W.wasi_run(wasm, b"hello\n").strip() == b"olleh"
