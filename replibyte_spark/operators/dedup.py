@@ -317,11 +317,18 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup doc pairs whose SimHash Hamming distance is ≤ max_hamming.
 
     The signature frame (one short row per doc — corpus-cardinality, not
-    token-cardinality) is persisted before the block self-join: both join
-    sides reference it, and without materialization the whole
+    token-cardinality) is eagerly materialized before the block self-join:
+    both join sides reference it, and without materialization the whole
     explode+hash+aggregate pipeline is evaluated twice — measured 5× slower
-    at sf0.1 (AQE also re-plans each duplicated subtree independently)."""
-    sig = simhash_signatures(df, id_col, text_col, bits).persist()
+    at sf0.1 (AQE also re-plans each duplicated subtree independently).
+    Eager localCheckpoint, not lazy persist: concurrent join-side stages
+    otherwise race to fill the same cache blocks (the RP-LSH bucketed path
+    measured 138 s vs 8 s under that race).  fan_out first — AQE coalesces
+    the small aggregated frame to one partition, and checkpointing would
+    freeze that serial layout into every downstream stage (measured 15 s vs
+    4 s at sf0.1)."""
+    sig = fan_out(simhash_signatures(df, id_col, text_col, bits)) \
+        .localCheckpoint(eager=True)
     return simhash_pairs_from_signatures(sig, id_col, bits, max_hamming)
 
 

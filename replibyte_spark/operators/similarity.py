@@ -74,32 +74,69 @@ def hyperplane_component_sql(d: str, plane: int, dim_expr: str, seed: str = "rp"
     return f"(CAST({digits} AS DOUBLE) / 1000000.0 - 0.5)"
 
 
-def rp_bucket_sql(d: str, vec: str, bits: int = 8, seed: str = "rp") -> str:
-    """Random-projection bucket id: `bits` sign bits concatenated."""
+_HEX_TO_DIGIT = str.maketrans("abcdef", "123456")
+
+
+def hyperplane_coeff(plane: int, i: int, seed: str = "rp") -> float:
+    """Driver-side evaluation of :func:`hyperplane_component_sql` for
+    1-based dim index `i` — bit-identical to the SQL formula (same md5 key,
+    same digit fold, same IEEE op order)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{plane}:{i}".encode()).hexdigest()[:6]
+    return int(h.translate(_HEX_TO_DIGIT)) / 1000000.0 - 0.5
+
+
+def rp_bucket_sql(d: str, vec: str, bits: int = 8, seed: str = "rp",
+                  dim: int | None = None) -> str:
+    """Random-projection bucket id: `bits` sign bits concatenated.
+
+    With `dim` known, the hyperplane coefficients are precomputed on the
+    driver and inlined as literal arrays — the dynamic path evaluates an
+    md5 PER (plane, dimension) PER ROW (bits × dim md5/vector; measured
+    ~1.3 s/2k vectors at dim 64 × 32 planes), pure constant work hoisted to
+    plan build time here.  `dim=None` keeps the dynamic path for ragged or
+    unknown-width vectors; both produce identical buckets."""
     bit_exprs = []
     for p in range(bits):
-        comp = hyperplane_component_sql(d, p, "i", seed)
-        if d == D.SPARK:
-            proj = (f"aggregate(transform(sequence(1, size({vec})), "
-                    f"i -> CAST(element_at({vec}, i) AS DOUBLE) * {comp}), "
-                    f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        if dim is not None:
+            cs = [repr(hyperplane_coeff(p, i, seed)) for i in range(1, dim + 1)]
+            if d == D.SPARK:
+                arr = "array(" + ", ".join(f"{c}D" for c in cs) + ")"
+                proj = (f"aggregate(transform(sequence(1, {dim}), "
+                        f"i -> CAST(element_at({vec}, i) AS DOUBLE) * "
+                        f"element_at({arr}, i)), "
+                        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            else:
+                arr = "CAST([" + ", ".join(cs) + "] AS DOUBLE[])"
+                proj = (f"list_sum(list_transform(generate_series(1, {dim}), "
+                        f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))")
         else:
-            proj = (f"list_sum(list_transform(generate_series(1, len({vec})), "
-                    f"i -> CAST({vec}[i] AS DOUBLE) * {comp}))")
+            comp = hyperplane_component_sql(d, p, "i", seed)
+            if d == D.SPARK:
+                proj = (f"aggregate(transform(sequence(1, size({vec})), "
+                        f"i -> CAST(element_at({vec}, i) AS DOUBLE) * {comp}), "
+                        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            else:
+                proj = (f"list_sum(list_transform(generate_series(1, len({vec})), "
+                        f"i -> CAST({vec}[i] AS DOUBLE) * {comp}))")
         bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
     return " || ".join(bit_exprs)
 
 
 def rp_lsh_buckets(vectors: DataFrame, bits: int = 8, seed: str = "rp",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
     """Vectors annotated with their LSH bucket id (precompute + partition by
     bucket at scale; bucket computation is one codegen'd projection)."""
-    return fan_out(vectors).withColumn("bucket", F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, seed)))
+    return fan_out(vectors).withColumn(
+        "bucket", F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, seed, dim)))
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
              seed: str = "rp", id_col: str = "vec_id",
-             vec_col: str = "embedding", multi_probe: int = 0) -> DataFrame:
+             vec_col: str = "embedding", multi_probe: int = 0,
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k: rank only within the query's bucket(s).
 
     `multi_probe=1` also probes every bucket at Hamming distance 1 from the
@@ -108,8 +145,8 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
     tests; at 100 TB the bucket column is what you partition/cluster the
     corpus by, so a query touches (1+probes)/2^bits of the data.
     """
-    vb = rp_lsh_buckets(vectors, bits, seed, vec_col)
-    qb = rp_lsh_buckets(queries, bits, seed, vec_col)
+    vb = rp_lsh_buckets(vectors, bits, seed, vec_col, dim)
+    qb = rp_lsh_buckets(queries, bits, seed, vec_col, dim)
     if multi_probe:
         probes = [F.col("bucket")]
         for j in range(bits):
@@ -276,14 +313,15 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
 
 def rp_multi_table_buckets(vectors: DataFrame, bits: int = 4, tables: int = 8,
                            seed: str = "rp", id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
     """(id, vec, tbl, bucket): each vector hashed into `tables` independent
     RP-LSH tables of `bits` hyperplanes each (seeds `{seed}t0..`).  All
     tables come from ONE pass (explode over an inline array), so the corpus
     is scanned once."""
     entries = [
         F.struct(F.lit(t).alias("tbl"),
-                 F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, f"{seed}t{t}"))
+                 F.expr(rp_bucket_sql(D.SPARK, vec_col, bits, f"{seed}t{t}", dim))
                  .alias("bucket"))
         for t in range(tables)
     ]
@@ -299,7 +337,8 @@ def embedding_near_dup_pairs_bucketed(vectors: DataFrame,
                                       bits: int = 4, tables: int = 8,
                                       seed: str = "rp",
                                       id_col: str = "vec_id",
-                                      vec_col: str = "embedding") -> DataFrame:
+                                      vec_col: str = "embedding",
+                                      dim: int | None = None) -> DataFrame:
     """Near-dup pairs via multi-table RP-LSH bucketing — the SCALE path.
 
     Candidates are pairs sharing a bucket in ANY of the `tables` hash
@@ -311,7 +350,15 @@ def embedding_near_dup_pairs_bucketed(vectors: DataFrame,
     exact quadratic :func:`embedding_near_dup_pairs` is the ground-truth
     verification path for recall tests.
     """
-    bk = rp_multi_table_buckets(vectors, bits, tables, seed, id_col, vec_col)
+    # eagerly materialize: both self-join sides reference bk, and the bucket
+    # expressions (bits × tables RP projections per vector) are the expensive
+    # part.  Unpersisted, the subtree evaluates twice; LAZILY persisted it is
+    # far worse — both join-side stages race to fill the same cache blocks
+    # (measured 138 s vs 8 s at sf0.1).  localCheckpoint computes it exactly
+    # once, before the join stages launch.
+    bk = (rp_multi_table_buckets(vectors, bits, tables, seed, id_col, vec_col,
+                                 dim)
+          .localCheckpoint(eager=True))
     a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                   "tbl", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

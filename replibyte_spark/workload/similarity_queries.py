@@ -19,6 +19,9 @@ from . import Query, register
 
 K = 5
 QUERY_MOD = 100  # vec_id % 100 == 0 → deterministic query subset (~1%)
+# fixture embedding width (all sf; asserted in tests) — lets the RP bucket
+# hyperplane coefficients inline as literals instead of per-row md5
+EMB_DIM = 64
 
 
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,13 +57,13 @@ BITS = 6
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-size distribution of the random-projection LSH index."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (S.rp_lsh_buckets(emb, bits=BITS)
+    return (S.rp_lsh_buckets(emb, bits=BITS, dim=EMB_DIM)
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
             .orderBy("bucket"))
 
 
 LSH_HIST_ORACLE = f"""
-SELECT {S.rp_bucket_sql(D.DUCK, 'embedding', BITS)} AS bucket,
+SELECT {S.rp_bucket_sql(D.DUCK, 'embedding', BITS, dim=EMB_DIM)} AS bucket,
        count(*) AS n_vectors
 FROM embeddings GROUP BY bucket ORDER BY bucket
 """
@@ -74,13 +77,13 @@ def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank by exact cosine within the query's bucket only."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return S.lsh_topk(emb, queries, k=K, bits=BITS, multi_probe=0)
+    return S.lsh_topk(emb, queries, k=K, bits=BITS, multi_probe=0, dim=EMB_DIM)
 
 
 LSH_TOPK_ORACLE = f"""
 WITH bk AS (
   SELECT vec_id, embedding,
-         {S.rp_bucket_sql(D.DUCK, 'embedding', BITS)} AS bucket
+         {S.rp_bucket_sql(D.DUCK, 'embedding', BITS, dim=EMB_DIM)} AS bucket
   FROM embeddings
 ), scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -112,14 +115,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs_bucketed(
-        emb, threshold=ND_T, bits=ND_BITS, tables=ND_TABLES)
+        emb, threshold=ND_T, bits=ND_BITS, tables=ND_TABLES, dim=EMB_DIM)
 
 
 def _near_dup_oracle() -> str:
     d = D.DUCK
     per_table = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {t} AS tbl, "
-        f"{S.rp_bucket_sql(d, 'embedding', ND_BITS, f'rpt{t}')} AS bucket "
+        f"{S.rp_bucket_sql(d, 'embedding', ND_BITS, f'rpt{t}', dim=EMB_DIM)} AS bucket "
         f"FROM embeddings"
         for t in range(ND_TABLES)
     )
