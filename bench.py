@@ -35,6 +35,8 @@ def main() -> None:
 
     # min-of-N (default 3): the box's run-to-run variance at sf0.1 is larger
     # than most plan-level differences; min isolates the plan cost.
+    import gc
+
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         best = float("inf")
@@ -45,6 +47,12 @@ def main() -> None:
             # prune the projections we're trying to measure)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            # drop refs so the ContextCleaner can free persisted/checkpointed
+            # blocks NOW — otherwise they accumulate across queries and heap
+            # pressure bleeds into later measurements
+            del df
+            gc.collect()
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
 
