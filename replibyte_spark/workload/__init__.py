@@ -63,6 +63,7 @@ def _load_all() -> None:
         multimodal_queries,
         streaming_queries,
         introspect_queries,
+        corpus,
     )
 
 

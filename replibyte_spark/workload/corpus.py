@@ -1,0 +1,96 @@
+"""The composite training-corpus pipeline — the engine's flagship use-case,
+every stage an operator this repo already gates individually:
+
+    quality-score → filter → MinHash near-dup removal (canonical survivor
+    per cluster) → token counting → per-source sequence packing
+
+One DataFrame plan end to end: Catalyst fuses the scoring projection into
+the scan, the dedup is the bucketed LSH path (never quadratic), and packing
+is one per-group window — no driver-side loops between stages.  The oracle
+composes the SAME CTE fragments the individual gates use, so the composite
+is value-checked end to end, not just its parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..catalog import load_table
+from ..functions import text as T
+from ..operators import dedup as DD
+from ..operators.grouped import pack_token_budget
+from ..util import fan_out
+from . import Query, register
+from .dedup_queries import BANDS, JACCARD_T, N_HASHES, NGRAM, _minhash_ctes
+from .text_queries import PACK_BUDGET
+
+QUALITY_FLOOR = 0.5
+
+
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → curated, deduplicated, packed corpus.
+
+    Returns one row per surviving doc: (doc_id, source, quality, n_tokens,
+    bin_id).  Near-dup pairs are computed AMONG the quality-filtered docs
+    (a low-quality near-dup of a kept doc must not knock the kept doc out).
+    """
+    d = D.SPARK
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.selectExpr(
+        "doc_id", "source", "text",
+        f"round({T.quality_score_sql(d, 'text')}, 6) AS quality",
+        f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
+    )
+    kept = scored.filter(F.col("quality") >= QUALITY_FLOOR)
+    pairs = DD.minhash_near_dup_pairs(kept, "doc_id", "text",
+                                      threshold=JACCARD_T,
+                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+    survivors = DD.keep_canonical(kept, pairs, "doc_id").drop("text")
+    packed = pack_token_budget(survivors, "source", "doc_id",
+                               "n_tokens", PACK_BUDGET)
+    return (packed.select("doc_id", "source", "quality", "n_tokens",
+                          F.col("bin_id").cast("long").alias("bin_id"))
+            .orderBy("source", "doc_id"))
+
+
+def _corpus_oracle() -> str:
+    d = D.DUCK
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, source, text,
+         round({T.quality_score_sql(d, 'text')}, 6) AS quality,
+         CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE round({T.quality_score_sql(d, 'text')}, 6) >= {QUALITY_FLOOR}
+), {_minhash_ctes(src='kept')}, nodes AS (
+  SELECT id_a AS n FROM nd UNION SELECT id_b FROM nd
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd UNION ALL SELECT id_b, id_a FROM nd
+), reach(node, root) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.root < e.dst
+), labels AS (
+  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node
+), surv AS (
+  SELECT doc_id, source, quality, n_tokens FROM kept
+  WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+), p AS (
+  SELECT doc_id, source, quality, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS prefix
+  FROM surv
+)
+SELECT doc_id, source, quality, n_tokens,
+       CAST(floor(prefix / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+FROM p ORDER BY source, doc_id
+"""
+
+
+register(Query("training_corpus_pipeline", training_corpus_pipeline,
+               _corpus_oracle(), tags=("text", "dedup", "pipeline"),
+               bench=True), extra=True)

@@ -46,9 +46,10 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents") -> str:
     """The shared CTE chain ending in `nd(id_a, id_b)` — verified near-dup
-    pairs at JACCARD_T; reused by the pair gate and the clustering gates."""
+    pairs at JACCARD_T over relation `src`; reused by the pair gate, the
+    clustering gates and the composite corpus pipeline."""
     d = D.DUCK
     grams = DD.word_ngrams_sql(d, "text", NGRAM)
     rows = N_HASHES // BANDS
@@ -64,7 +65,7 @@ def _minhash_ctes() -> str:
         for b in range(BANDS)
     )
     return f"""ex AS (
-  SELECT doc_id, unnest({grams}) AS gram FROM documents
+  SELECT doc_id, unnest({grams}) AS gram FROM {src}
 ), bh AS (
   SELECT doc_id, gram, {DD.base_hash_sql(d, 'gram')} AS bh FROM ex
 ), sig AS (
