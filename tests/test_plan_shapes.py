@@ -118,6 +118,19 @@ def test_zipf_salted_join_spreads_hot_partition(spark, sf_dir):
     assert salted_share <= plain_share / 4
 
 
+def test_corpus_pipeline_plan_shape(spark, sf_dir):
+    """The composite training-corpus pipeline must keep its load-bearing
+    properties: survivors drop via ONE left-anti join against the (small)
+    loser set, packing is ONE per-source window, and nothing in the chain
+    degenerates to a cartesian product.  (The dedup stage's own shape is
+    locked by test_minhash_gram_stream_is_never_shuffled; label propagation
+    localCheckpoints, so the final plan starts at the anti-join.)"""
+    plan = _plan(REGISTRY["training_corpus_pipeline"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") == 1
+    assert plan.count("Window") == 1
+
+
 def test_binary_metadata_prunes_scan_columns(spark, sf_dir):
     """A metadata-only query over a binary-content table must read just the
     columns it derives from — the payload never leaves the scan."""
