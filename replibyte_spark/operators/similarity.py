@@ -47,17 +47,22 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
     `queries` (small) is broadcast; ranking is per-query with a deterministic
     tie-break on neighbor id.  Returns (query_id, neighbor_id, cosine, rank).
+
+    Each side's norm is computed ONCE per vector before the join (the naive
+    per-pair `cosine_sql` folds both norms again for every pair — 3 HOF
+    folds/pair instead of 1).  `round(dot/(qn·nn), 6)` is bit-identical to
+    the inline form: same subexpressions, same IEEE op order, just hoisted.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    # size floor: scoring is one codegen HOF fold per (query, vector) — for
-    # a corpus under ~32 MB the repartition exchange costs more than the
-    # serial fold (round-2 bench: +0.6 s at sf0.1 for zero win)
-    v = (fan_out(vectors, min_bytes=32 << 20)
-         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"))
+    v = (fan_out(vectors)
+         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+                 F.expr(norm_sql(D.SPARK, vec_col)).alias("nn")))
     scored = (
         F.broadcast(q).crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "qv", "nv")))
+        .withColumn("cosine", F.expr(
+            f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -157,13 +162,17 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
             )
             probes.append(flipped)
         qb = (qb.withColumn("bucket", F.explode(F.array(*probes))))
-    q = qb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
-    v = vb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    q = qb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                  F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"), "bucket")
+    v = vb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+                  F.expr(norm_sql(D.SPARK, vec_col)).alias("nn"), "bucket")
     scored = (
         F.broadcast(q).join(v, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
-        .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "qv", "nv")))
+        # per-side norms hoisted out of the per-pair fold (see brute_force_topk)
+        .withColumn("cosine", F.expr(
+            f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -278,14 +287,19 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
               Window.partitionBy(id_col).orderBy(F.desc("__d"), F.asc("centroid_id"))))
           .filter(F.col("__rk") <= n_probe)
           .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                  F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"),
                   "centroid_id"))
     v = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("nv"), "centroid_id")
+                      F.col(vec_col).alias("nv"),
+                      F.expr(norm_sql(D.SPARK, vec_col)).alias("nn"),
+                      "centroid_id")
     scored = (
         F.broadcast(qc).join(v, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "qv", "nv")))
+        # per-side norms hoisted out of the per-pair fold (see brute_force_topk)
+        .withColumn("cosine", F.expr(
+            f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
     )
     rk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(rk))
@@ -301,11 +315,14 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
 
     Ground-truth/verification path only; the scale path is
     :func:`embedding_near_dup_pairs_bucketed` (bounded bucket joins)."""
-    a = fan_out(vectors).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = fan_out(vectors).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                                F.expr(norm_sql(D.SPARK, vec_col)).alias("na"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                       F.expr(norm_sql(D.SPARK, vec_col)).alias("nb"))
     return (a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "va", "vb")))
+            .withColumn("cosine", F.expr(
+                f"round({dot_sql(D.SPARK, 'va', 'vb')} / (na * nb), 6)"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
             .orderBy("id_a", "id_b"))
@@ -358,17 +375,21 @@ def embedding_near_dup_pairs_bucketed(vectors: DataFrame,
     # once, before the join stages launch.
     bk = (rp_multi_table_buckets(vectors, bits, tables, seed, id_col, vec_col,
                                  dim)
+          .withColumn("nrm", F.expr(norm_sql(D.SPARK, vec_col)))
           .localCheckpoint(eager=True))
     a = bk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  "tbl", "bucket")
+                  F.col("nrm").alias("na"), "tbl", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  "tbl", "bucket")
+                  F.col("nrm").alias("nb"), "tbl", "bucket")
     cand = (a.join(b, on=["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b", "va", "vb", "na", "nb")
             .dropDuplicates(["id_a", "id_b"]))
+    # norms ride along from the checkpointed frame: one fold per (vector,
+    # table) row at build time instead of two per candidate pair
     return (cand
-            .withColumn("cosine", F.expr(cosine_sql(D.SPARK, "va", "vb")))
+            .withColumn("cosine", F.expr(
+                f"round({dot_sql(D.SPARK, 'va', 'vb')} / (na * nb), 6)"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
             .orderBy("id_a", "id_b"))

@@ -5,8 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None,
-            min_bytes: int = 0) -> DataFrame:
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to cluster parallelism when the input arrives with too
     few partitions.
 
@@ -17,23 +16,16 @@ def fan_out(df: DataFrame, min_partitions: int | None = None,
     no-op — `fan_out` only ever *increases* parallelism, never shuffles data
     that is already spread out.
 
-    `min_bytes` opts a call site into a size floor: below it the input is
-    left alone because the repartition exchange (an extra stage + shuffle of
-    the whole input) costs more wall-clock than just computing serially.
-    Only pass it where compute-per-byte is MODERATE (e.g. vector scoring);
-    extreme ops (shingling, image decode) should always spread out.  The
-    size comes from Catalyst's plan statistics (file sizes) — no job runs.
+    History (SCALE.md): a `min_bytes` size floor used to skip the exchange
+    for sub-32 MB inputs on the theory that the shuffle cost exceeded the
+    serial compute.  Measured at sf0.1 the opposite was true — the ANN
+    brute-force scoring left on 1 partition cost 2.9 s vs 1.3 s fanned out —
+    because compute-per-byte for HOF vector folds is high, exactly the case
+    this helper exists for.  The floor was the two-round bench regression;
+    it is gone.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    if min_bytes:
-        try:
-            size = int(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes())
-        except Exception:
-            size = None
-        if size is not None and size < min_bytes:
-            return df
     return df.repartition(target)
