@@ -37,16 +37,52 @@ def main() -> None:
     # than most plan-level differences; min isolates the plan cost.
     import gc
 
+    def max_shuffle_task_ms(group: str) -> int:
+        """Longest shuffle-READING task (ms) across the job group's stages —
+        the straggler metric skew mitigation actually improves.  Wall-clock
+        on a 32-core box hides a hot partition whenever other work keeps the
+        cores busy; the hot task's own duration does not.  (Scan/explode
+        stages are excluded: they read files, not shuffle, and their task
+        times reflect input splits, not key distribution.)"""
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+        store = sc._jsc.sc().statusStore()
+        mx = 0
+        for jid in st.getJobIdsForGroup(group):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si is None:
+                    continue
+                it = store.taskList(sid, si.currentAttemptId, 100000).iterator()
+                while it.hasNext():
+                    td = it.next()
+                    dur = td.duration()
+                    tm = td.taskMetrics()
+                    if (dur.isDefined() and tm.isDefined()
+                            and tm.get().shuffleReadMetrics().recordsRead() > 0):
+                        mx = max(mx, dur.get())
+        return mx
+
     timings: dict[str, float] = {}
+    straggler_ms: dict[str, int] = {}
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(runs):
+        best_task = 0
+        for i in range(runs):
+            group = f"bench:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, group, False)
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # noop sink materializes EVERY column (count() would let Catalyst
             # prune the projections we're trying to measure)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            spark.sparkContext.setJobGroup(None, None, False)
+            if elapsed < best:
+                best, best_task = elapsed, max_shuffle_task_ms(group)
             # drop refs so the ContextCleaner can free persisted/checkpointed
             # blocks NOW — otherwise they accumulate across queries and heap
             # pressure bleeds into later measurements
@@ -54,7 +90,9 @@ def main() -> None:
             gc.collect()
         spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s (min of {runs})", file=sys.stderr)
+        straggler_ms[name] = int(best_task)
+        print(f"# {name}: {timings[name]}s (min of {runs}), "
+              f"max shuffle task {straggler_ms[name]}ms", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -62,6 +100,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "max_shuffle_task_ms": straggler_ms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -62,21 +62,28 @@ register(Query("salted_distinct_users", salted_distinct_users,
 # Zipfian hot-key bench pair: the same join/agg once through the PLAIN plan
 # (hot key funnels through one sort-merge partition) and once through
 # salted_join (hot key spread over FACTOR partitions).  Identical semantics,
-# identical oracle — BENCH_r{N}.json shows the wall-clock delta side by side,
-# and tests/test_plan_shapes.py locks the (key, salt) exchange +
-# partition-spread ratio.
+# identical oracle — BENCH_r{N}.json shows the wall-clock AND
+# max-shuffle-task delta side by side, and tests/test_plan_shapes.py locks
+# the (key, salt) exchange + partition-spread ratio.
 
 ZIPF_MULT = 50  # row amplifier so the hot partition is big enough to time
+# hot-key share: every ZIPF_MOD-th event maps to the synthetic user -1.
+# 2 (≈50% of rows) makes the hot partition dominate the join stage, so the
+# salted plan wins WALL-CLOCK too at sf0.1×50, not just max-task (at the
+# previous 20% share the dim-side ×FACTOR replication cost more than the
+# 1M-row hot partition saved — measured r3; see SCALE.md).
+ZIPF_MOD = 2
 
 
 def _zipf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events amplified ×ZIPF_MULT with user_id remapped so one synthetic
-    user (-1) owns every 5th event_id ≈ 20% of all rows."""
+    user (-1) owns every ZIPF_MOD-th event_id ≈ 1/ZIPF_MOD of all rows."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ev = ev.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(ZIPF_MULT))))
     return ev.withColumn(
         "user_id",
-        F.when(F.col("event_id") % 5 == 0, F.lit(-1)).otherwise(F.col("user_id")))
+        F.when(F.col("event_id") % ZIPF_MOD == 0, F.lit(-1))
+        .otherwise(F.col("user_id")))
 
 
 def _zipf_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +93,7 @@ def _zipf_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew never reaches a shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return (ev.select(
-        F.when(F.col("event_id") % 5 == 0, F.lit(-1))
+        F.when(F.col("event_id") % ZIPF_MOD == 0, F.lit(-1))
         .otherwise(F.col("user_id")).alias("user_id"))
         .distinct().hint("merge"))
 
@@ -99,8 +106,8 @@ def _zipf_agg(joined: DataFrame) -> DataFrame:
 
 
 def zipf_hot_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline: plain sort-merge join — the hot key's ~20% of rows land in
-    ONE shuffle partition (the problem salting exists to fix)."""
+    """Baseline: plain sort-merge join — the hot key's ~half of all rows
+    land in ONE shuffle partition (the problem salting exists to fix)."""
     return _zipf_agg(_zipf_events(spark, sf_dir)
                      .join(_zipf_dim(spark, sf_dir), "user_id"))
 
@@ -117,11 +124,11 @@ def zipf_hot_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZIPF_ORACLE = f"""
 WITH z AS (
-    SELECT CASE WHEN event_id % 5 = 0 THEN -1 ELSE user_id END AS user_id,
+    SELECT CASE WHEN event_id % {ZIPF_MOD} = 0 THEN -1 ELSE user_id END AS user_id,
            value, r AS rep
     FROM events, range(1, {ZIPF_MULT + 1}) t(r)
 ), d AS (
-    SELECT DISTINCT CASE WHEN event_id % 5 = 0 THEN -1 ELSE user_id END AS user_id
+    SELECT DISTINCT CASE WHEN event_id % {ZIPF_MOD} = 0 THEN -1 ELSE user_id END AS user_id
     FROM events
 )
 SELECT z.user_id % 10 AS cohort, count(*) AS n,

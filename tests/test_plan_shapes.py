@@ -96,9 +96,9 @@ def test_zipf_salted_join_exchanges_on_key_and_salt(spark, sf_dir):
 def test_zipf_salted_join_spreads_hot_partition(spark, sf_dir):
     """Empirical skew spread, measured on the shuffle KEY distribution (the
     physical partition layout is AQE-coalesced at test scale): the hot user
-    owns ~20% of rows under the plain key, so one shuffle partition gets at
-    least that share; under (user_id, salt) the max key share must drop by
-    at least 4× (factor=8 gives ~8× in theory)."""
+    owns ~1/ZIPF_MOD of rows under the plain key, so one shuffle partition
+    gets at least that share; under (user_id, salt) the max key share must
+    drop by at least 4× (factor=8 gives ~8× in theory)."""
     from pyspark.sql import functions as F
 
     from replibyte_spark.operators.skew import _salt_col
