@@ -43,7 +43,12 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({T.quality_score_sql(d, 'text')}, 6) AS quality",
         f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
     )
-    kept = scored.filter(F.col("quality") >= QUALITY_FLOOR)
+    # `kept` feeds BOTH the pair generation and the survivor anti-join;
+    # unmaterialized, the scan + quality-scoring subtree evaluates twice.
+    # Eager localCheckpoint (the SCALE.md self-join-input rule) computes it
+    # exactly once, before either consumer stage launches.
+    kept = (scored.filter(F.col("quality") >= QUALITY_FLOOR)
+            .localCheckpoint(eager=True))
     pairs = DD.minhash_near_dup_pairs(kept, "doc_id", "text",
                                       threshold=JACCARD_T,
                                       n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
@@ -91,6 +96,9 @@ FROM p ORDER BY source, doc_id
 """
 
 
+# driver-visible (round-4 promotion: the engine's flagship query deserves a
+# driver row; the registry slot came from folding the two salted-skew gates
+# into `salted_skew_ops`)
 register(Query("training_corpus_pipeline", training_corpus_pipeline,
                _corpus_oracle(), tags=("text", "dedup", "pipeline"),
-               bench=True), extra=True)
+               bench=True))

@@ -38,7 +38,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 register(Query("salted_join_revenue", salted_join_revenue, SALTED_JOIN_ORACLE,
-               tags=("skew",)))
+               tags=("skew",)), extra=True)
 
 
 def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +55,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 register(Query("salted_distinct_users", salted_distinct_users,
-               SALTED_DISTINCT_ORACLE, tags=("skew",)))
+               SALTED_DISTINCT_ORACLE, tags=("skew",)), extra=True)
+
+
+def salted_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH skew mitigations in one driver gate (frees a registry slot for
+    the corpus pipeline): the salted orders⋈customer revenue rollup and the
+    two-phase salted distinct-count, unioned under a uniform
+    (grp, n, metric) schema.  Each half must equal its UNSALTED oracle —
+    any salting leak (lost rows, double-counted replicas, salt escaping)
+    hash-fails.  The standalone variants stay oracle-checked in EXTRA."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"))
+    joined = salted_join(orders, cust, on="o_custkey", factor=FACTOR)
+    rev = (joined.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("metric"))
+           .select(F.concat(F.lit("join:"), F.col("c_mktsegment")).alias("grp"),
+                   "n", "metric"))
+    ev = load_table(spark, sf_dir, "events")
+    dist = (salted_count_distinct(ev, "event_type", "user_id", factor=FACTOR)
+            .select(F.concat(F.lit("distinct:"), F.col("event_type")).alias("grp"),
+                    F.col("n_distinct").alias("n"),
+                    F.lit(None).cast("double").alias("metric")))
+    return rev.unionByName(dist).orderBy("grp")
+
+
+SALTED_OPS_ORACLE = """
+SELECT 'join:' || c_mktsegment AS grp, count(*) AS n,
+       round(sum(o_totalprice), 2) AS metric
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'distinct:' || event_type AS grp,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS metric
+FROM events GROUP BY event_type
+ORDER BY grp
+"""
+
+register(Query("salted_skew_ops", salted_skew_ops, SALTED_OPS_ORACLE,
+               tags=("skew",)))
 
 
 # ---------------------------------------------------------------------------
