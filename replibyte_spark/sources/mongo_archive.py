@@ -336,10 +336,14 @@ def serialize_archive(arch: Archive) -> bytes:
     return bytes(out)
 
 
-def build_archive(collections: dict[str, list[dict]], db: str = "dump",
-                  header: dict | None = None) -> bytes:
-    """Write a fresh archive from decoded documents (the mongorestore-
-    compatible destination shape)."""
+def build_archive_raw(collections: dict[str, list[bytes]], db: str = "dump",
+                      header: dict | None = None) -> bytes:
+    """Assemble an archive from ALREADY-ENCODED BSON documents.
+
+    The per-document encoding is the expensive part and is embarrassingly
+    parallel — encode on executors (e.g. a pandas UDF over the source
+    frame), ship the compact BSON bytes, and let the driver do only the
+    cheap header/footer/CRC assembly here."""
     hdr = header or {"concurrent_collections": 1, "version": "0.1",
                      "server_version": "5.0.6", "tool_version": "100.5.2"}
     metadata = [encode_document({
@@ -348,17 +352,25 @@ def build_archive(collections: dict[str, list[dict]], db: str = "dump",
                                 "type": "collection"}),
         "size": 0, "type": "collection"}) for c in collections]
     blocks: list[Block] = []
-    for c, docs in collections.items():
-        raw = [encode_document(d) for d in docs]
+    for c, raw in collections.items():
         crc = crc64_xz(b"".join(raw))
         signed = crc - (1 << 64) if crc >= (1 << 63) else crc
         hdr_ns = encode_document({"db": db, "collection": c,
                                   "EOF": False, "CRC": Int64(0)})
         ftr_ns = encode_document({"db": db, "collection": c,
                                   "EOF": True, "CRC": Int64(signed)})
-        blocks.append(Block(hdr_ns, db, c, False, 0, raw))
+        blocks.append(Block(hdr_ns, db, c, False, 0, list(raw)))
         blocks.append(Block(ftr_ns, db, c, True, signed, []))
     return serialize_archive(Archive(encode_document(hdr), metadata, blocks))
+
+
+def build_archive(collections: dict[str, list[dict]], db: str = "dump",
+                  header: dict | None = None) -> bytes:
+    """Write a fresh archive from decoded documents (the mongorestore-
+    compatible destination shape)."""
+    return build_archive_raw(
+        {c: [encode_document(d) for d in docs]
+         for c, docs in collections.items()}, db, header)
 
 
 # ---------------------------------------------------------------------------
