@@ -13,10 +13,13 @@ is cached).  Two runtimes:
 
 - ``wasmtime`` when importable — full WASM + WASI, runs arbitrary modules
   (including the reference's Rust-built example).
-- a built-in pure-Python interpreter otherwise, covering the MVP integer
-  subset + WASI stdio (``fd_read``/``fd_write``/``proc_exit``...).  Enough to
-  run locally-built byte-transform modules where ``wasmtime`` isn't
-  installable; traps clearly on unsupported opcodes (floats, tables).
+- a built-in pure-Python interpreter otherwise, covering the MVP numeric
+  subset (integers AND F32/F64 floats: arithmetic, comparisons,
+  conversions, reinterprets, saturating truncations, sign-extensions) +
+  WASI stdio (``fd_read``/``fd_write``/``proc_exit``...).  Enough to run
+  locally-built transformer modules — including Rust-built ones whose
+  codegen reaches float and sign-ext ops — where ``wasmtime`` isn't
+  installable; traps clearly on unsupported constructs (tables, SIMD).
 
 This module is self-contained on purpose: no third-party imports unless
 ``wasmtime`` is actually present.
@@ -125,6 +128,8 @@ class WasmModule:
         self.exports: dict[str, tuple[int, int]] = {}  # name -> (kind, idx)
         self.data: list[tuple[int, bytes]] = []
         self.start: int | None = None
+        self.table_min = 0                            # funcref table size
+        self.elem: list[tuple[int, list[int]]] = []   # (offset, func idxs)
         self._parse(raw)
 
     # -- parsing ------------------------------------------------------------
@@ -160,6 +165,14 @@ class WasmModule:
                         raise WasmError(f"unsupported import kind {kind}")
             elif sec_id == 3:                         # function decls
                 func_type_idxs = [r.u32() for _ in range(r.u32())]
+            elif sec_id == 4:                         # tables (funcref)
+                for _ in range(r.u32()):
+                    if r.u8() != 0x70:
+                        raise WasmError("unsupported table reftype")
+                    flags = r.u8()
+                    self.table_min = r.u32()
+                    if flags & 1:
+                        r.u32()
             elif sec_id == 5:                         # memory
                 for _ in range(r.u32()):
                     flags = r.u8()
@@ -178,6 +191,23 @@ class WasmModule:
                     self.exports[name] = (kind, idx)
             elif sec_id == 8:                         # start
                 self.start = r.u32()
+            elif sec_id == 9:                         # elements (active, tbl 0)
+                for _ in range(r.u32()):
+                    mode = r.u32()
+                    if mode == 0:
+                        off = self._const_expr(r)
+                        self.elem.append(
+                            (off, [r.u32() for _ in range(r.u32())]))
+                    elif mode == 2:                   # active w/ explicit table
+                        if r.u32() != 0:
+                            raise WasmError("multi-table elem unsupported")
+                        off = self._const_expr(r)
+                        if r.u8() != 0x00:            # elemkind funcref
+                            raise WasmError("unsupported elemkind")
+                        self.elem.append(
+                            (off, [r.u32() for _ in range(r.u32())]))
+                    else:
+                        raise WasmError(f"unsupported elem mode {mode}")
             elif sec_id == 10:                        # code
                 n = r.u32()
                 if n != len(func_type_idxs):
@@ -205,11 +235,16 @@ class WasmModule:
             r.i = end                                 # skip/realign any section
 
     @staticmethod
-    def _const_expr(r: _Reader) -> int:
+    def _const_expr(r: _Reader):
         op = r.u8()
-        if op not in (0x41, 0x42):
+        if op in (0x41, 0x42):
+            v = r.s_leb()
+        elif op == 0x43:                              # f32.const
+            v = struct.unpack("<f", r.bytes_(4))[0]
+        elif op == 0x44:                              # f64.const
+            v = struct.unpack("<d", r.bytes_(8))[0]
+        else:
             raise WasmError(f"unsupported const expr opcode {op:#x}")
-        v = r.s_leb()
         if r.u8() != 0x0B:
             raise WasmError("const expr not terminated")
         return v
@@ -303,6 +338,11 @@ class _Instance:
         for off, seg in mod.data:
             self.mem[off:off + len(seg)] = seg
         self.globals = list(mod.globals_init)
+        self.table: list[int | None] = [None] * mod.table_min
+        for off, idxs in mod.elem:
+            if off + len(idxs) > len(self.table):
+                self.table.extend([None] * (off + len(idxs) - len(self.table)))
+            self.table[off:off + len(idxs)] = idxs
         self.stdin = stdin
         self.stdin_pos = 0
         self.stdout = bytearray()
@@ -426,6 +466,8 @@ class _Instance:
             op, imm = code[pc]
             if op == 0x41 or op == 0x42:              # i32/i64.const
                 st.append(imm & (_M32 if op == 0x41 else _M64))
+            elif op == 0x43 or op == 0x44:            # f32/f64.const
+                st.append(imm)
             elif op == 0x20:                          # local.get
                 st.append(loc[imm])
             elif op == 0x21:                          # local.set
@@ -477,6 +519,18 @@ class _Instance:
                 args = st[len(st) - n_p:] if n_p else []
                 del st[len(st) - n_p:]
                 st.extend(self.call(imm, args))
+            elif op == 0x11:                          # call_indirect
+                type_idx, _tbl = imm
+                k = st.pop()
+                if k >= len(self.table) or self.table[k] is None:
+                    raise WasmTrap(f"call_indirect: null/oob table entry {k}")
+                target = self.table[k]
+                if self._func_type(target) != self.m.types[type_idx]:
+                    raise WasmTrap("call_indirect: signature mismatch")
+                n_p, _ = self._func_type(target)
+                args = st[len(st) - n_p:] if n_p else []
+                del st[len(st) - n_p:]
+                st.extend(self.call(target, args))
             elif op == 0x1A:                          # drop
                 st.pop()
             elif op == 0x1B:                          # select
@@ -577,9 +631,161 @@ class _Instance:
             elif op == 0xFC and imm == 10:            # memory.copy
                 n, s_, d = st.pop(), st.pop(), st.pop()
                 mem[d:d + n] = mem[s_:s_ + n]
+            # -- i64 partial-width loads/stores (Rust memcpy lowering) ------
+            elif op == 0x30:                          # i64.load8_s
+                a = st.pop() + imm
+                v = mem[a]
+                st.append((v - 256 if v & 0x80 else v) & _M64)
+            elif op == 0x31:                          # i64.load8_u
+                a = st.pop() + imm
+                if a >= len(mem):
+                    raise WasmTrap("oob load")
+                st.append(mem[a])
+            elif op == 0x32:                          # i64.load16_s
+                a = st.pop() + imm
+                v = int.from_bytes(mem[a:a + 2], "little")
+                st.append((v - 65536 if v & 0x8000 else v) & _M64)
+            elif op == 0x33:                          # i64.load16_u
+                a = st.pop() + imm
+                st.append(int.from_bytes(mem[a:a + 2], "little"))
+            elif op == 0x34:                          # i64.load32_s
+                a = st.pop() + imm
+                v = int.from_bytes(mem[a:a + 4], "little")
+                st.append((v - (1 << 32) if v & 0x80000000 else v) & _M64)
+            elif op == 0x35:                          # i64.load32_u
+                a = st.pop() + imm
+                st.append(int.from_bytes(mem[a:a + 4], "little"))
+            elif op == 0x3C:                          # i64.store8
+                v, a = st.pop(), st.pop() + imm
+                mem[a] = v & 0xFF
+            elif op == 0x3D:                          # i64.store16
+                v, a = st.pop(), st.pop() + imm
+                mem[a:a + 2] = (v & 0xFFFF).to_bytes(2, "little")
+            elif op == 0x3E:                          # i64.store32
+                v, a = st.pop(), st.pop() + imm
+                mem[a:a + 4] = (v & _M32).to_bytes(4, "little")
+            # -- sign-extension ops (Rust sign_ext feature, on by default) --
+            elif op == 0xC0:                          # i32.extend8_s
+                v = st.pop() & 0xFF
+                st.append((v - 256 if v & 0x80 else v) & _M32)
+            elif op == 0xC1:                          # i32.extend16_s
+                v = st.pop() & 0xFFFF
+                st.append((v - 65536 if v & 0x8000 else v) & _M32)
+            elif op == 0xC2:                          # i64.extend8_s
+                v = st.pop() & 0xFF
+                st.append((v - 256 if v & 0x80 else v) & _M64)
+            elif op == 0xC3:                          # i64.extend16_s
+                v = st.pop() & 0xFFFF
+                st.append((v - 65536 if v & 0x8000 else v) & _M64)
+            elif op == 0xC4:                          # i64.extend32_s
+                v = st.pop() & _M32
+                st.append((v - (1 << 32) if v & 0x80000000 else v) & _M64)
+            # -- floats -----------------------------------------------------
+            elif op == 0x2A:                          # f32.load
+                a = st.pop() + imm
+                if a + 4 > len(mem):
+                    raise WasmTrap("oob load")
+                st.append(struct.unpack("<f", mem[a:a + 4])[0])
+            elif op == 0x2B:                          # f64.load
+                a = st.pop() + imm
+                if a + 8 > len(mem):
+                    raise WasmTrap("oob load")
+                st.append(struct.unpack("<d", mem[a:a + 8])[0])
+            elif op == 0x38:                          # f32.store
+                v, a = st.pop(), st.pop() + imm
+                if a + 4 > len(mem):
+                    raise WasmTrap("oob store")
+                mem[a:a + 4] = struct.pack("<f", _f32(float(v)))
+            elif op == 0x39:                          # f64.store
+                v, a = st.pop(), st.pop() + imm
+                if a + 8 > len(mem):
+                    raise WasmTrap("oob store")
+                mem[a:a + 8] = struct.pack("<d", float(v))
+            elif 0x5B <= op <= 0x60:                  # f32 comparisons
+                b, a = st.pop(), st.pop()
+                st.append(_FCMP[op - 0x5B](float(a), float(b)))
+            elif 0x61 <= op <= 0x66:                  # f64 comparisons
+                b, a = st.pop(), st.pop()
+                st.append(_FCMP[op - 0x61](float(a), float(b)))
+            elif 0x8B <= op <= 0x91:                  # f32 unary
+                st.append(_f32(_FUNOP[op - 0x8B](float(st.pop()))))
+            elif 0x92 <= op <= 0x98:                  # f32 binary
+                b, a = st.pop(), st.pop()
+                st.append(_f32(_FBINOP[op - 0x92](float(a), float(b))))
+            elif 0x99 <= op <= 0x9F:                  # f64 unary
+                st.append(_FUNOP[op - 0x99](float(st.pop())))
+            elif 0xA0 <= op <= 0xA6:                  # f64 binary
+                b, a = st.pop(), st.pop()
+                st.append(_FBINOP[op - 0xA0](float(a), float(b)))
+            elif op == 0xA8:                          # i32.trunc_f32_s
+                st.append(_trunc_checked(float(st.pop()), -(1 << 31),
+                                         (1 << 31) - 1, "i32") & _M32)
+            elif op == 0xA9:                          # i32.trunc_f32_u
+                st.append(_trunc_checked(float(st.pop()), 0, _M32, "u32"))
+            elif op == 0xAA:                          # i32.trunc_f64_s
+                st.append(_trunc_checked(float(st.pop()), -(1 << 31),
+                                         (1 << 31) - 1, "i32") & _M32)
+            elif op == 0xAB:                          # i32.trunc_f64_u
+                st.append(_trunc_checked(float(st.pop()), 0, _M32, "u32"))
+            elif op == 0xAE:                          # i64.trunc_f32_s
+                st.append(_trunc_checked(float(st.pop()), -(1 << 63),
+                                         (1 << 63) - 1, "i64") & _M64)
+            elif op == 0xAF:                          # i64.trunc_f32_u
+                st.append(_trunc_checked(float(st.pop()), 0, _M64, "u64"))
+            elif op == 0xB0:                          # i64.trunc_f64_s
+                st.append(_trunc_checked(float(st.pop()), -(1 << 63),
+                                         (1 << 63) - 1, "i64") & _M64)
+            elif op == 0xB1:                          # i64.trunc_f64_u
+                st.append(_trunc_checked(float(st.pop()), 0, _M64, "u64"))
+            elif op == 0xB2:                          # f32.convert_i32_s
+                st.append(_f32(float(_s32(st.pop()))))
+            elif op == 0xB3:                          # f32.convert_i32_u
+                st.append(_f32(float(st.pop() & _M32)))
+            elif op == 0xB4:                          # f32.convert_i64_s
+                st.append(_f32(float(_s64(st.pop()))))
+            elif op == 0xB5:                          # f32.convert_i64_u
+                st.append(_f32(float(st.pop() & _M64)))
+            elif op == 0xB6:                          # f32.demote_f64
+                st.append(_f32(float(st.pop())))
+            elif op == 0xB7:                          # f64.convert_i32_s
+                st.append(float(_s32(st.pop())))
+            elif op == 0xB8:                          # f64.convert_i32_u
+                st.append(float(st.pop() & _M32))
+            elif op == 0xB9:                          # f64.convert_i64_s
+                st.append(float(_s64(st.pop())))
+            elif op == 0xBA:                          # f64.convert_i64_u
+                st.append(float(st.pop() & _M64))
+            elif op == 0xBB:                          # f64.promote_f32
+                st.append(float(st.pop()))
+            elif op == 0xBC:                          # i32.reinterpret_f32
+                st.append(struct.unpack("<I", struct.pack("<f", _f32(float(st.pop()))))[0])
+            elif op == 0xBD:                          # i64.reinterpret_f64
+                st.append(struct.unpack("<Q", struct.pack("<d", float(st.pop())))[0])
+            elif op == 0xBE:                          # f32.reinterpret_i32
+                st.append(struct.unpack("<f", struct.pack("<I", st.pop() & _M32))[0])
+            elif op == 0xBF:                          # f64.reinterpret_i64
+                st.append(struct.unpack("<d", struct.pack("<Q", st.pop() & _M64))[0])
+            elif op == 0xFC and 0 <= imm <= 7:        # trunc_sat (Rust casts)
+                v = float(st.pop())
+                if imm == 0:
+                    st.append(_trunc_sat(v, -(1 << 31), (1 << 31) - 1) & _M32)
+                elif imm == 1:
+                    st.append(_trunc_sat(v, 0, _M32))
+                elif imm == 2:
+                    st.append(_trunc_sat(v, -(1 << 31), (1 << 31) - 1) & _M32)
+                elif imm == 3:
+                    st.append(_trunc_sat(v, 0, _M32))
+                elif imm == 4:
+                    st.append(_trunc_sat(v, -(1 << 63), (1 << 63) - 1) & _M64)
+                elif imm == 5:
+                    st.append(_trunc_sat(v, 0, _M64))
+                elif imm == 6:
+                    st.append(_trunc_sat(v, -(1 << 63), (1 << 63) - 1) & _M64)
+                else:
+                    st.append(_trunc_sat(v, 0, _M64))
             else:
                 raise WasmTrap(f"unsupported opcode {op:#x} "
-                               f"(floats/tables are outside the built-in "
+                               f"(tables/SIMD are outside the built-in "
                                f"interpreter's subset; install wasmtime)")
             pc += 1
         return st
@@ -693,6 +899,105 @@ _ARITH64 = {
 
 def _trap(msg: str):
     raise WasmTrap(msg)
+
+
+# -- float support (F32/F64 numeric subset) ---------------------------------
+#
+# Values live on the stack as Python floats (doubles); every f32 op rounds
+# its result through IEEE binary32 (`_f32`) so single-precision semantics
+# hold.  Rust-built transformer modules (the reference's examples/wasm)
+# reach float ops even for string work via SIMD-lowered libm/memcpy paths,
+# and Rust float→int casts emit the 0xFC saturating truncations.
+
+import math as _math
+
+
+def _f32(v: float) -> float:
+    """Round a Python double to IEEE binary32 (overflow → ±inf)."""
+    try:
+        return struct.unpack("<f", struct.pack("<f", v))[0]
+    except OverflowError:
+        return _math.inf if v > 0 else -_math.inf
+
+
+def _fnearest(v: float) -> float:
+    """round-to-nearest, ties-to-even (WASM `nearest`)."""
+    if _math.isnan(v) or _math.isinf(v):
+        return v
+    r = round(v)  # Python rounds half to even
+    return float(r)
+
+
+def _fmin(a: float, b: float) -> float:
+    if _math.isnan(a) or _math.isnan(b):
+        return _math.nan
+    if a == b == 0.0:  # -0.0 < +0.0 per WASM min
+        return -0.0 if (_math.copysign(1, a) < 0 or _math.copysign(1, b) < 0) else 0.0
+    return min(a, b)
+
+
+def _fmax(a: float, b: float) -> float:
+    if _math.isnan(a) or _math.isnan(b):
+        return _math.nan
+    if a == b == 0.0:
+        return 0.0 if (_math.copysign(1, a) > 0 or _math.copysign(1, b) > 0) else -0.0
+    return max(a, b)
+
+
+def _fdiv(a: float, b: float) -> float:
+    if b == 0.0:
+        if _math.isnan(a) or a == 0.0:
+            return _math.nan
+        return _math.copysign(_math.inf, a) * _math.copysign(1.0, b)
+    return a / b
+
+
+_FCMP = {  # f32 0x5B-0x60 and f64 0x61-0x66 share semantics
+    0: lambda a, b: 1 if a == b else 0,
+    1: lambda a, b: 1 if a != b else 0,
+    2: lambda a, b: 1 if a < b else 0,
+    3: lambda a, b: 1 if a > b else 0,
+    4: lambda a, b: 1 if a <= b else 0,
+    5: lambda a, b: 1 if a >= b else 0,
+}
+
+_FUNOP = {  # shared by f32 (0x8B..0x91) and f64 (0x99..0x9F), offset order
+    0: abs,                                   # abs
+    1: lambda v: -v,                          # neg
+    2: lambda v: v if _math.isnan(v) or _math.isinf(v) else float(_math.ceil(v)),
+    3: lambda v: v if _math.isnan(v) or _math.isinf(v) else float(_math.floor(v)),
+    4: lambda v: v if _math.isnan(v) or _math.isinf(v) else float(_math.trunc(v)),
+    5: _fnearest,                             # nearest
+    6: lambda v: _math.sqrt(v) if v >= 0 else _math.nan,  # sqrt
+}
+
+_FBINOP = {  # shared by f32 (0x92..0x98) and f64 (0xA0..0xA6), offset order
+    0: lambda a, b: a + b,
+    1: lambda a, b: a - b,
+    2: lambda a, b: a * b,
+    3: _fdiv,
+    4: _fmin,
+    5: _fmax,
+    6: lambda a, b: _math.copysign(a, b),     # copysign
+}
+
+
+def _trunc_checked(v: float, lo: int, hi: int, what: str) -> int:
+    if _math.isnan(v):
+        raise WasmTrap(f"invalid conversion to {what}: NaN")
+    t = _math.trunc(v) if not _math.isinf(v) else (lo - 1 if v < 0 else hi + 1)
+    if t < lo or t > hi:
+        raise WasmTrap(f"{what} trunc overflow")
+    return int(t)
+
+
+def _trunc_sat(v: float, lo: int, hi: int) -> int:
+    if _math.isnan(v):
+        return 0
+    if _math.isinf(v):
+        return lo if v < 0 else hi
+    t = _math.trunc(v)
+    return int(min(max(t, lo), hi))
 
 
 # ---------------------------------------------------------------------------

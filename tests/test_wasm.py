@@ -4,8 +4,10 @@ A reverse-string WASI command module — functionally equivalent to the
 reference's examples/wasm/wasm-transformer-reverse-string.wasm (1.8 MB of
 Rust) — is assembled here byte-by-byte (~200 bytes) and executed through the
 built-in interpreter, so the WASM path is exercised even without wasmtime.
-When wasmtime IS importable, the same module plus the reference's actual
-Rust-built module run under it too.
+The reference's ACTUAL Rust-built module also runs under the built-in
+interpreter (floats + sign-ext + saturating truncations + call_indirect
+landed in round 4), wasmtime or not; when wasmtime IS importable the same
+modules run under it too.
 """
 
 from __future__ import annotations
@@ -157,10 +159,90 @@ def test_transform_values_contract():
 
 
 def test_unsupported_opcode_traps_cleanly():
-    # f32.add (0x92) is outside the integer subset
-    wasm = bytearray(build_reverse_wasm())
     with pytest.raises(W.WasmError):
         W.WasmModule(b"\x00asm\x02\x00\x00\x00")     # bad version
+
+
+# ---------------------------------------------------------------------------
+# float / sign-ext / trunc-sat ops (the subset Rust-built modules emit)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _f64c(v: float) -> bytes:
+    return bytes([0x44]) + _struct.pack("<d", v)
+
+
+def _f32c(v: float) -> bytes:
+    return bytes([0x43]) + _struct.pack("<f", v)
+
+
+def build_float_module() -> bytes:
+    """Exports `run: () -> i32` returning 1 iff every float/sign-ext check
+    holds (each check ANDs into the accumulator)."""
+    AND = 0x71
+    body = bytearray()
+    # f64: sqrt(2.0) == the IEEE double closest to √2
+    body += _f64c(2.0) + bytes([0x9F])                     # f64.sqrt
+    body += _f64c(1.4142135623730951) + bytes([0x61])      # f64.eq
+    # f32: 1.5 + 2.5 == 4.0 (exact in binary32)
+    body += _f32c(1.5) + _f32c(2.5) + bytes([0x92])        # f32.add
+    body += _f32c(4.0) + bytes([0x5B]) + bytes([AND])      # f32.eq
+    # f32 single-precision rounding: demote_f64(0.1) == f32.const 0.1
+    body += _f64c(0.1) + bytes([0xB6])                     # f32.demote_f64
+    body += _f32c(0.1) + bytes([0x5B]) + bytes([AND])
+    # saturating trunc (Rust `as` casts): trunc_sat_f64_s(-7.9) == -7
+    body += _f64c(-7.9) + bytes([0xFC]) + _u(2)            # i32.trunc_sat_f64_s
+    body += _i32(-7) + bytes([EQ]) + bytes([AND])
+    # ...and it saturates instead of trapping
+    body += _f64c(1e300) + bytes([0xFC]) + _u(2)
+    body += _i32(2**31 - 1) + bytes([EQ]) + bytes([AND])
+    # conversions: f64.convert_i32_s(-3) * -0.5 == 1.5
+    body += _i32(-3) + bytes([0xB7])                       # f64.convert_i32_s
+    body += _f64c(-0.5) + bytes([0xA2])                    # f64.mul
+    body += _f64c(1.5) + bytes([0x61]) + bytes([AND])
+    # min/max NaN-free path + copysign
+    body += _f64c(3.0) + _f64c(-2.0) + bytes([0xA4])       # f64.min
+    body += _f64c(-2.0) + bytes([0x61]) + bytes([AND])
+    body += _f64c(5.0) + _f64c(-1.0) + bytes([0xA6])       # f64.copysign
+    body += _f64c(-5.0) + bytes([0x61]) + bytes([AND])
+    # sign extension: i32.extend8_s(0x80) == -128
+    body += _i32(0x80) + bytes([0xC0])                     # i32.extend8_s
+    body += _i32(-128) + bytes([EQ]) + bytes([AND])
+    # reinterpret roundtrip: f64 -> i64 -> f64 is identity
+    body += _f64c(2.5) + bytes([0xBD])                     # i64.reinterpret_f64
+    body += bytes([0xBF])                                  # f64.reinterpret_i64
+    body += _f64c(2.5) + bytes([0x61]) + bytes([AND])
+    body += bytes([END])
+    func_body = _vec([]) + bytes(body)                     # no locals
+    t_run = bytes([0x60]) + _vec([]) + _vec([bytes([I32])])
+    return (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t_run]))
+            + _sec(3, _vec([_u(0)]))
+            + _sec(7, _vec([_name("run") + b"\x00" + _u(0)]))
+            + _sec(10, _vec([_u(len(func_body)) + func_body])))
+
+
+def test_interpreter_float_ops():
+    mod = W.WasmModule(build_float_module())
+    inst = W._Instance(mod, b"")
+    assert inst.call(mod.exports["run"][1], []) == [1]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_WASM),
+                    reason="reference module unavailable")
+def test_interpreter_runs_reference_rust_module():
+    """The interpreter twin of test_wasmtime_runs_reference_rust_module:
+    the reference's shipped 1.8 MB Rust-built transformer runs under the
+    BUILT-IN interpreter — no wasmtime — through the same per-value
+    contract the conf.yaml custom-wasm path uses."""
+    with open(REF_WASM, "rb") as fh:
+        wasm = fh.read()
+    mod = W.WasmModule(wasm)
+    assert mod.run_wasi(b"hello\n").strip() == b"olleh"
+    assert W.wasm_transform_values(wasm, ["hello", None, "abc123"]) == \
+        ["olleh", None, "321cba"]
 
 
 def test_interpreter_rejects_module_without_start():
