@@ -204,6 +204,26 @@ def test_near_dup_clusters_chain_and_islands(spark):
     assert kept == [1, 4, 5, 7, 8, 12]
 
 
+def test_near_dup_clusters_distributed_path_matches_union_find(
+        spark, monkeypatch):
+    """near_dup_clusters is hybrid: driver union-find for driver-sized pair
+    lists, min-label propagation above the threshold.  Force the
+    distributed path (threshold → -1) and assert both paths produce
+    identical min-id labels — the distributed branch must not rot now that
+    small graphs never reach it."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11), (20, 21),
+         (21, 22), (22, 23), (23, 24)],           # a deeper chain too
+        "id_a long, id_b long")
+    fast = {r.node: r.cluster_id
+            for r in DD.near_dup_clusters(pairs).collect()}
+    monkeypatch.setattr(DD, "DRIVER_CC_MAX_PAIRS", -1)
+    slow = {r.node: r.cluster_id
+            for r in DD.near_dup_clusters(pairs).collect()}
+    assert fast == slow
+    assert slow[24] == 20 and slow[11] == 1
+
+
 def test_lloyd_refinement_improves_quantization(spark):
     """On normalized clustered vectors, two Lloyd iterations must improve
     mean best-dot over the hash-sampled init (centroids move to cluster
