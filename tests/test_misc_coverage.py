@@ -100,3 +100,21 @@ def test_pack_token_budget_properties(spark):
         for r in rows:
             assert r.bin_id == prefix // 512
             prefix += r.n_tokens
+
+
+def test_fan_out_is_identity_on_wide_inputs(spark):
+    """fan_out only ever INCREASES parallelism: an input already at (or
+    above) cluster parallelism is returned untouched — no exchange is added
+    to data that is already spread out (the property that makes every
+    fan_out call site a no-op on a wide 100 TB scan)."""
+    from replibyte_spark.util import fan_out
+
+    wide = spark.range(0, 1000).repartition(
+        spark.sparkContext.defaultParallelism)
+    assert fan_out(wide) is wide
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread = fan_out(narrow)
+    assert spread is not narrow
+    assert (spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
