@@ -93,6 +93,17 @@ def test_zipf_salted_join_exchanges_on_key_and_salt(spark, sf_dir):
     assert "__salt" not in plain
 
 
+def test_salted_skew_ops_gate_salts_both_halves(spark, sf_dir):
+    """The merged driver gate must still exercise BOTH mitigations: the
+    join half exchanges on (key, salt) and the distinct half aggregates
+    through a salted partial — losing either would leave a skew operator
+    driver-ungated."""
+    plan = _plan(REGISTRY["salted_skew_ops"].spark_fn(spark, sf_dir))
+    assert "Union" in plan
+    assert plan.count("__salt") >= 2      # join keys + distinct partial
+    assert "CartesianProduct" not in plan
+
+
 def test_zipf_salted_join_spreads_hot_partition(spark, sf_dir):
     """Empirical skew spread, measured on the shuffle KEY distribution (the
     physical partition layout is AQE-coalesced at test scale): the hot user
