@@ -23,6 +23,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from replibyte_spark.session import get_spark
+    from replibyte_spark.util import free_persistent_rdds
     from replibyte_spark.workload import all_queries
 
     spark = get_spark("replibyte-spark-bench", cpus=cpus)
@@ -36,6 +37,18 @@ def main() -> None:
     # min-of-N (default 3): the box's run-to-run variance at sf0.1 is larger
     # than most plan-level differences; min isolates the plan cost.
     import gc
+
+    def cleanup() -> None:
+        """Per-iteration hygiene: drop every cached/checkpointed block NOW.
+
+        clearCache frees cache-manager blocks; free_persistent_rdds sweeps
+        what clearCache cannot reach (localCheckpoint RDDs, which otherwise
+        stay pinned until the JVM GCs every referencing plan — the round-4
+        cache-bleed failure).  Safe mid-bench: the next iteration rebuilds
+        its DataFrame from scratch, nothing re-executes a swept plan."""
+        gc.collect()
+        spark.catalog.clearCache()
+        free_persistent_rdds(spark)
 
     def max_shuffle_task_ms(group: str) -> int:
         """Longest shuffle-READING task (ms) across the job group's stages —
@@ -66,9 +79,17 @@ def main() -> None:
                         mx = max(mx, dur.get())
         return mx
 
+    cleanup()  # the warm-up plan may itself have persisted blocks
+
     timings: dict[str, float] = {}
     straggler_ms: dict[str, int] = {}
     for name, q in bench_queries.items():
+        # runtime enforcement of the hygiene contract the test locks: every
+        # query starts its first measured iteration with a clean registry
+        leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert leftover == 0, (
+            f"{leftover} persistent RDDs leaked into {name}'s measurement")
+        print(f"# {name}: 0 persistent RDDs at start", file=sys.stderr)
         best = float("inf")
         best_task = 0
         for i in range(runs):
@@ -83,12 +104,8 @@ def main() -> None:
             spark.sparkContext.setJobGroup(None, None, False)
             if elapsed < best:
                 best, best_task = elapsed, max_shuffle_task_ms(group)
-            # drop refs so the ContextCleaner can free persisted/checkpointed
-            # blocks NOW — otherwise they accumulate across queries and heap
-            # pressure bleeds into later measurements
             del df
-            gc.collect()
-        spark.catalog.clearCache()
+            cleanup()
         timings[name] = round(best, 3)
         straggler_ms[name] = int(best_task)
         print(f"# {name}: {timings[name]}s (min of {runs}), "

@@ -2,7 +2,28 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def free_persistent_rdds(spark: SparkSession, blocking: bool = True) -> int:
+    """Explicitly unpersist EVERY RDD in the context's persistent-RDD
+    registry; returns how many were freed.
+
+    `spark.catalog.clearCache()` only reaches cache-manager blocks
+    (``df.persist()``); ``localCheckpoint`` RDDs bypass the cache manager
+    and free only when the JVM garbage-collects every referencing plan —
+    which the ContextCleaner cannot force and which round 4 showed can
+    simply never happen while the session lives.  The bench harness (and
+    its hygiene test) call this between queries so no query's blocks
+    survive into the next query's measurement.  Safe there because nothing
+    re-executes a prior query's plan after its measurement completes;
+    callers that still need a checkpointed frame must not call this.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()  # py4j dict-like
+    rdds = list(jmap.values())
+    for jrdd in rdds:
+        jrdd.unpersist(blocking)
+    return len(rdds)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

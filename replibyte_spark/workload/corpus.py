@@ -45,10 +45,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # `kept` feeds BOTH the pair generation and the survivor anti-join;
     # unmaterialized, the scan + quality-scoring subtree evaluates twice.
-    # Eager localCheckpoint (the SCALE.md self-join-input rule) computes it
-    # exactly once, before either consumer stage launches.
-    kept = (scored.filter(F.col("quality") >= QUALITY_FLOOR)
-            .localCheckpoint(eager=True))
+    # Cache-manager persist + eager count() — NOT localCheckpoint: the count
+    # fills the cache before either consumer stage launches (same no-race /
+    # compute-once property as an eager checkpoint), and the blocks stay
+    # reclaimable by `spark.catalog.clearCache()`.  Round 4's eager
+    # localCheckpoint here pinned a MapPartitionsRDD past every cleanup
+    # bench.py could issue (checkpoint RDDs free only when the JVM GCs every
+    # referencing plan), which broke the bench cache-hygiene contract.
+    kept = scored.filter(F.col("quality") >= QUALITY_FLOOR).persist()
+    kept.count()
     pairs = DD.minhash_near_dup_pairs(kept, "doc_id", "text",
                                       threshold=JACCARD_T,
                                       n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
