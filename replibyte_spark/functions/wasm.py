@@ -120,7 +120,9 @@ class WasmModule:
     def __init__(self, raw: bytes):
         if raw[:4] != b"\x00asm" or raw[4:8] != b"\x01\x00\x00\x00":
             raise WasmError("not a wasm v1 binary")
-        self.types: list[tuple[int, int]] = []        # (n_params, n_results)
+        # (param_valtype_bytes, result_valtype_bytes) — full signatures, so
+        # call_indirect can trap on same-arity-different-type mismatches.
+        self.types: list[tuple[bytes, bytes]] = []
         self.imports: list[_Import] = []
         self.funcs: list[_Func] = []                  # local functions only
         self.mem_min = 0
@@ -145,11 +147,9 @@ class WasmModule:
                 for _ in range(r.u32()):
                     if r.u8() != 0x60:
                         raise WasmError("bad functype")
-                    n_params = r.u32()
-                    r.bytes_(n_params)
-                    n_results = r.u32()
-                    r.bytes_(n_results)
-                    self.types.append((n_params, n_results))
+                    params = bytes(r.bytes_(r.u32()))
+                    results = bytes(r.bytes_(r.u32()))
+                    self.types.append((params, results))
             elif sec_id == 2:                         # imports
                 for _ in range(r.u32()):
                     mod, name = r.name(), r.name()
@@ -353,7 +353,8 @@ class _Instance:
 
     def _bind_host(self, im: _Import):
         key = (im.module, im.name)
-        n_params, n_results = self.m.types[im.type_idx]
+        params, results = self.m.types[im.type_idx]
+        n_params, n_results = len(params), len(results)
         table = {
             ("wasi_snapshot_preview1", "fd_read"): self._fd_read,
             ("wasi_snapshot_preview1", "fd_write"): self._fd_write,
@@ -447,7 +448,7 @@ class _Instance:
             fn, n_params, _ = self.host[func_idx]
             return fn(*args)
         f = self.m.funcs[func_idx - n_imp]
-        n_params, n_results = self.m.types[f.type_idx]
+        n_results = len(self.m.types[f.type_idx][1])
         locals_ = list(args) + [0] * sum(f.locals)
         stack = self._exec(f, locals_)
         return stack[-n_results:] if n_results else []
@@ -515,7 +516,7 @@ class _Instance:
             elif op == 0x0F:                          # return
                 break
             elif op == 0x10:                          # call
-                n_p, _ = self._func_type(imm)
+                n_p = len(self._func_type(imm)[0])
                 args = st[len(st) - n_p:] if n_p else []
                 del st[len(st) - n_p:]
                 st.extend(self.call(imm, args))
@@ -525,9 +526,12 @@ class _Instance:
                 if k >= len(self.table) or self.table[k] is None:
                     raise WasmTrap(f"call_indirect: null/oob table entry {k}")
                 target = self.table[k]
+                # full valtype-byte comparison, not arity counts: a table
+                # entry of matching arity but different param/result types
+                # must trap exactly like wasmtime does
                 if self._func_type(target) != self.m.types[type_idx]:
                     raise WasmTrap("call_indirect: signature mismatch")
-                n_p, _ = self._func_type(target)
+                n_p = len(self._func_type(target)[0])
                 args = st[len(st) - n_p:] if n_p else []
                 del st[len(st) - n_p:]
                 st.extend(self.call(target, args))
@@ -543,9 +547,13 @@ class _Instance:
                 st.append(int.from_bytes(mem[a:a + 4], "little"))
             elif op == 0x29:                          # i64.load
                 a = st.pop() + imm
+                if a + 8 > len(mem):
+                    raise WasmTrap("oob load")
                 st.append(int.from_bytes(mem[a:a + 8], "little"))
             elif op == 0x2C:                          # i32.load8_s
                 a = st.pop() + imm
+                if a >= len(mem):
+                    raise WasmTrap("oob load")
                 v = mem[a]
                 st.append((v - 256 if v & 0x80 else v) & _M32)
             elif op == 0x2D:                          # i32.load8_u
@@ -555,10 +563,14 @@ class _Instance:
                 st.append(mem[a])
             elif op == 0x2E:                          # i32.load16_s
                 a = st.pop() + imm
+                if a + 2 > len(mem):
+                    raise WasmTrap("oob load")
                 v = int.from_bytes(mem[a:a + 2], "little")
                 st.append((v - 65536 if v & 0x8000 else v) & _M32)
             elif op == 0x2F:                          # i32.load16_u
                 a = st.pop() + imm
+                if a + 2 > len(mem):
+                    raise WasmTrap("oob load")
                 st.append(int.from_bytes(mem[a:a + 2], "little"))
             elif op == 0x36:                          # i32.store
                 v, a = st.pop(), st.pop() + imm
@@ -567,6 +579,8 @@ class _Instance:
                 mem[a:a + 4] = (v & _M32).to_bytes(4, "little")
             elif op == 0x37:                          # i64.store
                 v, a = st.pop(), st.pop() + imm
+                if a + 8 > len(mem):
+                    raise WasmTrap("oob store")
                 mem[a:a + 8] = (v & _M64).to_bytes(8, "little")
             elif op == 0x3A:                          # i32.store8
                 v, a = st.pop(), st.pop() + imm
@@ -575,6 +589,8 @@ class _Instance:
                 mem[a] = v & 0xFF
             elif op == 0x3B:                          # i32.store16
                 v, a = st.pop(), st.pop() + imm
+                if a + 2 > len(mem):
+                    raise WasmTrap("oob store")
                 mem[a:a + 2] = (v & 0xFFFF).to_bytes(2, "little")
             elif op == 0x3F:                          # memory.size
                 st.append(len(mem) // PAGE)
@@ -627,13 +643,19 @@ class _Instance:
                 pass
             elif op == 0xFC and imm == 11:            # memory.fill
                 n, v, d = st.pop(), st.pop(), st.pop()
+                if d + n > len(mem):
+                    raise WasmTrap("oob memory.fill")
                 mem[d:d + n] = bytes([v & 0xFF]) * n
             elif op == 0xFC and imm == 10:            # memory.copy
                 n, s_, d = st.pop(), st.pop(), st.pop()
+                if d + n > len(mem) or s_ + n > len(mem):
+                    raise WasmTrap("oob memory.copy")
                 mem[d:d + n] = mem[s_:s_ + n]
             # -- i64 partial-width loads/stores (Rust memcpy lowering) ------
             elif op == 0x30:                          # i64.load8_s
                 a = st.pop() + imm
+                if a >= len(mem):
+                    raise WasmTrap("oob load")
                 v = mem[a]
                 st.append((v - 256 if v & 0x80 else v) & _M64)
             elif op == 0x31:                          # i64.load8_u
@@ -643,26 +665,40 @@ class _Instance:
                 st.append(mem[a])
             elif op == 0x32:                          # i64.load16_s
                 a = st.pop() + imm
+                if a + 2 > len(mem):
+                    raise WasmTrap("oob load")
                 v = int.from_bytes(mem[a:a + 2], "little")
                 st.append((v - 65536 if v & 0x8000 else v) & _M64)
             elif op == 0x33:                          # i64.load16_u
                 a = st.pop() + imm
+                if a + 2 > len(mem):
+                    raise WasmTrap("oob load")
                 st.append(int.from_bytes(mem[a:a + 2], "little"))
             elif op == 0x34:                          # i64.load32_s
                 a = st.pop() + imm
+                if a + 4 > len(mem):
+                    raise WasmTrap("oob load")
                 v = int.from_bytes(mem[a:a + 4], "little")
                 st.append((v - (1 << 32) if v & 0x80000000 else v) & _M64)
             elif op == 0x35:                          # i64.load32_u
                 a = st.pop() + imm
+                if a + 4 > len(mem):
+                    raise WasmTrap("oob load")
                 st.append(int.from_bytes(mem[a:a + 4], "little"))
             elif op == 0x3C:                          # i64.store8
                 v, a = st.pop(), st.pop() + imm
+                if a >= len(mem):
+                    raise WasmTrap("oob store")
                 mem[a] = v & 0xFF
             elif op == 0x3D:                          # i64.store16
                 v, a = st.pop(), st.pop() + imm
+                if a + 2 > len(mem):
+                    raise WasmTrap("oob store")
                 mem[a:a + 2] = (v & 0xFFFF).to_bytes(2, "little")
             elif op == 0x3E:                          # i64.store32
                 v, a = st.pop(), st.pop() + imm
+                if a + 4 > len(mem):
+                    raise WasmTrap("oob store")
                 mem[a:a + 4] = (v & _M32).to_bytes(4, "little")
             # -- sign-extension ops (Rust sign_ext feature, on by default) --
             elif op == 0xC0:                          # i32.extend8_s
@@ -785,12 +821,13 @@ class _Instance:
                     st.append(_trunc_sat(v, 0, _M64))
             else:
                 raise WasmTrap(f"unsupported opcode {op:#x} "
-                               f"(tables/SIMD are outside the built-in "
+                               f"(SIMD, reference-type/table-mutation ops "
+                               f"and multi-value are outside the built-in "
                                f"interpreter's subset; install wasmtime)")
             pc += 1
         return st
 
-    def _func_type(self, func_idx: int) -> tuple[int, int]:
+    def _func_type(self, func_idx: int) -> tuple[bytes, bytes]:
         n_imp = self.m.n_imported_funcs()
         if func_idx < n_imp:
             return self.m.types[self.m.imports[func_idx].type_idx]
@@ -1021,8 +1058,11 @@ def _parsed_module(wasm_bytes: bytes) -> WasmModule:
 def wasi_run(wasm_bytes: bytes, stdin: bytes) -> bytes:
     """Run a WASI command module: stdin in, stdout out (fresh instance).
 
-    Uses wasmtime when importable (full spec, runs the reference's Rust-built
-    example); otherwise the built-in interpreter (integer subset)."""
+    Uses wasmtime when importable (full spec); otherwise the built-in
+    interpreter, whose subset covers MVP integer/float ops, sign-extension,
+    trunc-sat, funcref tables/call_indirect and the WASI stdio imports —
+    enough to run the reference's Rust-built example module.  Unsupported:
+    SIMD, reference-type/table-mutation ops, multi-value."""
     if _have_wasmtime():
         return _wasmtime_run(wasm_bytes, stdin)
     return _parsed_module(wasm_bytes).run_wasi(stdin)

@@ -389,39 +389,49 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     Both paths produce identical min-id labels, which is what the oracle
     checks.
+
+    NOTE: NOT lazy — choosing the path requires the pair count, so merely
+    calling this runs Spark jobs (count(), plus collect() on the driver
+    path).  Callers building plans speculatively should defer the call.
     """
     raw = pairs.select("id_a", "id_b").persist()
-    n_pairs = raw.count()
-    if n_pairs <= DRIVER_CC_MAX_PAIRS:
-        spark = pairs.sparkSession
-        id_type = pairs.schema["id_a"].dataType
-        labels = _driver_union_find([tuple(r) for r in raw.collect()])
+    try:
+        n_pairs = raw.count()
+        if n_pairs <= DRIVER_CC_MAX_PAIRS:
+            spark = pairs.sparkSession
+            id_type = pairs.schema["id_a"].dataType
+            labels = _driver_union_find([tuple(r) for r in raw.collect()])
+            schema = T_.StructType([T_.StructField("node", id_type),
+                                    T_.StructField("cluster_id", id_type)])
+            return spark.createDataFrame(labels, schema)
+        edges = (raw.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+                 .unionAll(raw.select(F.col("id_b").alias("src"),
+                                      F.col("id_a").alias("dst")))
+                 .persist())
+        try:
+            labels = (edges.select(F.col("src").alias("node")).distinct()
+                      .withColumn("cluster_id", F.col("node")))
+            for _ in range(max_iterations):
+                prop = (edges.join(labels, edges.src == labels.node)
+                        .select(F.col("dst").alias("node"),
+                                F.col("cluster_id")))
+                new_labels = (labels.unionAll(prop).groupBy("node")
+                              .agg(F.min("cluster_id").alias("cluster_id"))
+                              .localCheckpoint(eager=True))
+                changed = (new_labels.alias("n")
+                           .join(labels.alias("o"), "node")
+                           .filter(F.col("n.cluster_id") !=
+                                   F.col("o.cluster_id"))
+                           .count())
+                labels = new_labels
+                if changed == 0:
+                    break
+            return labels
+        finally:
+            edges.unpersist()
+    finally:
         raw.unpersist()
-        schema = T_.StructType([T_.StructField("node", id_type),
-                                T_.StructField("cluster_id", id_type)])
-        return spark.createDataFrame(labels, schema)
-    edges = (raw.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .unionAll(raw.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst")))
-             .persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("cluster_id", F.col("node")))
-    for _ in range(max_iterations):
-        prop = (edges.join(labels, edges.src == labels.node)
-                .select(F.col("dst").alias("node"), F.col("cluster_id")))
-        new_labels = (labels.unionAll(prop).groupBy("node")
-                      .agg(F.min("cluster_id").alias("cluster_id"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    raw.unpersist()
-    return labels
 
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

@@ -55,11 +55,27 @@ for _i in range(256):
     _CRC64_TABLE.append(_c)
 
 
+class Crc64Xz:
+    """Incremental CRC-64/XZ, so a streaming writer can checksum a
+    collection without ever holding its concatenated docs in memory."""
+    __slots__ = ("_crc",)
+
+    def __init__(self):
+        self._crc = 0xFFFFFFFFFFFFFFFF
+
+    def update(self, data: bytes) -> "Crc64Xz":
+        crc = self._crc
+        for b in data:
+            crc = _CRC64_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        self._crc = crc
+        return self
+
+    def digest(self) -> int:
+        return self._crc ^ 0xFFFFFFFFFFFFFFFF
+
+
 def crc64_xz(data: bytes) -> int:
-    crc = 0xFFFFFFFFFFFFFFFF
-    for b in data:
-        crc = _CRC64_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
-    return crc ^ 0xFFFFFFFFFFFFFFFF
+    return Crc64Xz().update(data).digest()
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +378,45 @@ def build_archive_raw(collections: dict[str, list[bytes]], db: str = "dump",
         blocks.append(Block(hdr_ns, db, c, False, 0, list(raw)))
         blocks.append(Block(ftr_ns, db, c, True, signed, []))
     return serialize_archive(Archive(encode_document(hdr), metadata, blocks))
+
+
+def write_archive_stream(path: str, collections: "dict[str, object]",
+                         db: str = "dump",
+                         header: dict | None = None) -> int:
+    """Stream an archive to `path` from per-collection ITERABLES of
+    already-encoded BSON doc bytes.  Byte-for-byte identical to writing
+    `build_archive_raw(...)`, but driver memory is bounded by ONE doc at a
+    time (CRC64 accumulates incrementally) — the shape that scales to a
+    collection larger than driver memory, e.g. docs arriving from
+    `DataFrame.toLocalIterator()`.  Returns the number of docs written."""
+    hdr = header or {"concurrent_collections": 1, "version": "0.1",
+                     "server_version": "5.0.6", "tool_version": "100.5.2"}
+    n_docs = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(encode_document(hdr))
+        for c in collections:
+            f.write(encode_document({
+                "db": db, "collection": c,
+                "metadata": json.dumps({"indexes": [], "collectionName": c,
+                                        "type": "collection"}),
+                "size": 0, "type": "collection"}))
+        f.write(SEPARATOR)
+        for c, docs in collections.items():
+            f.write(encode_document({"db": db, "collection": c,
+                                     "EOF": False, "CRC": Int64(0)}))
+            crc = Crc64Xz()
+            for d in docs:
+                crc.update(d)
+                f.write(d)
+                n_docs += 1
+            f.write(SEPARATOR)
+            total = crc.digest()
+            signed = total - (1 << 64) if total >= (1 << 63) else total
+            f.write(encode_document({"db": db, "collection": c,
+                                     "EOF": True, "CRC": Int64(signed)}))
+            f.write(SEPARATOR)
+    return n_docs
 
 
 def build_archive(collections: dict[str, list[dict]], db: str = "dump",

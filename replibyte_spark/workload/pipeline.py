@@ -229,19 +229,42 @@ register(Query("insert_parallel_roundtrip", insert_parallel_roundtrip,
                tags=("pipeline", "parser")))
 
 
+def _dataset_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content key for a parquet table: file names + sizes + mtimes.
+    Keys the fixture cache so a regenerated dataset at the same path never
+    silently reuses a stale fixture (which would hash-fail confusingly)."""
+    import hashlib
+    import os
+
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(target):
+        for root, _dirs, files in os.walk(target):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(target):
+        st = os.stat(target)
+        parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _archive_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir) a mongodump --archive fixture from the
-    customer table.  Per-document BSON encoding runs ON EXECUTORS (pandas
-    UDF); the driver collects only the compact encoded bytes and does the
-    cheap header/footer/CRC assembly — so the gate's measured cost is the
-    distributed READER, not driver-side serialization of raw rows."""
+    """Build (once per dataset CONTENT, not just path) a mongodump
+    --archive fixture from the customer table.  Per-document BSON encoding
+    runs ON EXECUTORS (pandas UDF); the driver STREAMS the encoded docs to
+    disk via toLocalIterator + write_archive_stream with an incremental
+    CRC, holding one partition of compact BSON bytes at a time — never the
+    full table — so the assembly step scales to collections larger than
+    driver memory and the gate's measured cost is the distributed READER."""
     import os
     import tempfile
 
-    from ..sources.mongo_archive import (build_archive_raw, parse_archive,
-                                         serialize_archive)
+    from ..sources.mongo_archive import (parse_archive, serialize_archive,
+                                         write_archive_stream)
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = (sf_dir.strip("/").replace("/", "_") + "_"
+           + _dataset_fingerprint(sf_dir, "customer"))
     path = os.path.join(tempfile.gettempdir(),
                         f"rs_gate_archive_{tag}", "dump.archive")
     if os.path.exists(path):
@@ -257,17 +280,20 @@ def _archive_fixture(spark: SparkSession, sf_dir: str) -> str:
             for k, n, s, b in zip(custkey, name, seg, bal)])
 
     cust = load_table(spark, sf_dir, "customer")
-    rows = (cust.select(F.col("c_custkey"),
-                        enc("c_custkey", "c_name", "c_mktsegment",
-                            "c_acctbal").alias("bson"))
-            .collect())
-    raw = [r.bson for r in sorted(rows, key=lambda r: r.c_custkey)]
-    archive = build_archive_raw({"customers": raw}, db="tpch")
-    assert serialize_archive(parse_archive(archive)) == archive
+    docs = (cust.orderBy("c_custkey")
+            .select(enc("c_custkey", "c_name", "c_mktsegment",
+                        "c_acctbal").alias("bson")))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(archive)
+    write_archive_stream(tmp, {"customers": (
+        r.bson for r in docs.toLocalIterator(prefetchPartitions=True))},
+        db="tpch")
+    # parse→serialize identity check, bounded: skipped above 32 MB where
+    # re-reading the file into driver memory would defeat the streaming
+    if os.path.getsize(tmp) <= 32 * 1024 * 1024:
+        with open(tmp, "rb") as fh:
+            archive = fh.read()
+        assert serialize_archive(parse_archive(archive)) == archive
     os.replace(tmp, path)
     return path
 

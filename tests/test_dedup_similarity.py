@@ -166,16 +166,51 @@ def test_bucketed_near_dup_subset_and_recall(spark):
 
 
 def test_ivf_plan_has_no_global_window(spark, sf_dir):
-    """The default centroid path must compile to a per-partition top-k
-    (TakeOrderedAndProject), not a single-partition Window over the corpus."""
+    """Centroid selection must compile to a per-partition top-k
+    (TakeOrderedAndProject), not a single-partition Window — checked on
+    default_centroids itself since round 5, when the selected set became
+    driver-inlined literals.  The search plan must then be free of BOTH a
+    single-partition Window AND any crossJoin row amplification: corpus
+    assignment is an argmax projection riding the scan."""
     import re
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cent_plan = (S.default_centroids(emb, 16)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in cent_plan
+    assert not re.search(r"Window .*SinglePartition", cent_plan)
     plan = (S.ivf_topk(emb, queries, k=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert not re.search(r"Window .*SinglePartition", plan)
-    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_materialized_ann_index_roundtrip(spark, sf_dir, tmp_path):
+    """build_ann_index → load_ann_index must (a) round-trip the centroid
+    sidecar exactly, (b) expose the precomputed bucket/cell/norm columns,
+    and (c) make lsh_topk/ivf_topk over the INDEXED corpus return exactly
+    the from-raw results — the skip-recompute path cannot drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "annidx")
+    cents = S.build_ann_index(emb, path, bits=6, n_centroids=8, dim=64)
+    corpus, cents2 = S.load_ann_index(spark, path)
+    assert cents == cents2
+    assert {"bucket", "centroid_id", "norm"} <= set(corpus.columns)
+
+    raw = sorted(map(tuple, S.lsh_topk(emb, queries, k=3, bits=6,
+                                       dim=64).collect()))
+    idx = sorted(map(tuple, S.lsh_topk(corpus, queries, k=3, bits=6,
+                                       dim=64).collect()))
+    assert raw == idx and raw
+
+    raw = sorted(map(tuple, S.ivf_topk(emb, queries, k=3,
+                                       n_centroids=8).collect()))
+    idx = sorted(map(tuple, S.ivf_topk(corpus, queries, k=3, n_centroids=8,
+                                       centroids=cents2).collect()))
+    assert raw == idx and raw
 
 
 def test_bucketed_near_dup_plan_has_no_cross_join(spark, sf_dir):
@@ -222,6 +257,38 @@ def test_near_dup_clusters_distributed_path_matches_union_find(
             for r in DD.near_dup_clusters(pairs).collect()}
     assert fast == slow
     assert slow[24] == 20 and slow[11] == 1
+
+
+def test_near_dup_clusters_distributed_branch_above_threshold(spark):
+    """Force the distributed min-label-propagation branch THROUGH the
+    product path — a pair count just above DRIVER_CC_MAX_PAIRS, no
+    monkeypatching — on a multi-component, diameter-5 graph (40,001
+    disjoint 6-node chains).  Locks (a) label equality with union-find,
+    (b) bounded round count: max_iterations=7 (5-hop diameter + one
+    convergence-detection round) must suffice, so a propagation slowdown
+    or an off-by-one in the fixpoint shows up as wrong labels here."""
+    n_comp = DD.DRIVER_CC_MAX_PAIRS // 5 + 1          # 5 edges per chain
+    edges = (spark.range(n_comp)
+             .selectExpr("id as c", "explode(sequence(0, 4)) as j")
+             .selectExpr("c * 8 + j as id_a", "c * 8 + j + 1 as id_b"))
+    n_pairs = edges.count()
+    assert n_pairs > DD.DRIVER_CC_MAX_PAIRS           # distributed branch
+
+    labels = DD.near_dup_clusters(edges, max_iterations=7)
+    # closed form: every chain's min node is its component's base (c*8) —
+    # exactly what union-find computes for these edge lists
+    wrong = labels.filter(
+        F.col("cluster_id") != F.col("node") - F.col("node") % 8).count()
+    assert wrong == 0
+    assert labels.count() == n_comp * 6
+
+    # spot-check literal union-find equality on a driver-sized slice
+    sample = [(r.id_a, r.id_b) for r in
+              edges.filter(F.col("id_a") < 8 * 500).collect()]
+    uf = dict(DD._driver_union_find(sample))
+    got = {r.node: r.cluster_id for r in
+           labels.filter(F.col("node") < 8 * 500).collect()}
+    assert got == uf
 
 
 def test_lloyd_refinement_improves_quantization(spark):

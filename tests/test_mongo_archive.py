@@ -14,9 +14,10 @@ import re
 import pytest
 
 from replibyte_spark.sources.mongo_archive import (
-    Binary, Int64, ObjectId, UTCDatetime, build_archive, crc64_xz,
-    decode_document, doc_to_json, encode_document, parse_archive,
-    read_mongo_archive, serialize_archive,
+    Binary, Crc64Xz, Int64, ObjectId, UTCDatetime, build_archive,
+    build_archive_raw, crc64_xz, decode_document, doc_to_json,
+    encode_document, parse_archive, read_mongo_archive, serialize_archive,
+    write_archive_stream,
 )
 
 
@@ -29,6 +30,32 @@ def _golden_bytes() -> bytes:
 def test_crc64_xz_known_vector():
     # CRC-64/XZ check value for "123456789" (ECMA-182 reflected)
     assert crc64_xz(b"123456789") == 0x995DC9BBDF1939FA
+
+
+def test_incremental_crc_matches_one_shot():
+    data = bytes(range(256)) * 7
+    inc = Crc64Xz()
+    for i in range(0, len(data), 13):          # odd chunk size on purpose
+        inc.update(data[i:i + 13])
+    assert inc.digest() == crc64_xz(data)
+
+
+def test_write_archive_stream_byte_identical(tmp_path):
+    """The streaming writer (iterator in, incremental CRC, bounded driver
+    memory) must produce the exact bytes build_archive_raw assembles
+    in-memory — including the empty-collection footer."""
+    docs_a = [encode_document({"_id": i, "v": "x" * i}) for i in range(40)]
+    docs_b = [encode_document({"_id": i}) for i in range(3)]
+    colls = {"aa": docs_a, "bb": docs_b, "empty": []}
+    ref = build_archive_raw(colls, db="tpch")
+    out = tmp_path / "stream.archive"
+    n = write_archive_stream(str(out), {c: iter(d) for c, d in colls.items()},
+                             db="tpch")
+    assert n == 43
+    got = out.read_bytes()
+    assert got == ref
+    parsed = parse_archive(got)                # CRC verify on read
+    assert sum(len(v) for v in parsed.collections().values()) == 43
 
 
 def test_bson_roundtrip_all_types():

@@ -245,6 +245,63 @@ def test_interpreter_runs_reference_rust_module():
         ["olleh", None, "321cba"]
 
 
+def build_call_indirect_module() -> bytes:
+    """Two table entries with the SAME arity but different param types:
+    f0: (i32)->i32 identity, f1: (f32)->i32 const.  `go(v, idx)` does
+    call_indirect with type (i32)->i32 — entry 1 must trap (signature
+    mismatch on valtypes, not arity)."""
+    F32 = 0x7D
+    t0 = bytes([0x60]) + _vec([bytes([I32])]) + _vec([bytes([I32])])
+    t1 = bytes([0x60]) + _vec([bytes([F32])]) + _vec([bytes([I32])])
+    t_go = bytes([0x60]) + _vec([bytes([I32])] * 2) + _vec([bytes([I32])])
+    f0 = _vec([]) + bytes([GET]) + _u(0) + bytes([END])
+    f1 = _vec([]) + _i32(7) + bytes([END])
+    go = (_vec([]) + bytes([GET]) + _u(0) + bytes([GET]) + _u(1)
+          + bytes([0x11]) + _u(0) + _u(0) + bytes([END]))  # call_indirect t0
+    elem = b"\x00" + _i32(0) + bytes([END]) + _vec([_u(0), _u(1)])
+    return (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t0, t1, t_go]))
+            + _sec(3, _vec([_u(0), _u(1), _u(2)]))
+            + _sec(4, _vec([b"\x70\x00" + _u(2)]))
+            + _sec(7, _vec([_name("go") + b"\x00" + _u(2)]))
+            + _sec(9, _vec([elem]))
+            + _sec(10, _vec([_u(len(b)) + b for b in (f0, f1, go)])))
+
+
+def test_call_indirect_checks_valtypes_not_arity():
+    mod = W.WasmModule(build_call_indirect_module())
+    inst = W._Instance(mod, b"")
+    assert inst.call(mod.exports["go"][1], [5, 0]) == [5]
+    with pytest.raises(W.WasmTrap, match="signature mismatch"):
+        W._Instance(mod, b"").call(mod.exports["go"][1], [5, 1])
+
+
+def build_oob_module() -> bytes:
+    """One 64 KiB page; `peek` reads 4 bytes starting 2 bytes before the
+    end (partial oob), `poke` writes 8 bytes starting 6 bytes before the
+    end — both must trap, not silently truncate."""
+    t_peek = bytes([0x60]) + _vec([]) + _vec([bytes([0x7E])])   # ()->i64
+    t_poke = bytes([0x60]) + _vec([]) + _vec([])
+    peek = _vec([]) + _i32(65534) + _mem(0x35) + bytes([END])   # i64.load32_u
+    poke = (_vec([]) + _i32(65530) + _i32(1) + bytes([0xAD])    # extend_i32_u
+            + _mem(0x37) + bytes([END]))                        # i64.store
+    return (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t_peek, t_poke]))
+            + _sec(3, _vec([_u(0), _u(1)]))
+            + _sec(5, _vec([b"\x00" + _u(1)]))
+            + _sec(7, _vec([_name("peek") + b"\x00" + _u(0),
+                            _name("poke") + b"\x00" + _u(1)]))
+            + _sec(10, _vec([_u(len(b)) + b for b in (peek, poke)])))
+
+
+def test_partial_width_memory_ops_trap_out_of_bounds():
+    mod = W.WasmModule(build_oob_module())
+    with pytest.raises(W.WasmTrap, match="oob load"):
+        W._Instance(mod, b"").call(mod.exports["peek"][1], [])
+    with pytest.raises(W.WasmTrap, match="oob store"):
+        W._Instance(mod, b"").call(mod.exports["poke"][1], [])
+
+
 def test_interpreter_rejects_module_without_start():
     wasm = build_reverse_wasm()
     mod = W.WasmModule(wasm)
