@@ -369,6 +369,68 @@ def _driver_union_find(rows) -> "list[tuple]":
     return [(node, comp_min[find(node)]) for node in parent]
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node attaches its STRICTLY LARGER
+    neighbors to the minimum of its neighborhood (self included).  Input
+    and output edges are oriented (a > b); output stays oriented because
+    the emitted edge (v, m) has v > u ≥ m."""
+    sym = edges.unionAll(edges.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+    m = (sym.groupBy("a").agg(F.min("b").alias("mb"))
+         .select("a", F.least("mb", "a").alias("m")))
+    return (sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node attaches its smaller neighbors
+    (its out-neighbors, since edges are oriented a > b) to the minimum
+    among them, and keeps its own edge to that minimum."""
+    m = edges.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (edges.join(m, "a")
+             .filter(F.col("b") != F.col("m"))
+             .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    kept = m.select("a", F.col("m").alias("b"))
+    return moved.unionAll(kept).distinct()
+
+
+def star_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(node, cluster_id) connected components via alternating large-star /
+    small-star — O(log n) rounds regardless of component diameter, vs
+    min-label propagation's O(diameter).  The distributed branch of
+    :func:`near_dup_clusters`.
+
+    Each round is two bounded-shuffle aggregations over the current edge
+    set; `localCheckpoint` per round caps lineage.  Convergence = the
+    (count, xxhash64-sum) fingerprint of the oriented edge set repeats,
+    at which point every edge is (node, component-min) — a star."""
+    edges = (pairs.select(
+        F.greatest(F.col("id_a"), F.col("id_b")).alias("a"),
+        F.least(F.col("id_a"), F.col("id_b")).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True))
+    prev = None
+    for _ in range(max_iterations):
+        edges = (_small_star(_large_star(edges))
+                 .localCheckpoint(eager=True))
+        fp = edges.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.xxhash64("a", "b")).alias("h")).collect()[0]
+        cur = (fp["n"], fp["h"])
+        if cur == prev:
+            break
+        prev = cur
+    roots = (edges.select(F.col("b").alias("node"))
+             .subtract(edges.select(F.col("a").alias("node")))
+             .withColumn("cluster_id", F.col("node")))
+    return (edges.select(F.col("a").alias("node"),
+                         F.col("b").alias("cluster_id"))
+            .unionAll(roots))
+
+
 def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """(node, cluster_id) connected components of a near-dup pair graph;
     `cluster_id` is the MIN doc id in the component.
@@ -380,12 +442,10 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
       collect of the pair list — megabytes), zero shuffle rounds.  At
       fixture scale the distributed fixpoint spent ~2 s of scheduling on a
       ~10²-edge graph; union-find answers in microseconds.
-    - larger graphs → min-label propagation: each round pushes every node's
-      label to its neighbors and keeps the minimum — rounds = component
-      diameter, and near-dup components are shallow (dups of dups of the
-      same source), so a handful of shuffles closes the graph.
-      `localCheckpoint` per round bounds lineage.  At extreme diameters the
-      alternating large-star/small-star algorithm is the drop-in upgrade.
+    - larger graphs → :func:`star_components` (alternating large-star /
+      small-star, round 5 — replaced min-label propagation): O(log n)
+      rounds instead of O(component diameter), so a pathological chain of
+      near-dups cannot stretch the round count.
 
     Both paths produce identical min-id labels, which is what the oracle
     checks.
@@ -404,32 +464,7 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             schema = T_.StructType([T_.StructField("node", id_type),
                                     T_.StructField("cluster_id", id_type)])
             return spark.createDataFrame(labels, schema)
-        edges = (raw.select(F.col("id_a").alias("src"),
-                            F.col("id_b").alias("dst"))
-                 .unionAll(raw.select(F.col("id_b").alias("src"),
-                                      F.col("id_a").alias("dst")))
-                 .persist())
-        try:
-            labels = (edges.select(F.col("src").alias("node")).distinct()
-                      .withColumn("cluster_id", F.col("node")))
-            for _ in range(max_iterations):
-                prop = (edges.join(labels, edges.src == labels.node)
-                        .select(F.col("dst").alias("node"),
-                                F.col("cluster_id")))
-                new_labels = (labels.unionAll(prop).groupBy("node")
-                              .agg(F.min("cluster_id").alias("cluster_id"))
-                              .localCheckpoint(eager=True))
-                changed = (new_labels.alias("n")
-                           .join(labels.alias("o"), "node")
-                           .filter(F.col("n.cluster_id") !=
-                                   F.col("o.cluster_id"))
-                           .count())
-                labels = new_labels
-                if changed == 0:
-                    break
-            return labels
-        finally:
-            edges.unpersist()
+        return star_components(raw, max_iterations)
     finally:
         raw.unpersist()
 
