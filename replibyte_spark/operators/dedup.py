@@ -406,7 +406,19 @@ def star_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Each round is two bounded-shuffle aggregations over the current edge
     set; `localCheckpoint` per round caps lineage.  Convergence = the
     (count, xxhash64-sum) fingerprint of the oriented edge set repeats,
-    at which point every edge is (node, component-min) — a star."""
+    at which point every edge is (node, component-min) — a star.  If the
+    fingerprint never repeats within `max_iterations`, raises rather than
+    returning a non-star edge set (which would yield MULTIPLE conflicting
+    labels per node — silent corruption, unlike propagation's stale-but-
+    single labels).  O(log n) rounds means the default 20 covers any graph
+    that fits in 2^20-deep id space; hitting the cap indicates a bug, not
+    a big graph.
+
+    Self-pairs (x, x) label x with itself, matching the union-find branch.
+    """
+    selfs = (pairs.filter(F.col("id_a") == F.col("id_b"))
+             .select(F.col("id_a").alias("node"))
+             .withColumn("cluster_id", F.col("node")))
     edges = (pairs.select(
         F.greatest(F.col("id_a"), F.col("id_b")).alias("a"),
         F.least(F.col("id_a"), F.col("id_b")).alias("b"))
@@ -414,6 +426,7 @@ def star_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True))
     prev = None
+    converged = False
     for _ in range(max_iterations):
         edges = (_small_star(_large_star(edges))
                  .localCheckpoint(eager=True))
@@ -421,14 +434,23 @@ def star_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                        F.sum(F.xxhash64("a", "b")).alias("h")).collect()[0]
         cur = (fp["n"], fp["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"star_components: edge set did not stabilize in "
+            f"{max_iterations} rounds — non-star output would carry "
+            f"conflicting labels; raise max_iterations (log2(n) rounds "
+            f"suffice) or investigate the input graph")
     roots = (edges.select(F.col("b").alias("node"))
              .subtract(edges.select(F.col("a").alias("node")))
              .withColumn("cluster_id", F.col("node")))
     return (edges.select(F.col("a").alias("node"),
                          F.col("b").alias("cluster_id"))
-            .unionAll(roots))
+            .unionAll(roots)
+            .unionAll(selfs)
+            .groupBy("node").agg(F.min("cluster_id").alias("cluster_id")))
 
 
 def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

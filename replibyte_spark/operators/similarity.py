@@ -92,6 +92,18 @@ def hyperplane_coeff(plane: int, i: int, seed: str = "rp") -> float:
     return int(h.translate(_HEX_TO_DIGIT)) / 1000000.0 - 0.5
 
 
+def _lit_dot_sql(vec_col: str, coeffs: "list[float]") -> str:
+    """Σ vec[i]·literal[i] — identical fold shape (and IEEE op order) to
+    dot_sql against a column holding the same doubles, so inlined and
+    joined coefficient dots are bit-equal.  Shared by the RP bucket bits
+    and the IVF centroid argmax, which must never diverge."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in coeffs) + ")"
+    return (f"aggregate(transform(sequence(1, {len(coeffs)}), "
+            f"i -> CAST(element_at({vec_col}, i) AS DOUBLE) * "
+            f"element_at({arr}, i)), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
 def rp_bucket_sql(d: str, vec: str, bits: int = 8, seed: str = "rp",
                   dim: int | None = None) -> str:
     """Random-projection bucket id: `bits` sign bits concatenated.
@@ -105,15 +117,11 @@ def rp_bucket_sql(d: str, vec: str, bits: int = 8, seed: str = "rp",
     bit_exprs = []
     for p in range(bits):
         if dim is not None:
-            cs = [repr(hyperplane_coeff(p, i, seed)) for i in range(1, dim + 1)]
+            coeffs = [hyperplane_coeff(p, i, seed) for i in range(1, dim + 1)]
             if d == D.SPARK:
-                arr = "array(" + ", ".join(f"{c}D" for c in cs) + ")"
-                proj = (f"aggregate(transform(sequence(1, {dim}), "
-                        f"i -> CAST(element_at({vec}, i) AS DOUBLE) * "
-                        f"element_at({arr}, i)), "
-                        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+                proj = _lit_dot_sql(vec, coeffs)
             else:
-                arr = "CAST([" + ", ".join(cs) + "] AS DOUBLE[])"
+                arr = "CAST([" + ", ".join(map(repr, coeffs)) + "] AS DOUBLE[])"
                 proj = (f"list_sum(list_transform(generate_series(1, {dim}), "
                         f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))")
         else:
@@ -154,8 +162,19 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
     # read back from build_ann_index storage) skips the per-query bucket
     # recomputation: at 100 TB the bucket IS the storage layout, computed
     # once at ingest, and a query touches only its probe buckets
-    vb = (vectors if "bucket" in vectors.columns
-          else rp_lsh_buckets(vectors, bits, seed, vec_col, dim))
+    if "bucket" in vectors.columns:
+        # runtime guard, not a silent empty join: an index built with a
+        # different `bits` has different bucket widths, and the equi-join
+        # would return zero neighbors with no hint why.  assert_true rides
+        # a filter (coalesce(null, true) keeps every row) so it cannot be
+        # pruned and costs nothing when the widths agree.
+        vb = vectors.filter(F.coalesce(
+            F.assert_true(F.length("bucket") == F.lit(bits),
+                          F.lit(f"indexed corpus bucket width != bits={bits} "
+                                f"(index built with different bits/seed?)")),
+            F.lit(True)))
+    else:
+        vb = rp_lsh_buckets(vectors, bits, seed, vec_col, dim)
     qb = rp_lsh_buckets(queries, bits, seed, vec_col, dim)
     if multi_probe:
         probes = [F.col("bucket")]
@@ -220,17 +239,6 @@ def _collect_centroids(centroids) -> "list[tuple[str, list[float]]]":
         return centroids
     return [(r.centroid_id, [float(x) for x in r.cv])
             for r in centroids.collect()]
-
-
-def _lit_dot_sql(vec_col: str, coeffs: "list[float]") -> str:
-    """Σ vec[i]·literal[i] — identical fold shape (and IEEE op order) to
-    dot_sql against a column holding the same doubles, so inlined and
-    joined centroid dots are bit-equal."""
-    arr = "array(" + ", ".join(f"{x!r}D" for x in coeffs) + ")"
-    return (f"aggregate(transform(sequence(1, {len(coeffs)}), "
-            f"i -> CAST(element_at({vec_col}, i) AS DOUBLE) * "
-            f"element_at({arr}, i)), "
-            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
 
 def ivf_assign(vectors: DataFrame, n_centroids: int = 16,
@@ -333,17 +341,28 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         centroids = default_centroids(vectors, n_centroids, id_col, vec_col)
     cents = _collect_centroids(centroids)
     if not cents:
+        id_type = vectors.schema[id_col].dataType
         return (queries.select(
             F.col(id_col).alias("query_id"),
-            F.lit(None).cast("bigint").alias("neighbor_id"),
+            F.lit(None).cast(id_type).alias("neighbor_id"),
             F.lit(None).cast("double").alias("cosine"),
             F.lit(None).cast("int").alias("rank")).filter(F.lit(False)))
     # one collect feeds both the corpus assignment and the query probes; a
     # corpus already carrying centroid_id (read back from build_ann_index
     # storage) skips re-assignment — cell membership is the storage layout
-    corpus = (vectors if "centroid_id" in vectors.columns
-              else fan_out(vectors).withColumn(
-                  "centroid_id", F.expr(_assign_expr(vec_col, cents))))
+    if "centroid_id" in vectors.columns:
+        # same guard idea as lsh_topk: cell ids from an index built with a
+        # DIFFERENT centroid set would probe nothing; fail loudly instead
+        corpus = vectors.filter(F.coalesce(
+            F.assert_true(
+                F.col("centroid_id").isin([cid for cid, _ in cents]),
+                F.lit("indexed corpus centroid_id not in the provided "
+                      "centroid set (index built with different "
+                      "centroids?)")),
+            F.lit(True)))
+    else:
+        corpus = fan_out(vectors).withColumn(
+            "centroid_id", F.expr(_assign_expr(vec_col, cents)))
     # query → its n_probe closest centroids as a pure projection over the
     # inlined centroid set: sort struct(-d, centroid_id) ascending = d DESC
     # with centroid_id ASC tie-break (the oracle's row_number order), take
@@ -394,11 +413,18 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     not per-query work; a per-query rebuild scans the whole corpus and
     erases the index's entire advantage).
 
-    `partition_by_bucket=True` adds physical `PARTITIONED BY (bucket)`
-    layout so bucket probes become partition pruning — the 100 TB setting;
-    off by default because at small scale 2^bits directories of tiny files
-    cost more than they save.  Returns the collected centroid list for
-    :func:`ivf_topk` reuse."""
+    `partition_by_bucket=True` adds a physical `PARTITIONED BY
+    (bucket_part)` layout so bucket probes become partition pruning — the
+    100 TB setting; off by default because at small scale 2^bits
+    directories of tiny files cost more than they save.  The partition
+    column is `bucket_part = 'b' || bucket`, NOT the bucket itself:
+    Spark's partition-column type inference would parse an all-digit
+    bucket string like '001100' back as the integer 1100, silently
+    corrupting both type and value — the prefix keeps it a string and the
+    real `bucket` column stays in the data files.  A one-row `meta`
+    parquet records (bits, seed, n_centroids, dim) so readers can check
+    they query with the parameters the index was built with.  Returns the
+    collected centroid list for :func:`ivf_topk` reuse."""
     import os
 
     cents = _collect_centroids(
@@ -411,28 +437,49 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     else:
         indexed = indexed.withColumn(
             "centroid_id", F.lit(None).cast("string"))
-    writer = indexed.write.mode("overwrite")
+    writer_df = indexed
+    writer = writer_df.write.mode("overwrite")
     if partition_by_bucket:
-        writer = writer.partitionBy("bucket")
+        writer_df = indexed.withColumn(
+            "bucket_part", F.concat(F.lit("b"), F.col("bucket")))
+        writer = writer_df.write.mode("overwrite").partitionBy("bucket_part")
     writer.parquet(os.path.join(path, "corpus"))
     spark = vectors.sparkSession
     (spark.createDataFrame(cents, "centroid_id string, cv array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
+    (spark.createDataFrame(
+        [(bits, seed, n_centroids, dim)],
+        "bits int, seed string, n_centroids int, dim int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "meta")))
     return cents
 
 
-def load_ann_index(spark, path: str) -> "tuple[DataFrame, list]":
+def load_ann_index(spark, path: str,
+                   with_centroids: bool = True) -> "tuple[DataFrame, list]":
     """(indexed corpus, collected centroid list) written by
     :func:`build_ann_index`.  The corpus DataFrame carries `bucket`,
     `centroid_id` and `norm`, which :func:`lsh_topk` / :func:`ivf_topk`
-    detect and reuse instead of recomputing."""
+    detect and reuse instead of recomputing.
+
+    `with_centroids=False` skips the sidecar collect (a small Spark job)
+    and returns an empty list — for LSH-only consumers or callers that
+    cache the centroid list across queries."""
     import os
 
     corpus = spark.read.parquet(os.path.join(path, "corpus"))
     cents = _collect_centroids(spark.read.parquet(
-        os.path.join(path, "centroids")))
+        os.path.join(path, "centroids"))) if with_centroids else []
     return corpus, cents
+
+
+def load_ann_index_meta(spark, path: str) -> dict:
+    """The (bits, seed, n_centroids, dim) row recorded at build time."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "meta")).collect()[0] \
+        .asDict()
 
 
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,

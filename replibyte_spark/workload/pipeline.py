@@ -239,10 +239,16 @@ def _dataset_fingerprint(sf_dir: str, table: str) -> str:
     target = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(target):
-        for root, _dirs, files in os.walk(target):
+        # deterministic traversal + relative paths: os.walk's directory
+        # order is filesystem-dependent, and bare filenames collide across
+        # hive partition subdirectories
+        for root, dirs, files in os.walk(target):
+            dirs.sort()
             for fn in sorted(files):
-                st = os.stat(os.path.join(root, fn))
-                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                rel = os.path.relpath(full, target)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(target):
         st = os.stat(target)
         parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")

@@ -90,6 +90,26 @@ _ANN_INDEX_PATHS: dict[str, str] = {}
 _ANN_CENTROIDS: dict[str, list] = {}
 
 
+def _build_cached_dir(final_path: str, build_fn) -> None:
+    """Build a shared-tempdir fixture ATOMICALLY: build into a
+    pid-suffixed sibling, then one os.rename into place — a concurrent
+    process either sees the complete directory or none of it (the same
+    reason _archive_fixture stages through path+'.tmp').  Rename loser
+    discards its copy."""
+    import os
+    import shutil
+
+    if os.path.isdir(final_path):
+        return
+    tmp = f"{final_path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, final_path)
+    except OSError:  # another process renamed first
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ann_index(spark: SparkSession, sf_dir: str):
     import os
     import tempfile
@@ -102,17 +122,31 @@ def _ann_index(spark: SparkSession, sf_dir: str):
     path = _ANN_INDEX_PATHS.get(key)
     if path is None:
         path = os.path.join(tempfile.gettempdir(), f"rs_ann_index_{key}")
-        if not os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
-            emb = load_table(spark, sf_dir, "embeddings")
-            S.build_ann_index(emb, path, bits=BITS,
-                              n_centroids=IVF_CENTROIDS, dim=EMB_DIM)
+        def build(tmp: str) -> None:
+            S.build_ann_index(load_table(spark, sf_dir, "embeddings"), tmp,
+                              bits=BITS, n_centroids=IVF_CENTROIDS,
+                              dim=EMB_DIM)
+
+        _build_cached_dir(path, build)
+        try:
+            meta = S.load_ann_index_meta(spark, path)
+            assert (meta["bits"], meta["n_centroids"]) == \
+                (BITS, IVF_CENTROIDS), f"built with {meta}"
+        except Exception:
+            # unreadable/missing/mismatched meta = stale layout → rebuild
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
+            _build_cached_dir(path, build)
+            meta = S.load_ann_index_meta(spark, path)
+            assert (meta["bits"], meta["n_centroids"]) == \
+                (BITS, IVF_CENTROIDS)
         corpus, cents = S.load_ann_index(spark, path)
         _ANN_INDEX_PATHS[key] = path
         _ANN_CENTROIDS[key] = cents
         return corpus, cents
     # warm path: centroid list cached in-process; only re-open the corpus
-    return (spark.read.parquet(os.path.join(path, "corpus")),
-            _ANN_CENTROIDS[key])
+    corpus, _ = S.load_ann_index(spark, path, with_centroids=False)
+    return corpus, _ANN_CENTROIDS[key]
 
 
 def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,23 +324,23 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
     base = _SCALE_PATHS.get(key)
     if base is None:
         base = os.path.join(tempfile.gettempdir(), f"rs_ann_scale_{key}")
-        amp_path = os.path.join(base, "amplified")
-        if not os.path.exists(os.path.join(amp_path, "_SUCCESS")):
+
+        def build(tmp: str) -> None:
             emb = load_table(spark, sf_dir, "embeddings")
             amp = (emb.withColumn(
                 "r", F.explode(F.sequence(F.lit(0), F.lit(SCALE_MULT - 1))))
                 .select((F.col("vec_id") * SCALE_MULT + F.col("r"))
                         .alias("vec_id"), "embedding"))
+            amp_path = os.path.join(tmp, "amplified")
             amp.write.mode("overwrite").parquet(amp_path)
-        idx_path = os.path.join(base, "index")
-        if not os.path.exists(os.path.join(idx_path, "corpus", "_SUCCESS")):
-            S.build_ann_index(spark.read.parquet(amp_path), idx_path,
-                              bits=BITS, n_centroids=IVF_CENTROIDS,
-                              dim=EMB_DIM)
+            S.build_ann_index(spark.read.parquet(amp_path),
+                              os.path.join(tmp, "index"), bits=BITS,
+                              n_centroids=IVF_CENTROIDS, dim=EMB_DIM)
+
+        _build_cached_dir(base, build)
         _SCALE_PATHS[key] = base
     if key not in _SCALE_CENTROIDS:
-        _, cents = S.load_ann_index(
-            spark, os.path.join(base, "index"))
+        _, cents = S.load_ann_index(spark, os.path.join(base, "index"))
         _SCALE_CENTROIDS[key] = cents
     return base, _SCALE_CENTROIDS[key]
 
@@ -330,7 +364,8 @@ def ann_scale_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are scored — work tracks bucket size, not corpus size."""
     import os
     base, _ = _ann_scale_fixture(spark, sf_dir)
-    corpus = spark.read.parquet(os.path.join(base, "index", "corpus"))
+    corpus, _ = S.load_ann_index(spark, os.path.join(base, "index"),
+                                 with_centroids=False)
     return S.lsh_topk(corpus, _scale_queries(spark, base), k=K, bits=BITS,
                       multi_probe=0, dim=None)
 
@@ -339,7 +374,8 @@ def ann_scale_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF through the materialized index: n_probe cells per query."""
     import os
     base, cents = _ann_scale_fixture(spark, sf_dir)
-    corpus = spark.read.parquet(os.path.join(base, "index", "corpus"))
+    corpus, _ = S.load_ann_index(spark, os.path.join(base, "index"),
+                                 with_centroids=False)
     return S.ivf_topk(corpus, _scale_queries(spark, base), k=K,
                       n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
                       centroids=cents)

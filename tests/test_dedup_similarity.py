@@ -213,6 +213,50 @@ def test_materialized_ann_index_roundtrip(spark, sf_dir, tmp_path):
     assert raw == idx and raw
 
 
+def test_ann_index_partitioned_layout_preserves_bucket_strings(spark, sf_dir,
+                                                               tmp_path):
+    """partition_by_bucket=True must not corrupt the bucket column:
+    partitioning on the raw all-digit bucket string would round-trip
+    through Spark's partition-type inference as an INTEGER with leading
+    zeros stripped ('001100' → 1100).  The layout partitions on a 'b'-
+    prefixed derived column instead, and query results over the
+    partitioned index must equal the unpartitioned ones."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    S.build_ann_index(emb, flat, bits=6, n_centroids=8, dim=64)
+    S.build_ann_index(emb, part, bits=6, n_centroids=8, dim=64,
+                      partition_by_bucket=True)
+    corpus_p, _ = S.load_ann_index(spark, part, with_centroids=False)
+    assert dict(corpus_p.dtypes)["bucket"] == "string"
+    assert corpus_p.filter(F.length("bucket") != 6).count() == 0
+    corpus_f, _ = S.load_ann_index(spark, flat, with_centroids=False)
+    a = sorted(map(tuple, S.lsh_topk(corpus_f, queries, k=3, bits=6,
+                                     dim=64).collect()))
+    b = sorted(map(tuple, S.lsh_topk(corpus_p, queries, k=3, bits=6,
+                                     dim=64).collect()))
+    assert a == b and a
+
+
+def test_indexed_corpus_parameter_mismatch_fails_loudly(spark, sf_dir,
+                                                        tmp_path):
+    """Querying an index with the wrong bits (or foreign centroids) must
+    RAISE, not return silently empty results — the bucket widths / cell
+    ids simply would not join."""
+    import pytest as _pt
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "idx")
+    cents = S.build_ann_index(emb, path, bits=6, n_centroids=8, dim=64)
+    corpus, _ = S.load_ann_index(spark, path, with_centroids=False)
+    with _pt.raises(Exception, match="bucket width"):
+        S.lsh_topk(corpus, queries, k=3, bits=8, dim=64).collect()
+    foreign = [("not-a-real-centroid-id", cv) for _, cv in cents]
+    with _pt.raises(Exception, match="centroid"):
+        S.ivf_topk(corpus, queries, k=3, centroids=foreign).collect()
+
+
 def test_bucketed_near_dup_plan_has_no_cross_join(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = (S.embedding_near_dup_pairs_bucketed(emb, threshold=0.45)
@@ -260,13 +304,13 @@ def test_near_dup_clusters_distributed_path_matches_union_find(
 
 
 def test_near_dup_clusters_distributed_branch_above_threshold(spark):
-    """Force the distributed min-label-propagation branch THROUGH the
-    product path — a pair count just above DRIVER_CC_MAX_PAIRS, no
-    monkeypatching — on a multi-component, diameter-5 graph (40,001
-    disjoint 6-node chains).  Locks (a) label equality with union-find,
-    (b) bounded round count: max_iterations=7 (5-hop diameter + one
-    convergence-detection round) must suffice, so a propagation slowdown
-    or an off-by-one in the fixpoint shows up as wrong labels here."""
+    """Force the distributed star_components branch THROUGH the product
+    path — a pair count just above DRIVER_CC_MAX_PAIRS, no monkeypatching
+    — on a multi-component, diameter-5 graph (40,001 disjoint 6-node
+    chains).  Locks (a) label equality with union-find, (b) bounded round
+    count: max_iterations=7 must suffice (large-star/small-star needs
+    ~log2(diameter) rounds plus the fingerprint-repeat round; exhausting
+    the cap raises instead of returning corrupt labels)."""
     n_comp = DD.DRIVER_CC_MAX_PAIRS // 5 + 1          # 5 edges per chain
     edges = (spark.range(n_comp)
              .selectExpr("id as c", "explode(sequence(0, 4)) as j")
@@ -289,6 +333,29 @@ def test_near_dup_clusters_distributed_branch_above_threshold(spark):
     got = {r.node: r.cluster_id for r in
            labels.filter(F.col("node") < 8 * 500).collect()}
     assert got == uf
+
+
+def test_star_components_self_pairs_and_nonconvergence(spark):
+    """star_components must (a) label a self-paired isolated node with
+    itself — the union-find branch does, and the two branches advertise
+    identical output; (b) RAISE when the round cap is exhausted rather
+    than return a non-star edge set with conflicting labels per node."""
+    import pytest as _pt
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3)], "id_a long, id_b long")
+    labels = {r.node: r.cluster_id
+              for r in DD.star_components(pairs).collect()}
+    assert labels == {7: 7, 1: 1, 2: 1, 3: 1}
+    uf = dict(DD._driver_union_find([(7, 7), (1, 2), (2, 3)]))
+    assert labels == uf
+
+    with _pt.raises(RuntimeError, match="did not stabilize"):
+        # 1 round cannot even produce the first repeated fingerprint
+        DD.star_components(
+            spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_a long, id_b long"),
+            max_iterations=1)
 
 
 def test_lloyd_refinement_improves_quantization(spark):
