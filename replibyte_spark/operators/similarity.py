@@ -71,6 +71,83 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("query_id", "rank"))
 
 
+def brute_force_topk_arrow(vectors: DataFrame, queries: DataFrame,
+                           k: int = 5, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy — the vectorized-Python
+    counterpart of :func:`brute_force_topk`.
+
+    Dense pair scoring is the one workload where Python BEATS the codegen
+    path: the SQL higher-order fold evaluates ~N·Q·dim interpreted lambda
+    steps, while one BLAS matmul per Arrow batch does the same flops at
+    memory bandwidth.  Design: the (small) query matrix is captured in the
+    closure and sent once per task; each corpus partition computes
+    `V @ Q.T`, keeps only its local top-k rows per query (partial top-k —
+    the shuffle carries ≤ k·|Q| rows per partition, never the N·Q score
+    matrix), and a final per-query window merges partitions.  Same
+    semantics as the SQL path: cosine rounded to 6 decimals, ties broken
+    by ascending neighbor id, self-pairs excluded.
+
+    Values can differ from the SQL fold in the last ulp (pairwise/SIMD vs
+    sequential summation) — invisible at 6-decimal rounding except on
+    exact .0000005 boundaries; the equivalence test locks agreement on the
+    fixture corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded: |Q| small
+    if not q_rows:
+        id_type = vectors.schema[id_col].dataType
+        return (vectors.select(
+            F.lit(None).cast(id_type).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank")).filter(F.lit(False)))
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            C = np.round((V / vn) @ Qn.T, 6)          # (n_vec, n_query)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = C[:, j]
+                mask = ids != q_ids[j]                # exclude self-pair
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                # partial top-k via full (score desc, id asc) lexsort —
+                # NOT argpartition, whose selection among rows TIED at the
+                # k-th score is arbitrary and would drop the smallest-id
+                # tied neighbors the contract promises; the sort is
+                # O(rows·log rows) per partition, noise next to the matmul
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                sel = cand_idx[order]
+                out_q.extend([q_ids[j]] * len(sel))
+                out_n.extend(ids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cosine": out_c})
+
+    id_sql = vectors.schema[id_col].dataType.simpleString()
+    scored = fan_out(vectors).mapInPandas(
+        score, schema=f"query_id {id_sql}, neighbor_id {id_sql}, "
+                      f"cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def hyperplane_component_sql(d: str, plane: int, dim_expr: str, seed: str = "rp") -> str:
     """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     a pure function of (seed, plane index, dimension index)."""

@@ -213,6 +213,26 @@ def test_materialized_ann_index_roundtrip(spark, sf_dir, tmp_path):
     assert raw == idx and raw
 
 
+def test_brute_force_arrow_matches_sql_path(spark, sf_dir):
+    """brute_force_topk_arrow (numpy matmul, partition-local top-k) must
+    return exactly the SQL fold path's output — cosine to 6 decimals,
+    identical ranks and tie-breaks — including when a partition holds
+    fewer than k candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = sorted(map(tuple, S.brute_force_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple,
+                   S.brute_force_topk_arrow(emb, queries, k=5).collect()))
+    assert a == b and a
+    # k larger than any single partition's rows: partial top-k still exact
+    small = emb.limit(7).repartition(4)
+    qs = small.limit(2)
+    a = sorted(map(tuple, S.brute_force_topk(small, qs, k=6).collect()))
+    b = sorted(map(tuple, S.brute_force_topk_arrow(small, qs,
+                                                   k=6).collect()))
+    assert a == b
+
+
 def test_ann_index_partitioned_layout_preserves_bucket_strings(spark, sf_dir,
                                                                tmp_path):
     """partition_by_bucket=True must not corrupt the bucket column:
