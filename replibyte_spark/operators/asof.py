@@ -74,10 +74,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
            .select(*keep,
                    F.col("__carry.__rts").alias("__rts"),
                    *[F.col(f"__carry.{c}").alias(c) for c in payload_cols]))
+    # NULL join keys never match (standard join / DuckDB ASOF semantics):
+    # the window partitions NULL keys together, so without this mask a
+    # NULL-keyed left row would pick up a NULL-keyed right row's payload
+    valid = F.col(on).isNotNull()
     if tolerance_seconds is not None:
-        fresh = (F.unix_timestamp(F.col(left_ts)) -
-                 F.unix_timestamp(F.col("__rts"))) <= tolerance_seconds
-        for c in payload_cols:
-            out = out.withColumn(c, F.when(fresh, F.col(c)))
-        out = out.withColumn("__rts", F.when(fresh, F.col("__rts")))
+        # exact integer-microsecond comparison — unix_timestamp() truncates
+        # to whole seconds, mis-deciding sub-second tolerances (and
+        # sub-second timestamp differences) in both directions.  The
+        # cast("timestamp") admits TIMESTAMP_NTZ columns; under the
+        # session's pinned UTC timezone (session.get_spark) it is the
+        # identity epoch mapping, and the DIFFERENCE is offset-free anyway.
+        valid = valid & (
+            (F.unix_micros(F.col(left_ts).cast("timestamp"))
+             - F.unix_micros(F.col("__rts").cast("timestamp")))
+            <= int(tolerance_seconds * 1_000_000))
+    for c in payload_cols:
+        out = out.withColumn(c, F.when(valid, F.col(c)))
+    out = out.withColumn("__rts", F.when(valid, F.col("__rts")))
     return out.withColumnRenamed("__rts", f"{right_ts}{suffix}")

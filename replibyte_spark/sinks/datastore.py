@@ -59,6 +59,12 @@ class DumpInfo:
     # table -> (watermark_col, max_value_as_string) high-water marks
     parent: str | None = None
     watermarks: dict = field(default_factory=dict)
+    # tables this dump contains IN FULL (for an incremental: tables that
+    # were re-dumped whole because no base watermark existed).  restore()
+    # must NOT union the parent chain's copy of these — that duplicates
+    # every row.  Empty on manifests written before round 5 (legacy
+    # incremental chains keep the old union behavior).
+    full_tables: list = field(default_factory=list)
 
 
 class Datastore:
@@ -137,7 +143,18 @@ class Datastore:
             self._migrate()
 
     def _read_manifest(self) -> dict:
-        return json.loads(self._read_bytes(self._manifest_path))
+        try:
+            return json.loads(self._read_bytes(self._manifest_path))
+        except Exception as first:
+            # _write_bytes has an unavoidable instant between
+            # rename(final→bak) and rename(tmp→final) with no final file;
+            # a concurrent reader landing there finds the old manifest at
+            # .bak.  Any other failure re-raises the original error.
+            try:
+                return json.loads(
+                    self._read_bytes(self._manifest_path + ".bak"))
+            except Exception:
+                raise first
 
     def _write_manifest(self, m: dict) -> None:
         payload = json.dumps(m, indent=2, sort_keys=True).encode()
@@ -145,12 +162,20 @@ class Datastore:
 
     def _migrate(self) -> None:
         """Versioned manifest migrations (reference: migration/mod.rs:48-106;
-        rename_backups_to_dumps.rs; update_version_number.rs)."""
+        rename_backups_to_dumps.rs; update_version_number.rs).  Writes ONLY
+        when something actually migrates — init() runs on every read-side
+        call (list/find/restore), and an unconditional rewrite would make
+        pure reads race each other's 3-rename manifest swaps."""
         m = self._read_manifest()
+        changed = False
         if "backups" in m and "dumps" not in m:  # v1 → v2
             m["dumps"] = m.pop("backups")
-        m["v"] = MANIFEST_VERSION
-        self._write_manifest(m)
+            changed = True
+        if m.get("v") != MANIFEST_VERSION:
+            m["v"] = MANIFEST_VERSION
+            changed = True
+        if changed:
+            self._write_manifest(m)
 
     # -- dump (write) ------------------------------------------------------
 
@@ -167,6 +192,7 @@ class Datastore:
         watermark_cols: dict[str, str] | None = None,
         parallel: int = 1,
         _parent: str | None = None,
+        _full_tables: list[str] | None = None,
     ) -> DumpInfo:
         """Write one dump: per-table Parquet + manifest entry.
 
@@ -248,6 +274,8 @@ class Datastore:
             encrypted_column_types=enc_types,
             parent=_parent,
             watermarks=watermarks,
+            full_tables=(sorted(tables) if _full_tables is None
+                         else sorted(_full_tables)),
         )
         m = self._read_manifest()
         m["dumps"] = [d for d in m["dumps"] if d["directory_name"] != name]
@@ -275,6 +303,7 @@ class Datastore:
         """
         base_info = self.find_dump(base)
         deltas: dict[str, DataFrame] = {}
+        full: list[str] = []
         for t, df in tables.items():
             wm = base_info.watermarks.get(t)
             wc = watermark_cols.get(t)
@@ -282,9 +311,13 @@ class Datastore:
                 dtype = df.schema[wc].dataType
                 deltas[t] = df.filter(F.col(wc) > F.lit(wm[1]).cast(dtype))
             else:
+                # no usable base watermark → whole-table re-dump; recorded
+                # so restore() shadows (not unions) the parent's copy
                 deltas[t] = df
+                full.append(t)
         info = self.dump(deltas, name, watermark_cols=watermark_cols,
-                         _parent=base_info.directory_name, **dump_kwargs)
+                         _parent=base_info.directory_name,
+                         _full_tables=full, **dump_kwargs)
         # empty deltas record no watermark of their own — inherit the base's
         inherited = {t: wm for t, wm in base_info.watermarks.items()
                      if t not in info.watermarks}
@@ -346,6 +379,11 @@ class Datastore:
             base = self.restore(info.parent, decrypt_columns=decrypt_columns,
                                 encryption_key=encryption_key)
             for t, df in base.items():
+                if t in out and t in info.full_tables:
+                    # this dump re-wrote the table IN FULL (no base
+                    # watermark existed) — the parent's copy is shadowed,
+                    # unioning it would duplicate every row
+                    continue
                 out[t] = out[t].unionByName(df) if t in out else df
         return out
 
@@ -363,7 +401,12 @@ class Datastore:
     def retain(self, *, keep_last: int | None = None,
                older_than_days: float | None = None) -> list[str]:
         """`--keep-last=N` / `--older-than=Nd` retention
-        (datastore/mod.rs:62-117; cli.rs:115-127).  Returns deleted names."""
+        (datastore/mod.rs:62-117; cli.rs:115-127).  Returns deleted names.
+
+        Chain-aware: a dump that is an ANCESTOR of any retained incremental
+        dump survives regardless of age/position — deleting it would make
+        restore() of the kept dump raise with the parent's data already
+        gone (unrecoverable loss for a dump retention promised to keep)."""
         dumps = self.list_dumps()
         doomed: list[str] = []
         if keep_last is not None and len(dumps) > keep_last:
@@ -373,12 +416,29 @@ class Datastore:
         if older_than_days is not None:
             cutoff = time.time() - older_than_days * 86400
             doomed += [d.directory_name for d in dumps if d.created_at < cutoff]
-        for name in dict.fromkeys(doomed):  # dedupe, keep order
+        doomed = list(dict.fromkeys(doomed))  # dedupe, keep order
+        by_name = {d.directory_name: d for d in dumps}
+        protected: set[str] = set()
+        for d in dumps:
+            if d.directory_name in doomed:
+                continue
+            p = d.parent
+            while p and p in by_name and p not in protected:
+                protected.add(p)
+                p = by_name[p].parent
+        doomed = [n for n in doomed if n not in protected]
+        for name in doomed:
             self.delete(name)
-        return list(dict.fromkeys(doomed))
+        return doomed
 
 
-def _normalize_key(key: str) -> str:
-    """Pad/truncate to 32 bytes like the reference
-    (`get_encryption_key_with_correct_length`, datastore/mod.rs:191-203)."""
-    return (key + "0" * 32)[:32]
+def _normalize_key(key: str) -> bytes:
+    """Pad/truncate to 32 BYTES like the reference
+    (`get_encryption_key_with_correct_length`, datastore/mod.rs:191-203).
+    Byte-level, not character-level: a non-ASCII key padded to 32 CHARS
+    encodes to more than 32 UTF-8 bytes and aes_encrypt rejects it at
+    execution time (after some tables may already be written).  For ASCII
+    keys the result is byte-identical to the old string form, so existing
+    dumps decrypt unchanged."""
+    b = key.encode("utf-8")
+    return (b + b"0" * 32)[:32]

@@ -94,9 +94,14 @@ def write_copy_dump(df: DataFrame, table: str, path: str,
         lines = lines.coalesce(1)
 
     def wrap(it):
-        yield header
+        yield (header,)
         for row in it:
-            yield row[0]
-        yield "\\."
+            yield (row[0],)
+        yield ("\\.",)
 
-    lines.rdd.mapPartitions(wrap).saveAsTextFile(path)
+    # route the wrapped RDD back through the DataFrame text writer so the
+    # dump is re-runnable: rdd.saveAsTextFile cannot overwrite an existing
+    # path (write_sql_dump already used mode('overwrite'); this matches it)
+    wrapped = lines.rdd.mapPartitions(wrap)
+    (df.sparkSession.createDataFrame(wrapped, "value string")
+     .write.mode("overwrite").text(path))

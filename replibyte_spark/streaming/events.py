@@ -130,7 +130,15 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout — in that case the
+    # memory table is only PARTIALLY populated and the query is still
+    # running against the shared session; stop it and fail instead of
+    # silently returning incomplete counts
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming_hourly_counts: availableNow run did not finish "
+            "within 120s; partial results discarded")
     return spark.table(name)
 
 

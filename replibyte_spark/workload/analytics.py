@@ -258,8 +258,9 @@ def purchases_asof_recent_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
-# Spark's tolerance compares unix_timestamp() values (per-side seconds
-# truncation); floor(epoch()) mirrors that exactly.
+# Both engines compare exact integer MICROSECONDS (Spark unix_micros /
+# DuckDB epoch_us) — round 5 replaced the earlier per-side whole-second
+# truncation, which mis-decided sub-second-boundary matches.
 ASOF_TOL_ORACLE = """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
@@ -269,8 +270,7 @@ WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase
        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
      ), fresh AS (
        SELECT *, (click_ts IS NOT NULL AND
-                  CAST(floor(epoch(ts)) AS BIGINT)
-                  - CAST(floor(epoch(click_ts)) AS BIGINT) <= 3600) AS ok
+                  epoch_us(ts) - epoch_us(click_ts) <= 3600000000) AS ok
        FROM j
      )
 SELECT event_id, user_id, ts,

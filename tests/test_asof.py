@@ -74,3 +74,37 @@ def test_asof_null_payload_not_torn(spark):
     assert row.ts_matched == datetime.datetime(1970, 1, 1, 0, 0, 50)
     # ...and the payload is THAT row's NULL, not "old"
     assert row.v_matched is None
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL join keys must not match each other (standard join / DuckDB
+    ASOF semantics): the union-window plan partitions NULL keys together,
+    so without the output mask a NULL-keyed left row would pick up a
+    NULL-keyed right row's payload."""
+    left = spark.createDataFrame(
+        [(None, 100, 1), (1, 100, 2)], "k long, t long, lid long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(None, 50, 7.0), (1, 50, 8.0)], "k long, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    out = {r.lid: (r.v_matched, r.ts_matched)
+           for r in asof_join(left, right, on="k").collect()}
+    assert out[1] == (None, None)          # NULL key: no match
+    assert out[2][0] == 8.0                # real key still matches
+
+
+def test_asof_subsecond_tolerance_exact(spark):
+    """Tolerance compares exact microseconds, not per-side second-truncated
+    values: a 0.8s-old match fails tolerance 0.5 (truncation said 0 <= 0.5)
+    and a 0.1s-old match passes (truncation said 1 > 0.5)."""
+    left = spark.createDataFrame(
+        [(1, 10.9, 1), (2, 10.0, 2)], "k long, t double, lid long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, 10.1, 7.0), (2, 9.9, 9.0)], "k long, t double, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    out = {r.lid: r.v_matched
+           for r in asof_join(left, right, on="k",
+                              tolerance_seconds=0.5).collect()}
+    assert out[1] is None                  # 0.8s stale: discarded
+    assert out[2] == 9.0                   # 0.1s fresh: kept

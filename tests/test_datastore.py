@@ -217,3 +217,69 @@ def test_parallel_dump_writes_equal_serial(spark, sf_dir, tmp_path):
     back = store.restore("p1")
     for t, df in tables.items():
         assert back[t].count() == df.count()
+
+
+def test_incremental_full_redump_does_not_duplicate_on_restore(
+        spark, sf_dir, tmp_path):
+    """A table re-dumped IN FULL inside an incremental (no base watermark)
+    must SHADOW the parent's copy on restore, not union with it — the old
+    unconditional chain union returned every row twice."""
+    ds = Datastore(spark, str(tmp_path / "inc_full"))
+    nation = load_table(spark, sf_dir, "nation")
+    ds.dump({"nation": nation}, "base")            # no watermark recorded
+    info = ds.dump_incremental({"nation": nation}, "inc",
+                               watermark_cols={"nation": "n_nationkey"})
+    assert info.full_tables == ["nation"]
+    back = ds.restore("latest")["nation"]
+    assert back.count() == nation.count()
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nation.collect()))
+
+
+def test_retention_protects_incremental_parents(spark, sf_dir, tmp_path):
+    """keep_last must not delete an ancestor of a retained incremental —
+    that would permanently break restore() of the kept dump."""
+    ds = Datastore(spark, str(tmp_path / "inc_retain"))
+    region = load_table(spark, sf_dir, "region")
+    ds.dump({"region": region}, "base",
+            watermark_cols={"region": "r_regionkey"})
+    ds.dump_incremental({"region": region}, "inc1",
+                        watermark_cols={"region": "r_regionkey"})
+    deleted = ds.retain(keep_last=1)
+    assert deleted == []                           # base is inc1's parent
+    names = [d.directory_name for d in ds.list_dumps()]
+    assert names == ["base", "inc1"]
+    ds.restore("inc1")                             # chain intact
+    # an unrelated standalone dump still ages out
+    ds.dump({"region": region}, "solo")
+    assert ds.retain(keep_last=1) == ["base", "inc1"]
+
+
+def test_encryption_key_normalized_by_bytes_not_chars(spark, sf_dir,
+                                                      tmp_path):
+    """A non-ASCII key (>32 UTF-8 bytes at 32 chars) must round-trip:
+    the old char-level padding produced a 34-byte key aes_encrypt
+    rejects at execution time."""
+    ds = Datastore(spark, str(tmp_path / "enc_utf8"))
+    nation = load_table(spark, sf_dir, "nation")
+    key = "pässwörd-ünïcode-κλειδί"
+    ds.dump({"nation": nation}, "enc",
+            encrypt_columns={"nation": ["n_name"]}, encryption_key=key)
+    dec = ds.restore("enc", decrypt_columns={"nation": ["n_name"]},
+                     encryption_key=key)["nation"]
+    assert sorted(map(tuple, dec.collect())) == \
+        sorted(map(tuple, nation.collect()))
+
+
+def test_read_side_calls_do_not_rewrite_current_manifest(spark, sf_dir,
+                                                         tmp_path):
+    """list_dumps()/restore() on an up-to-date manifest must not rewrite
+    it — concurrent pure readers would race each other's rename cycles."""
+    ds = Datastore(spark, str(tmp_path / "ro"))
+    region = load_table(spark, sf_dir, "region")
+    ds.dump({"region": region}, "a")
+    path = os.path.join(ds.root, "metadata.json")
+    before = os.stat(path).st_mtime_ns
+    ds.list_dumps()
+    ds.find_dump("a")
+    assert os.stat(path).st_mtime_ns == before

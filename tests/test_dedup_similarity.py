@@ -378,6 +378,30 @@ def test_star_components_self_pairs_and_nonconvergence(spark):
             max_iterations=1)
 
 
+def test_star_components_tricky_graphs_match_union_find(spark):
+    """star_components vs driver union-find on adversarial shapes: a long
+    chain (worst case for label propagation, log-rounds for star), a
+    cycle, a complete clique, a star whose CENTER is the max id (labels
+    must flow to the min leaf), and a binary tree — all in one session."""
+    import itertools
+
+    graphs = {
+        "chain64": [(i, i + 1) for i in range(1, 64)],
+        "cycle": [(i, i % 10 + 1) for i in range(1, 11)],
+        "clique": [(a, b) for a, b in itertools.combinations(range(1, 9), 2)],
+        "max_center_star": [(99, leaf) for leaf in (3, 7, 11, 15)],
+        "btree": [(i // 2, i) for i in range(2, 32)],
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "id_a long, id_b long")
+        got = {r.node: r.cluster_id
+               for r in DD.star_components(pairs).collect()}
+        want = dict(DD._driver_union_find(edges))
+        assert got == want, f"{name}: {got} != {want}"
+
+
 def test_lloyd_refinement_improves_quantization(spark):
     """On normalized clustered vectors, two Lloyd iterations must improve
     mean best-dot over the hash-sampled init (centroids move to cluster

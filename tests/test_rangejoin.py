@@ -57,3 +57,19 @@ def test_duplicate_left_rows_each_produce_output(spark):
                                 window_seconds=3600).collect()
     assert len(out) == 2
     assert [r.n_in_window for r in out] == [1, 1]
+
+
+def test_fractional_window_counts_correctly(spark):
+    """window_seconds=0.5 must honor the true half-second window — the old
+    int() truncation made the window 0 wide, NULLed every band
+    (floor(ts/0)), and returned 0 for every row."""
+    left = _ts(spark, [(1, 1000.0, 1)], "k long, ts double, lid long")
+    right = _ts(spark, [(1, 1000.0), (1, 999.6), (1, 999.4), (1, 1000.2)],
+                "k long, ts double")
+    out = trailing_window_count(left, right, on="k",
+                                window_seconds=0.5).first()
+    assert out.n_in_window == 2            # 1000.0 and 999.6 only
+
+    import pytest
+    with pytest.raises(ValueError):
+        trailing_window_count(left, right, on="k", window_seconds=0)

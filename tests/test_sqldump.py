@@ -167,6 +167,22 @@ def test_copy_write_read_roundtrip_with_escapes(spark, tmp_path):
                    4: None, 5: "\\N lookalike", 6: "plain"}
 
 
+def test_copy_write_is_rerunnable(spark, tmp_path):
+    """Writing the same COPY dump path twice must overwrite, matching
+    write_sql_dump — rdd.saveAsTextFile threw FileAlreadyExists on the
+    second run of a dump job."""
+    from replibyte_spark.sinks.sqldump_sink import write_copy_dump
+    from replibyte_spark.sources.sqldump import read_sql_dump
+
+    path = str(tmp_path / "rerun")
+    write_copy_dump(spark.createDataFrame([(1, "a")], "id long, s string"),
+                    "t", path)
+    write_copy_dump(spark.createDataFrame([(2, "b"), (3, "c")],
+                                          "id long, s string"), "t", path)
+    got = {r.id: r.s for r in read_sql_dump(spark, path)["t"].collect()}
+    assert got == {2: "b", 3: "c"}
+
+
 def test_copy_roundtrip_fuzz_corpus(spark, tmp_path):
     """One-job fuzz: 60 seeded-random strings over a nasty alphabet
     (tabs, newlines, CRs, backslashes, quotes, unicode, \\N lookalikes)
