@@ -27,14 +27,21 @@ STOPWORDS = LANG_PROFILES["en"]
 
 
 def token_count_sql(d: str, text: str, toks: str | None = None) -> str:
-    """Whitespace token count (empty string → 0).
+    """Whitespace token count (empty string → 0, NULL → NULL).
+
+    The NULL arm is explicit: without it Spark's legacy `size(NULL)` = -1
+    leaks through the ELSE branch (DuckDB returns NULL), poisoning every
+    derived metric — quality bands compare against -1, ratios divide by
+    it — and silently diverging engine from oracle.
 
     Pass `toks` (a materialized token-array column) on the Spark side when
     computing many metrics over one text — otherwise every metric re-runs
     the regex split.  The DuckDB oracle can keep the inline form: values are
     identical either way."""
     toks = toks or D.split_ws(d, text)
-    return f"CASE WHEN length(trim({text})) = 0 THEN 0 ELSE {D.array_len(d, toks)} END"
+    return (f"CASE WHEN {text} IS NULL THEN NULL "
+            f"WHEN length(trim({text})) = 0 THEN 0 "
+            f"ELSE {D.array_len(d, toks)} END")
 
 
 def char_count_sql(d: str, text: str) -> str:

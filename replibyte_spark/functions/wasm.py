@@ -419,12 +419,16 @@ class _Instance:
     # -- memory helpers -----------------------------------------------------
 
     def _load32(self, a: int) -> int:
-        try:
-            return int.from_bytes(self.mem[a:a + 4], "little")
-        except (IndexError, ValueError):
+        # explicit bounds check: bytearray slicing never raises, so a
+        # try/except around it is dead code and an oob WASI pointer would
+        # silently read a truncated/zero value instead of trapping
+        if a < 0 or a + 4 > len(self.mem):
             raise WasmTrap("oob load")
+        return int.from_bytes(self.mem[a:a + 4], "little")
 
     def _store32(self, a: int, v: int) -> None:
+        if a < 0 or a + 4 > len(self.mem):
+            raise WasmTrap("oob store")
         self.mem[a:a + 4] = (v & _M32).to_bytes(4, "little")
 
     # -- execution ----------------------------------------------------------
@@ -505,12 +509,16 @@ class _Instance:
                 if op == 0x0D and not st.pop():
                     pc += 1
                     continue
+                if imm >= len(ctrl):  # implicit function-level label: return
+                    break
                 pc = self._branch(imm, ctrl, st)
                 continue
             elif op == 0x0E:                          # br_table
                 labels, default = imm
                 k = st.pop()
                 lbl = labels[k] if k < len(labels) else default
+                if lbl >= len(ctrl):
+                    break
                 pc = self._branch(lbl, ctrl, st)
                 continue
             elif op == 0x0F:                          # return
@@ -597,7 +605,12 @@ class _Instance:
             elif op == 0x40:                          # memory.grow
                 delta = st.pop()
                 old = len(mem) // PAGE
-                self.mem = mem = mem + bytearray(delta * PAGE)
+                # grow IN PLACE: rebinding self.mem to a new bytearray
+                # would leave outer _exec frames (and their `mem` locals)
+                # pointing at the detached old buffer — a callee's grow
+                # then made the caller's stores spuriously trap or
+                # silently write to dead memory
+                mem.extend(bytes(delta * PAGE))
                 st.append(old)
             elif op == 0x45:                          # i32.eqz
                 st.append(1 if st.pop() == 0 else 0)

@@ -68,10 +68,15 @@ def dump_list(spark: SparkSession, datastore_root: str) -> DataFrame:
               "encrypted boolean, n_tables int")
 
 
-def infer_json_schema(spark: SparkSession, df: DataFrame, column: str) -> str:
+def infer_json_schema(spark: SparkSession, df: DataFrame, column: str,
+                      max_values: int = 10_000) -> str:
     """Probabilistic schema of a JSON string column (reference I2:
     mongodb-schema-parser over sampled documents, source/mongodb.rs:302-329).
-    Spark-native: schema_of_json on a sampled value union via the JSON reader."""
-    sample = df.select(F.col(column)).filter(F.col(column).isNotNull())
+    Spark-native: JSON inference over AT MOST `max_values` non-null values
+    — introspection must stay a bounded probe, not a full-table scan +
+    full inference pass (at 100 TB an unlimited version is an unbounded
+    job for a schema *hint*)."""
+    sample = (df.select(F.col(column)).filter(F.col(column).isNotNull())
+              .limit(max_values))
     inferred = spark.read.json(sample.rdd.map(lambda r: r[0]))
     return inferred.schema.json()

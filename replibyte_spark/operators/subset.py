@@ -220,21 +220,31 @@ def _closure_topological(tables, edges, seed_table, seed_df, *,
             kept[t] = rows
             expand[t] = rows
 
-    # parent pass in Kahn order of child → parent edges
+    # parent pass in Kahn order of child → parent edges.  Contributions are
+    # grouped BY PARENT COLUMN before the semi-join: a table referenced via
+    # two different columns (orders.buyer_id → users.id AND
+    # msgs.sender_email → users.email) must get one semi-join per column —
+    # a positional unionAll across differently-named key sets would match
+    # email values against the id column and silently drop rows.
     for t in _kahn_order(edges, reverse=False):
         if t in passthrough:
             continue
-        contribs = []
+        by_col: dict[str, list[DataFrame]] = {}
         for e in edges:
             if e.parent == t and e.child in kept:
-                contribs.append(
+                by_col.setdefault(e.parent_col, []).append(
                     kept[e.child].select(F.col(e.fk_col).alias(e.parent_col)).na.drop())
-        if not contribs:
+        if not by_col:
             continue
-        keys = contribs[0]
-        for c in contribs[1:]:
-            keys = keys.unionAll(c)
-        rows = tables[t].join(keys, on=keys.columns[0], how="leftsemi")
+        rows = None
+        for pcol in sorted(by_col):
+            keys = by_col[pcol][0]
+            for c in by_col[pcol][1:]:
+                keys = keys.unionAll(c)
+            matched = tables[t].join(keys, on=pcol, how="leftsemi")
+            rows = matched if rows is None else rows.unionByName(matched)
+        if len(by_col) > 1:
+            rows = rows.distinct()
         kept[t] = kept[t].unionByName(rows).distinct() if t in kept else rows
 
     for t in passthrough:

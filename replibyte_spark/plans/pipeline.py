@@ -140,7 +140,8 @@ class RestorePipeline:
             from ..sinks.sqldump_sink import write_sql_dump
 
             for t, df in tables.items():
-                write_sql_dump(df, t, f"{path.rstrip('/')}/{t}")
+                # honor wipe_database=false like every other destination
+                write_sql_dump(df, t, f"{path.rstrip('/')}/{t}", mode=mode)
         elif scheme == "jsonl":
             # MongoDB-shaped destination (reference K3): JSON-lines per table
             # (mongoimport-compatible), gzip-compressed part files

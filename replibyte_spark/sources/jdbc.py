@@ -82,6 +82,13 @@ def list_jdbc_tables(spark: SparkSession, uri: str,
     I1 — source/postgres.rs:308-339)."""
     if ":derby:" in uri:
         q = ("(SELECT tablename FROM sys.systables WHERE tabletype = 'T') t")
+    elif ":mysql:" in uri or uri.startswith("mysql:"):
+        # MySQL: schemas ARE databases — filter to the connection's current
+        # database; the Postgres-style NOT IN filter would sweep in mysql.*,
+        # sys.*, performance_schema.* and every other database's tables
+        # (and their unqualified names would then read the wrong relations)
+        q = ("(SELECT table_name FROM information_schema.tables "
+             "WHERE table_schema = database()) t")
     else:
         q = ("(SELECT table_name FROM information_schema.tables "
              "WHERE table_schema NOT IN ('pg_catalog', 'information_schema')) t")

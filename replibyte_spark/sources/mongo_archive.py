@@ -453,7 +453,7 @@ def read_mongo_archive(spark: SparkSession, path: str,
         arch = parse_archive(bytes(data))
         for (db, coll), docs in arch.collections().items():
             for raw in docs:
-                yield coll, raw
+                yield (db, coll), raw
 
     pairs = sc.binaryFiles(path).flatMap(emit)
     if pairs.getNumPartitions() < target:
@@ -462,10 +462,20 @@ def read_mongo_archive(spark: SparkSession, path: str,
                .map(lambda t: (t[0], doc_to_json(decode_document(t[1])[0])))
                .persist(StorageLevel.MEMORY_AND_DISK))
     counts = decoded.countByKey()  # one job; also materializes the cache
+    # keys stay (db, collection) end to end; the OUTPUT key is the bare
+    # collection name when unambiguous, 'db.collection' when the same
+    # collection name exists in several databases — merging them (the old
+    # collection-only key) interleaved different databases' documents into
+    # one frame with a unioned inferred schema
+    coll_count: dict[str, int] = {}
+    for db, coll in counts:
+        coll_count[coll] = coll_count.get(coll, 0) + 1
     out: dict[str, DataFrame] = {}
-    for coll in sorted(counts):
-        if tables and coll not in tables:
+    for db, coll in sorted(counts):
+        name = coll if coll_count[coll] == 1 else f"{db}.{coll}"
+        if tables and name not in tables and coll not in tables:
             continue
-        out[coll] = spark.read.json(
-            decoded.filter(lambda t, _c=coll: t[0] == _c).map(lambda t: t[1]))
+        out[name] = spark.read.json(
+            decoded.filter(lambda t, _k=(db, coll): t[0] == _k)
+            .map(lambda t: t[1]))
     return out

@@ -118,3 +118,37 @@ def test_fan_out_is_identity_on_wide_inputs(spark):
     assert spread is not narrow
     assert (spread.rdd.getNumPartitions()
             == spark.sparkContext.defaultParallelism)
+
+
+def test_token_count_null_text_is_null_in_both_engines(spark):
+    """NULL text → NULL token count in Spark AND DuckDB — Spark's legacy
+    size(NULL) = -1 used to leak through the ELSE branch, poisoning every
+    derived metric (quality bands compared -1, ratios divided by it)."""
+    import duckdb
+
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions import text as T
+
+    expr_s = T.token_count_sql(D.SPARK, "t")
+    got = [r.n for r in
+           spark.createDataFrame([("a b c",), ("",), (None,)], "t string")
+           .selectExpr(f"{expr_s} AS n").collect()]
+    assert got == [3, 0, None]
+
+    expr_d = T.token_count_sql(D.DUCK, "t")
+    want = [r[0] for r in duckdb.connect().execute(
+        f"SELECT {expr_d} AS n FROM (VALUES ('a b c'), (''), (NULL)) v(t)"
+    ).fetchall()]
+    assert got == want
+
+
+def test_redacted_documented_option_key_works(spark):
+    """The documented apply_transformers example — ('redacted',
+    {'character': '#'}) — must build and run (the docstring previously
+    showed a 'char' key redacted_sql rejects)."""
+    from replibyte_spark.functions.transformers import apply_transformers
+
+    df = spark.createDataFrame([(1, "secret")], "id long, s string")
+    out = apply_transformers(df, {"s": ("redacted", {"character": "#"})})
+    row = out.collect()[0]
+    assert row.s == "sec" + "#" * 10   # reference semantics: first 3 kept

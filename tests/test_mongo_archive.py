@@ -161,3 +161,48 @@ def test_doc_to_json_extended_types():
     j = doc_to_json({"_id": ObjectId(b"\x01" * 12), "t": UTCDatetime(5),
                      "b": Binary(0, b"hi")})
     assert '"$oid"' in j and '"$date":5' in j and '"$binary"' in j
+
+
+def test_multi_database_archive_collections_not_merged(spark, tmp_path):
+    """An archive holding db1.users AND db2.users must come back as TWO
+    frames keyed 'db1.users'/'db2.users' — the old collection-only key
+    interleaved both databases' documents into one frame with a unioned
+    inferred schema."""
+    import json as _json
+
+    from replibyte_spark.sources.mongo_archive import (
+        Archive, Block, Int64, crc64_xz, serialize_archive)
+
+    def meta(db):
+        return encode_document({
+            "db": db, "collection": "users",
+            "metadata": _json.dumps({"indexes": [],
+                                     "collectionName": "users",
+                                     "type": "collection"}),
+            "size": 0, "type": "collection"})
+
+    def blocks(db, docs):
+        crc = crc64_xz(b"".join(docs))
+        signed = crc - (1 << 64) if crc >= (1 << 63) else crc
+        hdr = encode_document({"db": db, "collection": "users",
+                               "EOF": False, "CRC": Int64(0)})
+        ftr = encode_document({"db": db, "collection": "users",
+                               "EOF": True, "CRC": Int64(signed)})
+        return [Block(hdr, db, "users", False, 0, list(docs)),
+                Block(ftr, db, "users", True, signed, [])]
+
+    d1 = [encode_document({"_id": 1, "who": "db1"})]
+    d2 = [encode_document({"_id": 2, "extra": 7})]
+    hdr = encode_document({"concurrent_collections": 1, "version": "0.1",
+                           "server_version": "5.0.6",
+                           "tool_version": "100.5.2"})
+    arch = Archive(hdr, [meta("db1"), meta("db2")],
+                   blocks("db1", d1) + blocks("db2", d2))
+    path = tmp_path / "multi.archive"
+    path.write_bytes(serialize_archive(arch))
+
+    out = read_mongo_archive(spark, str(path))
+    assert set(out) == {"db1.users", "db2.users"}
+    assert [r._id for r in out["db1.users"].collect()] == [1]
+    assert [r._id for r in out["db2.users"].collect()] == [2]
+    assert "extra" not in out["db1.users"].columns  # schemas not unioned

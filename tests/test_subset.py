@@ -141,3 +141,33 @@ def test_stratified_sample_n_exact_and_deterministic(spark):
     # short stratum keeps everything
     tiny = df.filter(F.col("k") < 3)
     assert stratified_sample_n(tiny, "s", "k", 10).count() == 3
+
+
+def test_parent_referenced_via_two_different_columns(spark):
+    """A parent table referenced through TWO different columns (users.id
+    AND users.email) must be semi-joined once per column — the old
+    positional unionAll merged email values into the id key set and
+    silently dropped the email-referenced rows."""
+    from replibyte_spark.operators.subset import FkEdge, subset_closure
+
+    users = spark.createDataFrame(
+        [(1, "a@x"), (2, "b@x"), (3, "c@x"), (4, "d@x")],
+        "id long, email string")
+    accounts = spark.createDataFrame([(100,), (101,)], "aid long")
+    orders = spark.createDataFrame(
+        [(10, 100, 1), (11, 101, 2)], "oid long, aid long, buyer_id long")
+    msgs = spark.createDataFrame(
+        [(20, 100, "c@x")], "mid long, aid long, sender_email string")
+    edges = [FkEdge("orders", "aid", "accounts", "aid"),
+             FkEdge("msgs", "aid", "accounts", "aid"),
+             FkEdge("orders", "buyer_id", "users", "id"),
+             FkEdge("msgs", "sender_email", "users", "email")]
+    res = subset_closure(
+        {"users": users, "accounts": accounts, "orders": orders,
+         "msgs": msgs},
+        edges, "accounts", accounts, include_children=True)
+    kept_users = sorted(r.id for r in res.tables["users"].collect())
+    # buyers 1,2 via users.id AND sender 3 via users.email; 4 unreferenced
+    assert kept_users == [1, 2, 3]
+    assert res.tables["orders"].count() == 2
+    assert res.tables["msgs"].count() == 1

@@ -302,6 +302,42 @@ def test_partial_width_memory_ops_trap_out_of_bounds():
         W._Instance(mod, b"").call(mod.exports["poke"][1], [])
 
 
+def test_br_to_function_label_returns():
+    """`br 0` at function top level targets the implicit function label —
+    a return, not an IndexError on the empty control stack (LLVM emits
+    this shape for early exits)."""
+    t_run = bytes([0x60]) + _vec([]) + _vec([bytes([I32])])
+    body = _vec([]) + _i32(42) + bytes([BR]) + _u(0) + _i32(7) + bytes([END])
+    wasm = (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t_run]))
+            + _sec(3, _vec([_u(0)]))
+            + _sec(7, _vec([_name("run") + b"\x00" + _u(0)]))
+            + _sec(10, _vec([_u(len(body)) + body])))
+    mod = W.WasmModule(wasm)
+    assert W._Instance(mod, b"").call(mod.exports["run"][1], []) == [42]
+
+
+def test_memory_grow_in_callee_visible_to_caller():
+    """memory.grow must extend the buffer IN PLACE: a callee growing
+    memory (the malloc pattern) must leave the caller's view valid, so a
+    store into the grown region succeeds instead of spuriously trapping."""
+    t_grow = bytes([0x60]) + _vec([]) + _vec([])
+    t_run = bytes([0x60]) + _vec([]) + _vec([bytes([I32])])
+    grow = (_vec([]) + _i32(1) + bytes([0x40, 0x00]) + bytes([DROP])
+            + bytes([END]))
+    run = (_vec([]) + bytes([CALL]) + _u(0)
+           + _i32(70000) + _i32(123) + _mem(STORE)     # page 2 address
+           + _i32(70000) + _mem(LOAD) + bytes([END]))
+    wasm = (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t_grow, t_run]))
+            + _sec(3, _vec([_u(0), _u(1)]))
+            + _sec(5, _vec([b"\x00" + _u(1)]))         # memory min 1 page
+            + _sec(7, _vec([_name("run") + b"\x00" + _u(1)]))
+            + _sec(10, _vec([_u(len(b)) + b for b in (grow, run)])))
+    mod = W.WasmModule(wasm)
+    assert W._Instance(mod, b"").call(mod.exports["run"][1], []) == [123]
+
+
 def test_interpreter_rejects_module_without_start():
     wasm = build_reverse_wasm()
     mod = W.WasmModule(wasm)
