@@ -50,13 +50,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as TIMESTAMP(NANOS) — detected from the parquet footer
-    (driver-side metadata read; no data scan)."""
+    (driver-side metadata read; no data scan).
+
+    Cached per path: every gate query calls load_table 1-7 times and the
+    suite runs dozens of queries per session, so the same immutable
+    fixture footers were being re-opened hundreds of times.  Keyed by
+    path only — regenerating a dataset at the same path in-process would
+    need the cache cleared (fixture datasets are read-only)."""
+    if path in _NANOS_COLS_CACHE:
+        return _NANOS_COLS_CACHE[path]
     import pyarrow.dataset as ds
     import pyarrow.types as pt
 
     schema = ds.dataset(path, format="parquet").schema
-    return [f.name for f in schema
+    cols = [f.name for f in schema
             if pt.is_timestamp(f.type) and f.type.unit == "ns"]
+    _NANOS_COLS_CACHE[path] = cols
+    return cols
+
+
+_NANOS_COLS_CACHE: dict[str, list] = {}
 
 
 def load_tables(

@@ -61,12 +61,6 @@ def split_ws(d: str, e: str) -> str:
     return f"regexp_split_to_array(trim({e}), '\\s+')"
 
 
-def split_on(d: str, e: str, sep: str) -> str:
-    if d == SPARK:
-        return f"split({e}, {q(sep)})"
-    return f"string_split({e}, {q(sep)})"
-
-
 def regexp_replace(d: str, e: str, pattern: str, repl: str) -> str:
     if d == SPARK:
         pat = pattern.replace("\\", "\\\\")

@@ -132,9 +132,14 @@ def rolling_hash_sql(d: str, text: str, mod: int = 1 << 40, mult: int = 33,
     if d == D.SPARK:
         return (f"aggregate({toks}, CAST(0 AS BIGINT), "
                 f"(acc, x) -> (acc * {mult} + {tok_h}) % {mod})")
-    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    # explicit NULL arm: Spark's aggregate(NULL, ...) is NULL, but DuckDB's
+    # list_prepend(0, NULL) is [0] so list_reduce would return 0 — an
+    # engine/oracle divergence for NULL text (same contract token_count_sql
+    # defends)
+    return (f"CASE WHEN {text} IS NULL THEN NULL ELSE "
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"list_transform({toks}, x -> {tok_h})), "
-            f"(acc, x) -> (acc * {mult} + x) % {mod})")
+            f"(acc, x) -> (acc * {mult} + x) % {mod}) END")
 
 
 def col(sql_builder, column: str, **kw) -> Column:

@@ -78,8 +78,18 @@ def minhash_sql(d: str, base: str, i: int) -> str:
     """The i-th hash: affine mix of the shared base hash modulo 2^31-1.
     Computing 12-16 mixes of one md5 is ~12× cheaper than 12-16 independent
     md5 calls per shingle — the difference between a CPU-bound and an
-    IO-bound signature pass at 100 TB."""
-    a = _MINHASH_A[i % len(_MINHASH_A)]
+    IO-bound signature pass at 100 TB.
+
+    Hard cap at len(_MINHASH_A) hashes: wrapping the multiplier (the old
+    `i % 16`) made hash i+16 a constant shift of hash i — perfectly
+    correlated rows that silently void the banded-LSH independence math
+    while looking like extra discrimination."""
+    if i >= len(_MINHASH_A):
+        raise ValueError(
+            f"minhash_sql supports at most {len(_MINHASH_A)} independent "
+            f"hashes (got index {i}); extend _MINHASH_A with new odd "
+            f"multipliers rather than reusing existing ones")
+    a = _MINHASH_A[i]
     return f"((({a} * {base}) + {2 * i + 1}) % {MERSENNE31})"
 
 
@@ -206,8 +216,14 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
        a candidate pair (candidates ≪ corpus), via a semi-join before the
        distinct — the expensive distinct shuffle touches a sliver of data.
     """
-    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, n)
-    pairs = pairs.persist()
+    # eager localCheckpoint, not a bare persist: the pair frame feeds BOTH
+    # the candidate-id semi-join and the Jaccard join, and a lazily
+    # persisted frame would (a) race its own fill from two consumer stages
+    # and (b) leak — the returned plan references it, so there is no safe
+    # place to unpersist.  Checkpoint blocks are swept by
+    # util.free_persistent_rdds (bench hygiene) / session teardown.
+    pairs = (minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, n)
+             .localCheckpoint(eager=True))
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .unionAll(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
@@ -362,11 +378,10 @@ def _driver_union_find(rows) -> "list[tuple]":
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    comp_min: dict = {}
-    for node in parent:
-        root = find(node)
-        comp_min[root] = min(comp_min.get(root, node), node)
-    return [(node, comp_min[find(node)]) for node in parent]
+    # union-by-min links the larger root under the smaller on every merge,
+    # so each tree's root IS its component's minimum id — find() alone
+    # yields the label
+    return [(node, find(node)) for node in parent]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -142,11 +142,14 @@ def transformer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _registry_oracle() -> str:
+    from .. import dialect as D
     from ..introspect import _DESCRIPTIONS, NON_SQL_TRANSFORMERS
     from ..functions.transformers import TRANSFORMERS
 
+    # D.q: a description containing an apostrophe must render as a valid
+    # SQL literal, not a parse error
     rows = ",\n  ".join(
-        f"('{name}', '{_DESCRIPTIONS.get(name, '')}')"
+        f"({D.q(name)}, {D.q(_DESCRIPTIONS.get(name, ''))})"
         for name in sorted(set(TRANSFORMERS) | set(NON_SQL_TRANSFORMERS)))
     return (f"SELECT * FROM (VALUES\n  {rows}\n) AS t(id, description) "
             f"ORDER BY id")

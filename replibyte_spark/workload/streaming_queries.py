@@ -53,6 +53,33 @@ register(Query("sliding_window_counts", sliding_window_counts_query,
                SLIDING_ORACLE, tags=("streaming",)))
 
 
+def _drain_memory_sink(spark: SparkSession, q, name: str,
+                       ckpt_dir: str) -> DataFrame:
+    """Finish an availableNow run and hand back its output WITHOUT leaking:
+
+    - awaitTermination's boolean is CHECKED — a timed-out run used to
+      return a partially-populated memory table as if it were complete
+      (streaming/events.py:137 fixes the same pattern);
+    - the memory table is snapshotted to a driver-local frame (bounded:
+      gate outputs are per-key summaries, thousands of rows), then the
+      temp view and checkpoint dir are dropped — uuid-named sink tables
+      otherwise pin a full result copy in driver memory per invocation,
+      beyond the reach of clearCache/free_persistent_rdds."""
+    import shutil
+
+    if not q.awaitTermination(180):
+        q.stop()
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        raise TimeoutError(
+            f"availableNow run {name} did not finish within 180s; "
+            f"partial results discarded")
+    tbl = spark.table(name)
+    snap = spark.createDataFrame(tbl.collect(), tbl.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return snap
+
+
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the ACTUAL watermark-bounded streaming dedup (availableNow) on
     (user_id, event_type), then counts survivors per event_type — a
@@ -75,13 +102,13 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = dedup_event_stream(stream, ["user_id", "event_type"],
                             watermark="3650 days")
     name = f"gate_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
     q = (dd.writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="rs_gate_ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(180)
-    return (spark.table(name)
+    return (_drain_memory_sink(spark, q, name, ckpt)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("event_type"))
@@ -143,13 +170,13 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     out = running_user_totals(stream.select("user_id", "value"))
     name = f"gate_stateful_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="rs_gate_ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(180)
-    emitted = spark.table(name)
+    emitted = _drain_memory_sink(spark, q, name, ckpt)
     return (emitted.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max_by("sum_value", "n_events").alias("sum_value"))

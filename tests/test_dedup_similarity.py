@@ -439,3 +439,17 @@ def test_lloyd_refinement_improves_quantization(spark):
 
     before, after = mean_best_dot(init), mean_best_dot(refined)
     assert after > before, (before, after)
+
+
+def test_minhash_rejects_correlated_hash_count(spark):
+    """n_hashes beyond the independent multiplier family must raise —
+    the old modulo wrap made hash i+16 a constant shift of hash i,
+    silently voiding banded-LSH independence."""
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="independent"):
+        DD.minhash_signatures(docs, "doc_id", "text", n_hashes=17)
+    # the full supported family still works
+    assert len(DD.minhash_signatures(docs, "doc_id", "text",
+                                     n_hashes=16).columns) == 17
