@@ -19,7 +19,10 @@ is cached).  Two runtimes:
   WASI stdio (``fd_read``/``fd_write``/``proc_exit``...).  Enough to run
   locally-built transformer modules — including Rust-built ones whose
   codegen reaches float and sign-ext ops — where ``wasmtime`` isn't
-  installable; traps clearly on unsupported constructs (tables, SIMD).
+  installable; traps clearly on unsupported constructs (SIMD/vector ops,
+  reference types and table-mutation ops, multi-memory, bulk-memory
+  beyond memory.fill/copy — funcref tables + call_indirect ARE
+  supported).
 
 This module is self-contained on purpose: no third-party imports unless
 ``wasmtime`` is actually present.
@@ -126,6 +129,7 @@ class WasmModule:
         self.imports: list[_Import] = []
         self.funcs: list[_Func] = []                  # local functions only
         self.mem_min = 0
+        self.mem_max: int | None = None               # declared page limit
         self.globals_init: list[int] = []
         self.exports: dict[str, tuple[int, int]] = {}  # name -> (kind, idx)
         self.data: list[tuple[int, bytes]] = []
@@ -160,7 +164,7 @@ class WasmModule:
                         flags = r.u8()
                         self.mem_min = r.u32()
                         if flags & 1:
-                            r.u32()
+                            self.mem_max = r.u32()
                     else:
                         raise WasmError(f"unsupported import kind {kind}")
             elif sec_id == 3:                         # function decls
@@ -178,7 +182,7 @@ class WasmModule:
                     flags = r.u8()
                     self.mem_min = r.u32()
                     if flags & 1:
-                        r.u32()
+                        self.mem_max = r.u32()
             elif sec_id == 6:                         # globals
                 for _ in range(r.u32()):
                     r.u8()                            # valtype
@@ -603,15 +607,26 @@ class _Instance:
             elif op == 0x3F:                          # memory.size
                 st.append(len(mem) // PAGE)
             elif op == 0x40:                          # memory.grow
-                delta = st.pop()
+                delta = st.pop() & _M32               # u32 per spec
                 old = len(mem) // PAGE
-                # grow IN PLACE: rebinding self.mem to a new bytearray
-                # would leave outer _exec frames (and their `mem` locals)
-                # pointing at the detached old buffer — a callee's grow
-                # then made the caller's stores spuriously trap or
-                # silently write to dead memory
-                mem.extend(bytes(delta * PAGE))
-                st.append(old)
+                # the spec lets grow FAIL (result -1) instead of trapping:
+                # refuse when the module's declared maximum would be
+                # exceeded, or past the spec's 2^16-page (4 GiB) ceiling —
+                # without this a hostile/buggy `(memory.grow (i32.const
+                # -1))` made the interpreter attempt a multi-terabyte
+                # bytearray extend instead of returning -1
+                limit = self.m.mem_max if self.m.mem_max is not None \
+                    else 65536
+                if old + delta > min(limit, 65536):
+                    st.append(_M32)                   # -1: grow refused
+                else:
+                    # grow IN PLACE: rebinding self.mem to a new bytearray
+                    # would leave outer _exec frames (and their `mem`
+                    # locals) pointing at the detached old buffer — a
+                    # callee's grow then made the caller's stores
+                    # spuriously trap or silently write to dead memory
+                    mem.extend(bytes(delta * PAGE))
+                    st.append(old)
             elif op == 0x45:                          # i32.eqz
                 st.append(1 if st.pop() == 0 else 0)
             elif 0x46 <= op <= 0x4F:                  # i32 comparisons

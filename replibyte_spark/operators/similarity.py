@@ -52,12 +52,19 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     per-pair `cosine_sql` folds both norms again for every pair — 3 HOF
     folds/pair instead of 1).  `round(dot/(qn·nn), 6)` is bit-identical to
     the inline form: same subexpressions, same IEEE op order, just hoisted.
+
+    Zero-norm vectors have no defined cosine: rows with norm 0 are
+    EXCLUDED from both sides (the shared policy with the Arrow path —
+    IEEE 0/0 would otherwise rank NaN > everything in Spark SQL while
+    numpy's lexsort puts NaN last, silently diverging the two paths).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"))
+    q = (queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                        F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"))
+         .filter(F.col("qn") > 0))
     v = (fan_out(vectors)
          .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
-                 F.expr(norm_sql(D.SPARK, vec_col)).alias("nn")))
+                 F.expr(norm_sql(D.SPARK, vec_col)).alias("nn"))
+         .filter(F.col("nn") > 0))
     scored = (
         F.broadcast(q).crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -91,12 +98,15 @@ def brute_force_topk_arrow(vectors: DataFrame, queries: DataFrame,
     Values can differ from the SQL fold in the last ulp (pairwise/SIMD vs
     sequential summation) — invisible at 6-decimal rounding except on
     exact .0000005 boundaries; the equivalence test locks agreement on the
-    fixture corpus.
+    fixture corpus.  Zero-norm rows are excluded on both sides — same
+    policy as :func:`brute_force_topk`, locking the two paths' agreement
+    even on a corpus containing a zero vector.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()  # bounded: |Q| small
+    q_rows = [r for r in queries.select(id_col, vec_col).collect()
+              if any(x != 0 for x in r[1])]           # bounded: |Q| small
     if not q_rows:
         id_type = vectors.schema[id_col].dataType
         return (vectors.select(
@@ -115,6 +125,11 @@ def brute_force_topk_arrow(vectors: DataFrame, queries: DataFrame,
             ids = pdf[id_col].to_numpy()
             V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             vn = np.linalg.norm(V, axis=1, keepdims=True)
+            nz = vn[:, 0] != 0                        # zero-norm exclusion
+            if not nz.all():
+                ids, V, vn = ids[nz], V[nz], vn[nz]
+            if not len(ids):
+                continue
             C = np.round((V / vn) @ Qn.T, 6)          # (n_vec, n_query)
             out_q, out_n, out_c = [], [], []
             for j in range(len(q_ids)):
@@ -240,11 +255,28 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
     # recomputation: at 100 TB the bucket IS the storage layout, computed
     # once at ingest, and a query touches only its probe buckets
     if "bucket" in vectors.columns:
+        # plan-time guard first: a corpus loaded through load_ann_index
+        # carries the build-time (bits, seed) as column metadata — a
+        # SAME-width different-seed query would sail through the runtime
+        # width assert below and silently return wrong/near-empty
+        # neighbors, so mismatches raise HERE, on the driver, before any
+        # job runs.
+        md = vectors.schema["bucket"].metadata or {}
+        if "rs_ann_bits" in md:
+            got = (int(md["rs_ann_bits"]), md.get("rs_ann_seed"))
+            if got != (bits, seed):
+                raise ValueError(
+                    f"indexed corpus was built with bits={got[0]} "
+                    f"seed={got[1]!r} but the query asked for bits={bits} "
+                    f"seed={seed!r} — pass the parameters recorded by "
+                    f"load_ann_index_meta, or rebuild the index")
         # runtime guard, not a silent empty join: an index built with a
         # different `bits` has different bucket widths, and the equi-join
         # would return zero neighbors with no hint why.  assert_true rides
         # a filter (coalesce(null, true) keeps every row) so it cannot be
-        # pruned and costs nothing when the widths agree.
+        # pruned and costs nothing when the widths agree.  Kept even with
+        # the metadata check: a caller-assembled bucket column (no
+        # metadata) still gets the width backstop.
         vb = vectors.filter(F.coalesce(
             F.assert_true(F.length("bucket") == F.lit(bits),
                           F.lit(f"indexed corpus bucket width != bits={bits} "
@@ -347,8 +379,11 @@ def _assign_expr(vec_col: str, cents) -> str:
     """argmax centroid as one expression: array_max over struct(d,
     centroid_id) = max_by with max-centroid_id tie-break (struct ordering
     compares fields left to right)."""
+    # D.q, not bare '{cid}': default ids are md5 hex, but the API accepts
+    # arbitrary caller-supplied centroid lists — an id containing a quote
+    # must not break (or worse, rewrite) the rendered expression
     structs = ", ".join(
-        f"struct({_lit_dot_sql(vec_col, cv)} AS d, '{cid}' AS centroid_id)"
+        f"struct({_lit_dot_sql(vec_col, cv)} AS d, {D.q(cid)} AS centroid_id)"
         for cid, cv in cents)
     return f"array_max(array({structs})).centroid_id"
 
@@ -449,7 +484,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     # probe at fixture scale with strictly fewer stages.
     probe_expr = ("transform(slice(array_sort(array(" + ", ".join(
         f"struct(-({_lit_dot_sql(vec_col, cv)}) AS nd, "
-        f"'{cid}' AS centroid_id)" for cid, cv in cents)
+        f"{D.q(cid)} AS centroid_id)" for cid, cv in cents)
         + f")), 1, {n_probe}), s -> s.centroid_id)")
     qc = (queries
           .withColumn("centroid_id", F.explode(F.expr(probe_expr)))
@@ -540,23 +575,49 @@ def load_ann_index(spark, path: str,
     `centroid_id` and `norm`, which :func:`lsh_topk` / :func:`ivf_topk`
     detect and reuse instead of recomputing.
 
+    The meta sidecar (bits, seed, dim) is read here and stamped onto the
+    `bucket` column as COLUMN METADATA, so :func:`lsh_topk` can reject a
+    query whose (bits, seed) differ from what the index was built with —
+    same-width/different-seed previously passed the runtime width guard
+    and silently returned wrong neighbors.  The metadata rides the schema
+    through select/filter, costing nothing at run time.
+
     `with_centroids=False` skips the sidecar collect (a small Spark job)
     and returns an empty list — for LSH-only consumers or callers that
     cache the centroid list across queries."""
     import os
 
     corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    meta = load_ann_index_meta(spark, path)
+    if "bucket" in corpus.columns:
+        corpus = corpus.withColumn("bucket", F.col("bucket").alias(
+            "bucket", metadata={"rs_ann_bits": meta["bits"],
+                                "rs_ann_seed": meta["seed"],
+                                "rs_ann_dim": meta["dim"]}))
     cents = _collect_centroids(spark.read.parquet(
         os.path.join(path, "centroids"))) if with_centroids else []
     return corpus, cents
 
 
-def load_ann_index_meta(spark, path: str) -> dict:
-    """The (bits, seed, n_centroids, dim) row recorded at build time."""
+# meta is immutable once an index directory is built (the gate fixtures
+# key directories by dataset fingerprint + parameters, and a rebuild goes
+# through load_ann_index_meta below, which refreshes the entry) — caching
+# keeps the per-query warm path free of an extra 1-row Spark job
+_META_CACHE: dict[str, dict] = {}
+
+
+def load_ann_index_meta(spark, path: str, use_cache: bool = True) -> dict:
+    """The (bits, seed, n_centroids, dim) row recorded at build time.
+    Always reads storage when `use_cache=False` (or on first sight of
+    `path`) and refreshes the in-process cache either way."""
     import os
 
-    return spark.read.parquet(os.path.join(path, "meta")).collect()[0] \
+    if use_cache and path in _META_CACHE:
+        return _META_CACHE[path]
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0] \
         .asDict()
+    _META_CACHE[path] = meta
+    return meta
 
 
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,

@@ -138,7 +138,14 @@ class Datastore:
         fs = self._fs(self.root)
         fs.mkdirs(self._jpath(self.root))
         if not fs.exists(self._jpath(self._manifest_path)):
-            self._write_manifest({"v": MANIFEST_VERSION, "dumps": []})
+            # fresh store ONLY if no .bak either: a missing final WITH a
+            # .bak is the mid-swap rename window (or a crashed swap) — an
+            # empty-manifest rewrite here would clobber the real state the
+            # _read_manifest fallback exists to serve
+            if fs.exists(self._jpath(self._manifest_path + ".bak")):
+                self._migrate()
+            else:
+                self._write_manifest({"v": MANIFEST_VERSION, "dumps": []})
         else:
             self._migrate()
 
@@ -147,14 +154,31 @@ class Datastore:
             return json.loads(self._read_bytes(self._manifest_path))
         except Exception as first:
             # _write_bytes has an unavoidable instant between
-            # rename(final→bak) and rename(tmp→final) with no final file;
-            # a concurrent reader landing there finds the old manifest at
-            # .bak.  Any other failure re-raises the original error.
+            # rename(final→bak) and rename(tmp→final) with no final file.
+            # Retry the FINAL path once first (by then the swap has almost
+            # always completed), and only fall back to .bak when the final
+            # file is genuinely ABSENT — i.e. we really are in the rename
+            # window.  A manifest that exists but fails to parse, or a
+            # manifest lost for any other reason (failed rollback, manual
+            # deletion), must surface the original error: silently serving
+            # .bak there resurrects deleted dumps / hides corruption.
             try:
-                return json.loads(
+                return json.loads(self._read_bytes(self._manifest_path))
+            except Exception:
+                pass
+            if self._fs(self._manifest_path).exists(
+                    self._jpath(self._manifest_path)):
+                raise first                # present but unreadable: corrupt
+            try:
+                m = json.loads(
                     self._read_bytes(self._manifest_path + ".bak"))
             except Exception:
                 raise first
+            import warnings
+            warnings.warn(
+                f"datastore manifest {self._manifest_path} missing; "
+                f"served from .bak (mid-swap rename window)")
+            return m
 
     def _write_manifest(self, m: dict) -> None:
         payload = json.dumps(m, indent=2, sort_keys=True).encode()

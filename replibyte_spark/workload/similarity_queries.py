@@ -129,15 +129,17 @@ def _ann_index(spark: SparkSession, sf_dir: str):
 
         _build_cached_dir(path, build)
         try:
-            meta = S.load_ann_index_meta(spark, path)
+            meta = S.load_ann_index_meta(spark, path, use_cache=False)
             assert (meta["bits"], meta["n_centroids"]) == \
                 (BITS, IVF_CENTROIDS), f"built with {meta}"
         except Exception:
             # unreadable/missing/mismatched meta = stale layout → rebuild
+            # (use_cache=False both times: the cache entry from the failed
+            # probe must not shadow the freshly-rebuilt sidecar)
             import shutil
             shutil.rmtree(path, ignore_errors=True)
             _build_cached_dir(path, build)
-            meta = S.load_ann_index_meta(spark, path)
+            meta = S.load_ann_index_meta(spark, path, use_cache=False)
             assert (meta["bits"], meta["n_centroids"]) == \
                 (BITS, IVF_CENTROIDS)
         corpus, cents = S.load_ann_index(spark, path)

@@ -283,3 +283,38 @@ def test_read_side_calls_do_not_rewrite_current_manifest(spark, sf_dir,
     ds.list_dumps()
     ds.find_dump("a")
     assert os.stat(path).st_mtime_ns == before
+
+
+def test_corrupt_manifest_raises_not_served_from_bak(spark, sf_dir,
+                                                     tmp_path):
+    """The .bak fallback exists ONLY for the mid-swap rename window (final
+    file absent).  A manifest that EXISTS but is corrupt must raise — and
+    a genuinely-missing final with a valid .bak is served with a warning,
+    never silently."""
+    import warnings
+
+    ds = Datastore(spark, str(tmp_path / "fb"))
+    region = load_table(spark, sf_dir, "region")
+    ds.dump({"region": region}, "a")
+    path = os.path.join(ds.root, "metadata.json")
+    good = open(path, "rb").read()
+    # simulate the swap in flight: old manifest parked at .bak (a completed
+    # swap DELETES the .bak, so it only ever exists inside the window)
+    with open(path + ".bak", "wb") as f:
+        f.write(good)
+
+    try:
+        with open(path, "wb") as f:      # corrupt the FINAL manifest
+            f.write(b"{ not json !!")
+        with pytest.raises(Exception):
+            ds.list_dumps()              # must NOT serve stale .bak state
+    finally:
+        with open(path, "wb") as f:
+            f.write(good)
+
+    os.remove(path)                      # rename window: final absent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        names = {d.directory_name for d in ds.list_dumps()}
+    assert "a" in names                  # .bak manifest served
+    assert any("served from .bak" in str(x.message) for x in w)

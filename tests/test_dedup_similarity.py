@@ -270,11 +270,39 @@ def test_indexed_corpus_parameter_mismatch_fails_loudly(spark, sf_dir,
     path = str(tmp_path / "idx")
     cents = S.build_ann_index(emb, path, bits=6, n_centroids=8, dim=64)
     corpus, _ = S.load_ann_index(spark, path, with_centroids=False)
-    with _pt.raises(Exception, match="bucket width"):
-        S.lsh_topk(corpus, queries, k=3, bits=8, dim=64).collect()
+    # loaded-index corpus: the meta sidecar rides the bucket column, so a
+    # wrong-bits query is rejected at PLAN TIME on the driver
+    with _pt.raises(ValueError, match="built with bits=6"):
+        S.lsh_topk(corpus, queries, k=3, bits=8, dim=64)
     foreign = [("not-a-real-centroid-id", cv) for _, cv in cents]
     with _pt.raises(Exception, match="centroid"):
         S.ivf_topk(corpus, queries, k=3, centroids=foreign).collect()
+    # caller-assembled bucket column (no index metadata): the runtime
+    # width assert is the backstop
+    bare = S.rp_lsh_buckets(emb, bits=6, dim=64)
+    with _pt.raises(Exception, match="bucket width"):
+        S.lsh_topk(bare, queries, k=3, bits=8, dim=64).collect()
+
+
+def test_indexed_corpus_seed_mismatch_fails_loudly(spark, sf_dir, tmp_path):
+    """Same bucket WIDTH, different hyperplane SEED: before round 6 this
+    passed the width guard and silently returned wrong neighbors; the
+    meta-sidecar metadata stamped by load_ann_index must make it raise."""
+    import pytest as _pt
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "idx_seed")
+    S.build_ann_index(emb, path, bits=6, seed="otherseed", n_centroids=4,
+                      dim=64)
+    corpus, _ = S.load_ann_index(spark, path, with_centroids=False)
+    with _pt.raises(ValueError, match="seed"):
+        S.lsh_topk(corpus, queries, k=3, bits=6, dim=64)  # default seed 'rp'
+    # matching parameters still work
+    ok = S.lsh_topk(corpus, queries, k=3, bits=6, seed="otherseed", dim=64)
+    assert ok.count() >= 0
+    meta = S.load_ann_index_meta(spark, path)
+    assert (meta["bits"], meta["seed"]) == (6, "otherseed")
 
 
 def test_bucketed_near_dup_plan_has_no_cross_join(spark, sf_dir):
@@ -453,3 +481,36 @@ def test_minhash_rejects_correlated_hash_count(spark):
     # the full supported family still works
     assert len(DD.minhash_signatures(docs, "doc_id", "text",
                                      n_hashes=16).columns) == 17
+
+
+def test_zero_norm_vectors_excluded_from_both_brute_paths(spark):
+    """Zero-norm vectors have no defined cosine.  Policy (shared by the
+    SQL fold and the Arrow path, which would otherwise diverge on NaN
+    ordering): such rows are excluded from BOTH sides of the scoring."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8]),
+            (4, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 1)
+    sql_res = sorted(map(tuple, S.brute_force_topk(df, q, k=3).collect()))
+    arrow_res = sorted(map(tuple,
+                           S.brute_force_topk_arrow(df, q, k=3).collect()))
+    assert sql_res == arrow_res and sql_res
+    assert all(r[1] != 2 for r in sql_res)   # zero vector never a neighbor
+    zq = df.filter(F.col("vec_id") == 2)     # zero-norm QUERY: no rows
+    assert S.brute_force_topk(df, zq, k=3).count() == 0
+    assert S.brute_force_topk_arrow(df, zq, k=3).count() == 0
+
+
+def test_centroid_ids_with_quotes_are_escaped(spark):
+    """The API accepts arbitrary caller-supplied centroid ids; ids
+    containing single quotes must survive the literal-inlined assign and
+    probe expressions (D.q escaping), not break the rendered SQL."""
+    rows = [(i, [float(i), 1.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [("it's-a", [1.0, 0.0]), ("o'brien", [0.0, 1.0])]
+    assigned = S.ivf_assign(df, centroids=cents)
+    assert {r.centroid_id for r in assigned.collect()} <= {"it's-a",
+                                                           "o'brien"}
+    res = S.ivf_topk(df, df.filter(F.col("vec_id") == 1), k=2,
+                     centroids=cents, n_probe=2)
+    assert res.count() >= 1                  # renders + runs, no parse error

@@ -386,3 +386,45 @@ def test_wasmtime_runs_reference_rust_module():
     with open(REF_WASM, "rb") as fh:
         wasm = fh.read()
     assert W.wasi_run(wasm, b"hello\n").strip() == b"olleh"
+
+
+def test_memory_grow_respects_declared_max():
+    """memory.grow past the module's declared maximum must return -1 and
+    leave memory untouched, not extend unconditionally (spec: grow MAY
+    fail; exceeding the declared max MUST fail)."""
+    t_run = bytes([0x60]) + _vec([]) + _vec([bytes([I32])])
+    run = _vec([]) + _i32(4) + bytes([0x40, 0x00]) + bytes([END])
+    wasm = (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t_run]))
+            + _sec(3, _vec([_u(0)]))
+            + _sec(5, _vec([b"\x01" + _u(1) + _u(2)]))   # min 1, MAX 2
+            + _sec(7, _vec([_name("run") + b"\x00" + _u(0)]))
+            + _sec(10, _vec([_u(len(run)) + run])))
+    mod = W.WasmModule(wasm)
+    assert mod.mem_max == 2
+    inst = W._Instance(mod, b"")
+    assert inst.call(mod.exports["run"][1], []) == [0xFFFFFFFF]  # -1
+    assert len(inst.mem) == W.PAGE                       # unchanged
+
+
+def test_memory_grow_huge_delta_refused_not_oom():
+    """delta = -1 (u32 0xFFFFFFFF pages ≈ 256 TiB) must return -1 instead
+    of attempting the allocation; a sane grow on the same instance then
+    still succeeds (returns old page count)."""
+    t_run = bytes([0x60]) + _vec([]) + _vec([bytes([I32])])
+    huge = _vec([]) + _i32(-1) + bytes([0x40, 0x00]) + bytes([END])
+    sane = _vec([]) + _i32(1) + bytes([0x40, 0x00]) + bytes([END])
+    wasm = (b"\x00asm\x01\x00\x00\x00"
+            + _sec(1, _vec([t_run]))
+            + _sec(3, _vec([_u(0), _u(0)]))
+            + _sec(5, _vec([b"\x00" + _u(1)]))           # min 1, no max
+            + _sec(7, _vec([_name("huge") + b"\x00" + _u(0),
+                            _name("sane") + b"\x00" + _u(1)]))
+            + _sec(10, _vec([_u(len(b)) + b for b in (huge, sane)])))
+    mod = W.WasmModule(wasm)
+    assert mod.mem_max is None
+    inst = W._Instance(mod, b"")
+    assert inst.call(mod.exports["huge"][1], []) == [0xFFFFFFFF]
+    assert len(inst.mem) == W.PAGE
+    assert inst.call(mod.exports["sane"][1], []) == [1]  # old size
+    assert len(inst.mem) == 2 * W.PAGE
