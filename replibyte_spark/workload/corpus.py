@@ -53,7 +53,12 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench.py could issue (checkpoint RDDs free only when the JVM GCs every
     # referencing plan), which broke the bench cache-hygiene contract.
     kept = scored.filter(F.col("quality") >= QUALITY_FLOOR).persist()
-    kept.count()
+    # eager fill via noop WRITE, not count(): the write streams each cached
+    # batch straight to the null sink with no aggregation plan on top —
+    # interleaved min-of-5 A/B at sf0.1 reads 4.69s vs count()'s 5.25s
+    # (r6, SCALE.md), recovering most of the r5 persist+count regression
+    # while keeping the blocks clearCache-reclaimable (the r4 hygiene fix).
+    kept.write.mode("overwrite").format("noop").save()
     pairs = DD.minhash_near_dup_pairs(kept, "doc_id", "text",
                                       threshold=JACCARD_T,
                                       n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
