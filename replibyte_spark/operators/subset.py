@@ -93,7 +93,6 @@ def subset_closure(
     include_children: bool = False,
     passthrough_tables: list[str] | None = None,
     max_iterations: int = 20,
-    checkpoint_every: int = 5,
 ) -> SubsetResult:
     """Compute the RI closure of `seed_df` over the FK graph.
 
@@ -110,43 +109,85 @@ def subset_closure(
     # kept[t]: rows of t in the subset (deduped, persisted, monotone growth).
     # expand[t]: the subset of kept rows that still triggers child expansion —
     # seed + child-derived rows only; RI parents never re-expand children.
-    kept: dict[str, DataFrame] = {}
-    expand: dict[str, DataFrame] = {}
-    sizes: dict[str, int] = {}
-    esizes: dict[str, int] = {}
-    seed_df = seed_df.persist()
-    _grow(kept, sizes, seed_table, seed_df)
-    _grow(expand, esizes, seed_table, seed_df)
+    #
+    # Every merge materializes EAGERLY via localCheckpoint before any later
+    # edge references it — checkpoint, NOT persist: each round's frame
+    # references the previous round's through a self-referencing union
+    # whose analysis REWRITES attribute ids, so the rewritten subtree never
+    # matches the cache-manager entry and a persist()-based chain silently
+    # recomputes the ENTIRE lineage every round (measured at sf0.1: count
+    # time DOUBLING per round, 98s by round 7; checkpointed rounds are flat
+    # ~0.5s — SCALE.md).  The eager checkpoint truncates the logical plan
+    # itself, which also makes a separate every-N-rounds lineage cut
+    # unnecessary.  A batched one-action-per-round variant was also tried
+    # and is SLOWER: within one action the probe subtrees share
+    # unmaterialized frames and race to recompute them.  Checkpointed RDDs
+    # are swept by util.free_persistent_rdds / GC (bench.py runs both), the
+    # r4 hygiene contract.  Two further optimizations: an edge whose child
+    # set did not grow since it last ran is skipped (its contribution is
+    # already folded in), and FK key projections feed the left-semi join
+    # WITHOUT a distinct — semi-join semantics dedupe for free, and the
+    # distinct was a whole extra shuffle per edge per round.
+
+    def _merge(store, szs, table, new_rows) -> bool:
+        """Eagerly union new_rows into store[table]; True if it grew."""
+        if table not in store:
+            m = new_rows.localCheckpoint(eager=True)
+            n = m.count()
+            if n == 0:
+                return False
+        else:
+            m = (store[table].unionByName(new_rows).distinct()
+                 .localCheckpoint(eager=True))
+            n = m.count()
+            if n <= szs[table]:
+                return False
+        store[table], szs[table] = m, n
+        return True
+
+    seed_df = seed_df.localCheckpoint(eager=True)
+    kept: dict[str, DataFrame] = {seed_table: seed_df}
+    expand: dict[str, DataFrame] = {seed_table: seed_df}
+    sizes: dict[str, int] = {seed_table: seed_df.count()}
+    esizes: dict[str, int] = dict(sizes)
+    active_k: set[str] | None = None    # grew last round; None = first round
+    active_e: set[str] | None = None
 
     it = 0
     for it in range(1, max_iterations + 1):
-        grew = False
+        grew_k: set[str] = set()
+        grew_e: set[str] = set()
         # ---- parent direction: FK targets of every kept row must be kept
         for e in edges:
             if e.child not in kept or e.parent in passthrough:
                 continue
-            fk_keys = (kept[e.child].select(F.col(e.fk_col).alias(e.parent_col))
-                       .na.drop().distinct())
-            parent_rows = tables[e.parent].join(fk_keys, on=e.parent_col, how="leftsemi")
-            grew |= _grow(kept, sizes, e.parent, parent_rows)
+            if active_k is not None and e.child not in (active_k | grew_k):
+                continue
+            fk_keys = (kept[e.child]
+                       .select(F.col(e.fk_col).alias(e.parent_col)).na.drop())
+            rows = tables[e.parent].join(fk_keys, on=e.parent_col,
+                                         how="leftsemi")
+            if _merge(kept, sizes, e.parent, rows):
+                grew_k.add(e.parent)
         # ---- child direction (optional): children of the seed subtree only
         if include_children:
             for e in edges:
                 if e.parent not in expand or e.child in passthrough:
                     continue
-                pk = expand[e.parent].select(F.col(e.parent_col).alias(e.fk_col)).distinct()
-                child_rows = tables[e.child].join(pk, on=e.fk_col, how="leftsemi")
-                grew_kept = _grow(kept, sizes, e.child, child_rows)
+                if active_e is not None and e.parent not in (active_e | grew_e):
+                    continue
+                pk = expand[e.parent].select(
+                    F.col(e.parent_col).alias(e.fk_col))
+                rows = tables[e.child].join(pk, on=e.fk_col, how="leftsemi")
+                if _merge(kept, sizes, e.child, rows):
+                    grew_k.add(e.child)
                 # child-derived rows expand further; tracked separately from
                 # kept so RI-derived rows of the same table never re-expand
-                grew_exp = _grow(expand, esizes, e.child, child_rows)
-                grew |= grew_kept or grew_exp
-        if it % checkpoint_every == 0:
-            # cut lineage so deep/cyclic graphs don't accumulate a towering plan
-            kept = {t: df.localCheckpoint(eager=True) for t, df in kept.items()}
-            expand = {t: df.localCheckpoint(eager=True) for t, df in expand.items()}
-        if not grew:
+                if _merge(expand, esizes, e.child, rows):
+                    grew_e.add(e.child)
+        if not grew_k and not grew_e:
             break
+        active_k, active_e = grew_k, grew_e
 
     for t in passthrough:
         kept[t] = tables[t]
@@ -184,8 +225,8 @@ def _closure_topological(tables, edges, seed_table, seed_df, *,
     """Single-pass closure for acyclic FK graphs — the common case and the
     100 TB path: exactly one semi-join per traversed edge, no fixpoint
     counting jobs.  (The reference rescans the dump once per (row, relation)
-    pair; the iterative fallback above still does one count per edge per
-    round — this does neither.)
+    pair; the iterative fallback above still pays one checkpoint+count per
+    grown table per round — this does neither.)
 
     Order:
     1. child pass: BFS from the seed along reversed edges (seed subtree).
@@ -272,31 +313,6 @@ def _kahn_order(edges: list[FkEdge], reverse: bool) -> list[str]:
                     order.append(dst)
                     queue.append(dst)
     return order
-
-
-def _grow(kept, sizes, table, new_rows) -> bool:
-    """Union `new_rows` into kept[table]; True if the set grew.  Each grown
-    set is persisted and the superseded one released, so per-iteration counts
-    don't recompute the whole closure lineage (the Spark analogue of the
-    reference's spill-file dedup, subset/src/dedup.rs:9-63)."""
-    if table not in kept:
-        new_rows = new_rows.persist()
-        n = new_rows.count()
-        if n == 0:
-            new_rows.unpersist()
-            return False
-        kept[table] = new_rows
-        sizes[table] = n
-        return True
-    merged = kept[table].unionByName(new_rows).distinct().persist()
-    n = merged.count()
-    if n > sizes[table]:
-        kept[table].unpersist()
-        kept[table] = merged
-        sizes[table] = n
-        return True
-    merged.unpersist()
-    return False
 
 
 def verify_referential_integrity(

@@ -132,6 +132,55 @@ register(Query("subset_full_closure", subset_full_closure, SUBSET_FULL_ORACLE,
                tags=("subset",), bench=True))
 
 
+# --- cyclic FK graph: the iterative-fixpoint fallback, gated + measured -----
+#
+# Two derived tables reference EACH OTHER (a.b_ref → b.b_id, b.a_ref →
+# a.a_id), the case the reference left as "TODO break acyclic graph"
+# (subset/src/postgres.rs:154).  Both tables derive deterministically from
+# `customer`; b points back at floor(id/2), so the closure of a seed id is
+# its halving chain — the fixpoint needs ~log2(max_id) rounds (≈14 at
+# sf0.1), exercising the per-round count() jobs the DAG path avoids.  The
+# oracle is a recursive CTE over the same halving relation.
+
+
+def cyclic_subset_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators.subset import FkEdge
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("a_id"),
+                    F.col("c_custkey").alias("b_ref"))
+    b = cust.select(F.col("c_custkey").alias("b_id"),
+                    F.expr("c_custkey DIV 2").alias("a_ref"))
+    edges = [FkEdge("a", "b_ref", "b", "b_id"),
+             FkEdge("b", "a_ref", "a", "a_id")]
+    seed = a.filter(F.col("a_id") % 100 == 0)
+    res = subset_closure({"a": a, "b": b}, edges, "a", seed,
+                         max_iterations=40)
+    kept_a = res.tables["a"].select(F.lit("a").alias("tbl"),
+                                    F.col("a_id").alias("id"))
+    kept_b = res.tables["b"].select(F.lit("b").alias("tbl"),
+                                    F.col("b_id").alias("id"))
+    return kept_a.unionAll(kept_b).orderBy("tbl", "id")
+
+
+CYCLIC_SUBSET_ORACLE = """
+WITH RECURSIVE ka(id) AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+  UNION
+  SELECT c.c_custkey FROM ka JOIN customer c ON c.c_custkey = ka.id // 2
+)
+SELECT * FROM (
+  SELECT 'a' AS tbl, id FROM ka
+  UNION ALL
+  SELECT 'b' AS tbl, id FROM ka
+) ORDER BY tbl, id
+"""
+
+register(Query("cyclic_subset_closure", cyclic_subset_closure,
+               CYCLIC_SUBSET_ORACLE, tags=("subset",)), extra=True)
+
+
 # --- stratified sampling (SS3 generalized for training-data curation) -------
 
 LANG_RATES = {"en": 10, "de": 50}
