@@ -391,7 +391,8 @@ def _assign_expr(vec_col: str, cents) -> str:
 def refine_centroids(vectors: DataFrame, centroids: DataFrame,
                      iterations: int = 2, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     normalize: bool = False) -> DataFrame:
+                     normalize: bool = False,
+                     deterministic: bool = False) -> DataFrame:
     """Lloyd refinement for IVF centroids: repeat (assign to nearest
     centroid → replace each centroid with its cell's element-wise mean).
 
@@ -406,15 +407,33 @@ def refine_centroids(vectors: DataFrame, centroids: DataFrame,
     k-means) — the right variant for cosine/dot retrieval over normalized
     embeddings, where the plain mean's norm shrinkage would otherwise
     deflate dot scores.
+
+    `deterministic=True` computes each cell mean as a SEQUENTIAL fold over
+    the cell's values sorted by `id_col` instead of `F.avg` — bit-identical
+    across engines and runs (the same trick :func:`dot_sql` uses), so an
+    external oracle can reproduce the refined values exactly.  It
+    collect_list's each (cell, dim) group, so it is for verification /
+    fixture builds; the default `F.avg` path (partial aggregation,
+    ulp-nondeterministic summation order) is the 100 TB path.
     """
     for _ in range(iterations):
         assigned = ivf_assign(vectors, id_col=id_col, vec_col=vec_col,
                               centroids=centroids)
         dims = (assigned.select("centroid_id",
+                                F.col(id_col).alias("__rid"),
                                 F.posexplode(F.col(vec_col))
                                 .alias("pos", "x")))
-        means = (dims.groupBy("centroid_id", "pos")
-                 .agg(F.avg("x").alias("m")))
+        if deterministic:
+            means = (dims.groupBy("centroid_id", "pos")
+                     .agg(F.expr(
+                         "aggregate(transform(array_sort(collect_list("
+                         "struct(__rid AS r, CAST(x AS DOUBLE) AS x))), "
+                         "s -> s.x), CAST(0 AS DOUBLE), "
+                         "(acc, v) -> acc + v) "
+                         "/ CAST(count(1) AS DOUBLE)").alias("m")))
+        else:
+            means = (dims.groupBy("centroid_id", "pos")
+                     .agg(F.avg("x").alias("m")))
         rebuilt = (means.groupBy("centroid_id")
                    .agg(F.transform(
                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
@@ -517,7 +536,9 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                     seed: str = "rp", n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int | None = None,
-                    partition_by_bucket: bool = False) -> "list":
+                    partition_by_bucket: bool = False,
+                    refine_iterations: int = 0,
+                    refine_deterministic: bool = False) -> "list":
     """Materialize the ANN index AS A STORAGE LAYOUT: the corpus written to
     parquet with its RP-LSH `bucket`, IVF `centroid_id` and `norm` columns
     precomputed, plus a `centroids` sidecar table — built ONCE at ingest,
@@ -534,13 +555,27 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     bucket string like '001100' back as the integer 1100, silently
     corrupting both type and value — the prefix keeps it a string and the
     real `bucket` column stays in the data files.  A one-row `meta`
-    parquet records (bits, seed, n_centroids, dim) so readers can check
-    they query with the parameters the index was built with.  Returns the
-    collected centroid list for :func:`ivf_topk` reuse."""
+    parquet records (bits, seed, n_centroids, dim, refine_iterations) so
+    readers can check they query with the parameters the index was built
+    with.  Returns the collected centroid list for :func:`ivf_topk` reuse.
+
+    `refine_iterations > 0` runs Lloyd refinement (:func:`refine_centroids`)
+    over the hash-sampled defaults at BUILD time — this is where offline
+    centroid refinement belongs at 100 TB: paid once when the layout is
+    written, amortized over every query.  The refined set is what gets
+    assigned against, stored in the sidecar, and returned."""
     import os
 
+    spark = vectors.sparkSession
     cents = _collect_centroids(
         default_centroids(vectors, n_centroids, id_col, vec_col))
+    if refine_iterations and cents:
+        refined = refine_centroids(
+            vectors,
+            spark.createDataFrame(cents, "centroid_id string, cv array<double>"),
+            iterations=refine_iterations, id_col=id_col, vec_col=vec_col,
+            deterministic=refine_deterministic)
+        cents = _collect_centroids(refined)
     indexed = (rp_lsh_buckets(vectors, bits, seed, vec_col, dim)
                .withColumn("norm", F.expr(norm_sql(D.SPARK, vec_col))))
     if cents:
@@ -556,13 +591,13 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
             "bucket_part", F.concat(F.lit("b"), F.col("bucket")))
         writer = writer_df.write.mode("overwrite").partitionBy("bucket_part")
     writer.parquet(os.path.join(path, "corpus"))
-    spark = vectors.sparkSession
     (spark.createDataFrame(cents, "centroid_id string, cv array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
     (spark.createDataFrame(
-        [(bits, seed, n_centroids, dim)],
-        "bits int, seed string, n_centroids int, dim int")
+        [(bits, seed, n_centroids, dim, refine_iterations)],
+        "bits int, seed string, n_centroids int, dim int, "
+        "refine_iterations int")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "meta")))
     return cents

@@ -309,6 +309,8 @@ SCALE_MULT = 25
 # amplified vec_id % 2500 == 0 ⇔ base vec_id % 100 == 0 AND replica 0:
 # 20 queries at sf0.1, 5 at sf0.01
 SCALE_QUERY_MOD = SCALE_MULT * 100
+# Lloyd iterations baked into the scale index at build time (r6)
+IVF_REFINE = 1
 
 _SCALE_PATHS: dict[str, str] = {}
 _SCALE_CENTROIDS: dict[str, list] = {}
@@ -322,7 +324,7 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
 
     key = (sf_dir.strip("/").replace("/", "_") + "_"
            + _dataset_fingerprint(sf_dir, "embeddings")
-           + f"_x{SCALE_MULT}b{BITS}c{IVF_CENTROIDS}")
+           + f"_x{SCALE_MULT}b{BITS}c{IVF_CENTROIDS}r{IVF_REFINE}")
     base = _SCALE_PATHS.get(key)
     if base is None:
         base = os.path.join(tempfile.gettempdir(), f"rs_ann_scale_{key}")
@@ -335,9 +337,16 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
                         .alias("vec_id"), "embedding"))
             amp_path = os.path.join(tmp, "amplified")
             amp.write.mode("overwrite").parquet(amp_path)
+            # refine_iterations: the offline-Lloyd story proven in the
+            # GATED path — centroids refined once at index-build time, in
+            # deterministic mode so the DuckDB oracle reproduces the
+            # refined values bit-exactly (sequential id-sorted mean fold,
+            # the dot_sql cross-engine trick)
             S.build_ann_index(spark.read.parquet(amp_path),
                               os.path.join(tmp, "index"), bits=BITS,
-                              n_centroids=IVF_CENTROIDS, dim=EMB_DIM)
+                              n_centroids=IVF_CENTROIDS, dim=EMB_DIM,
+                              refine_iterations=IVF_REFINE,
+                              refine_deterministic=True)
 
         _build_cached_dir(base, build)
         _SCALE_PATHS[key] = base
@@ -431,10 +440,37 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 def _ann_scale_ivf_oracle() -> str:
     d = D.DUCK
     dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
+    # cent = one deterministic Lloyd iteration over the md5-sampled cent0,
+    # mirroring build_ann_index(refine_iterations=1,
+    # refine_deterministic=True): per-(cell, dim) mean as a SEQUENTIAL
+    # fold over vec_id-ordered values (list_sum of an ORDER BY list ≡
+    # Spark's aggregate() fold over an array_sort'ed collect_list — the
+    # same cross-engine-exact summation dot_sql relies on), empty cells
+    # keep their cent0 vector.
     return f"""
-WITH {_AMP_CTE}, cent AS (
+WITH {_AMP_CTE}, cent0 AS (
   SELECT md5(CAST(vec_id AS VARCHAR)) AS centroid_id, embedding AS cv
   FROM amp ORDER BY centroid_id LIMIT {IVF_CENTROIDS}
+), assign0 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id DESC) AS rn
+    FROM amp e CROSS JOIN cent0 c
+  ) WHERE rn = 1
+), mean1 AS (
+  SELECT centroid_id, t.pos,
+         list_sum(list(CAST(embedding[t.pos] AS DOUBLE) ORDER BY vec_id))
+           / CAST(count(*) AS DOUBLE) AS m
+  FROM assign0, range(1, {EMB_DIM} + 1) t(pos)
+  GROUP BY centroid_id, t.pos
+), cent AS (
+  SELECT c0.centroid_id,
+         coalesce(m.cv, CAST(c0.cv AS DOUBLE[])) AS cv
+  FROM cent0 c0 LEFT JOIN (
+    SELECT centroid_id, list(m ORDER BY pos) AS cv FROM mean1
+    GROUP BY centroid_id
+  ) m USING (centroid_id)
 ), assign AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,

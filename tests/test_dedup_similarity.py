@@ -514,3 +514,30 @@ def test_centroid_ids_with_quotes_are_escaped(spark):
     res = S.ivf_topk(df, df.filter(F.col("vec_id") == 1), k=2,
                      centroids=cents, n_probe=2)
     assert res.count() >= 1                  # renders + runs, no parse error
+
+
+def test_build_ann_index_with_refinement(spark, sf_dir, tmp_path):
+    """refine_iterations at build time: the sidecar carries the REFINED
+    centroid set (≠ the raw hash sample), meta records the iteration
+    count, and ivf_topk over the indexed corpus with the stored centroids
+    equals ivf_topk over raw vectors with the same explicit refined set —
+    the offline-Lloyd path proven end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "refined_idx")
+    cents = S.build_ann_index(emb, path, bits=6, n_centroids=8, dim=64,
+                              refine_iterations=1,
+                              refine_deterministic=True)
+    meta = S.load_ann_index_meta(spark, path)
+    assert meta["refine_iterations"] == 1
+    raw_sample = S._collect_centroids(
+        S.default_centroids(emb, 8))
+    assert {c for c, _ in cents} == {c for c, _ in raw_sample}  # ids stable
+    assert dict(cents) != dict(raw_sample)        # vectors actually moved
+    corpus, cents2 = S.load_ann_index(spark, path)
+    assert cents == cents2
+    idx = sorted(map(tuple, S.ivf_topk(corpus, queries, k=3,
+                                       centroids=cents2).collect()))
+    raw = sorted(map(tuple, S.ivf_topk(emb, queries, k=3,
+                                       centroids=cents).collect()))
+    assert idx == raw and idx
