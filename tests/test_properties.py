@@ -109,3 +109,158 @@ def test_archive_stream_writer_matches_in_memory_builder(colls):
     assert got == ref
     parsed = parse_archive(got)  # raises on any CRC mismatch
     assert sum(len(v) for v in parsed.collections().values()) == n
+
+
+# ---------------------------------------------------------------------------
+# round-5 fix areas under hypothesis (the three bug classes below were all
+# found by review, not by the example-based tests — lock them with
+# generated inputs): asof exact-µs tolerance edges, incremental chains
+# with random full/delta interleavings, retention over random chain shapes
+# ---------------------------------------------------------------------------
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.integers(0, 12)),
+        min_size=1, max_size=6),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.integers(0, 12)),
+        min_size=1, max_size=6, unique=True),
+    tol_us=st.one_of(st.none(), st.integers(0, 8)),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_tolerance_microsecond_edges(spark, left, right, tol_us):
+    """asof_join vs a direct Python model on microsecond-offset
+    timestamps, with tolerances drawn AT the boundary scale: exact
+    tol == diff edges must match inclusively, NULL keys never match, and
+    the tolerance conversion mirrors the operator's own int(sec * 1e6)."""
+    from datetime import datetime, timedelta
+
+    from replibyte_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    lrows = [(k, base + timedelta(microseconds=us), i)
+             for i, (k, us) in enumerate(left)]
+    rrows = [(k, base + timedelta(microseconds=us), f"p{j}")
+             for j, (k, us) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k string, ts timestamp, lid long")
+    rdf = spark.createDataFrame(rrows, "k string, ts timestamp, pay string")
+    tol_sec = None if tol_us is None else tol_us / 1_000_000
+    out = asof_join(ldf, rdf, on="k", tolerance_seconds=tol_sec)
+    got = {r.lid: (r.ts_matched, r.pay_matched) for r in out.collect()}
+
+    lim = None if tol_sec is None else int(tol_sec * 1_000_000)
+    for i, (k, us) in enumerate(left):
+        lt = base + timedelta(microseconds=us)
+        cands = [(rt, p) for (rk, rt, p) in rrows
+                 if k is not None and rk == k and rt <= lt]
+        want = (None, None)
+        if cands:
+            rt, p = max(cands)          # unique (k, ts) rights: max ts wins
+            diff_us = round((lt - rt).total_seconds() * 1_000_000)
+            if lim is None or diff_us <= lim:
+                want = (rt, p)
+        assert got[i] == want, (
+            f"lid={i} k={k!r} us={us} tol_us={tol_us}: {got[i]} != {want}")
+
+
+@given(steps=st.lists(st.tuples(st.integers(0, 3), st.booleans()),
+                      min_size=1, max_size=4))
+@settings(max_examples=8, deadline=None)
+def test_incremental_chain_restore_random_interleavings(spark, steps):
+    """Random full/delta interleavings over an insert-only table: after
+    every step, restore('latest') must equal the current table exactly —
+    no duplicated rows (the r5 full-redump-shadowing fix), no lost rows
+    (empty deltas inherit the base watermark), across arbitrary chain
+    shapes."""
+    import shutil
+    import tempfile
+
+    from replibyte_spark.sinks.datastore import Datastore
+
+    root = tempfile.mkdtemp(prefix="rs_prop_chain_")
+    try:
+        store = Datastore(spark, root)
+        rows = [(1, 1), (2, 2)]
+        next_id = 3
+
+        def df():
+            return spark.createDataFrame(rows, "id long, wm long")
+
+        store.dump({"t": df()}, "d0", watermark_cols={"t": "wm"})
+        for si, (n_new, full) in enumerate(steps):
+            for _ in range(n_new):
+                rows.append((next_id, next_id))
+                next_id += 1
+            name = f"d{si + 1}"
+            if full:
+                store.dump({"t": df()}, name, watermark_cols={"t": "wm"})
+            else:
+                store.dump_incremental({"t": df()}, name,
+                                       watermark_cols={"t": "wm"})
+            back = sorted(map(tuple,
+                              store.restore("latest")["t"].collect()))
+            assert back == sorted(rows), (
+                f"step {si} ({'full' if full else 'delta'}, +{n_new}): "
+                f"{len(back)} rows vs {len(rows)}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    n=st.integers(1, 8),
+    parent_seed=st.integers(0, 2**30),
+    keep_last=st.integers(0, 8),
+)
+@settings(max_examples=25, deadline=None)
+def test_retention_preserves_chains_random_shapes(spark, n, parent_seed,
+                                                  keep_last):
+    """retain(keep_last=k) over a RANDOM parent forest: (1) the newest k
+    dumps always survive, (2) every survivor's full ancestor chain
+    survives (the r5 chain-aware fix), (3) nothing outside the doomed
+    candidate set is deleted."""
+    import random
+    import shutil
+    import tempfile
+    import time as _time
+
+    from replibyte_spark.sinks.datastore import Datastore
+
+    rng = random.Random(parent_seed)
+    root = tempfile.mkdtemp(prefix="rs_prop_retain_")
+    try:
+        store = Datastore(spark, root)
+        store.init()
+        now = _time.time()
+        dumps = []
+        for i in range(n):
+            parent = (f"d{rng.randrange(i)}"
+                      if i and rng.random() < 0.6 else None)
+            dumps.append({
+                "directory_name": f"d{i}", "size": 1,
+                "created_at": now - (n - i) * 60,
+                "compressed": True, "encrypted": False, "tables": ["t"],
+                "encrypted_column_types": {}, "parent": parent,
+                "watermarks": {}, "full_tables": ["t"],
+            })
+        m = store._read_manifest()
+        m["dumps"] = dumps
+        store._write_manifest(m)
+        parents = {d["directory_name"]: d["parent"] for d in dumps}
+
+        deleted = store.retain(keep_last=keep_last)
+        left = {d.directory_name for d in store.list_dumps()}
+        assert left.isdisjoint(deleted)
+        newest = {f"d{i}" for i in range(max(0, n - keep_last), n)}
+        assert newest <= left                       # (1)
+        for name in left:                           # (2)
+            p = parents[name]
+            while p is not None:
+                assert p in left, f"{name}'s ancestor {p} was deleted"
+                p = parents[p]
+        candidates = {f"d{i}" for i in range(max(0, n - keep_last))}
+        assert set(deleted) <= candidates           # (3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
