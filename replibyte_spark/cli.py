@@ -1,0 +1,246 @@
+"""Command-line interface — the reference's clap command tree restated.
+
+Reference: CLI/SubCommand (/root/reference/replibyte/src/cli.rs:9-131),
+dispatched in main.rs:84-209:
+
+    replibyte -c conf.yaml dump list
+    replibyte -c conf.yaml dump create [-s <type> -i] [-f <file>] [-n <name>]
+    replibyte -c conf.yaml dump restore remote -v <latest|name> [-o]
+    replibyte -c conf.yaml dump restore local ...        (Docker — non-goal)
+    replibyte -c conf.yaml dump delete <name>|--older-than Nd|--keep-last N
+    replibyte -c conf.yaml transformer list
+    replibyte -c conf.yaml source schema
+
+`python -m replibyte_spark` exposes the same tree over the Spark engine:
+every subcommand builds the same declarative plans the library API exposes
+(plans/pipeline.py, introspect.py, sinks/datastore.py).  `--no-telemetry`
+is accepted for argv compatibility and is a no-op — this engine has no
+telemetry at all.  `dump restore local` (reference cli.rs:75-96: spawn a
+Docker container and restore into it) is an explicit unsupported error —
+the accepted SURVEY §7 non-goal (K4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="replibyte-spark",
+        description="Seed databases with production data while keeping "
+                    "sensitive data safe — Spark engine.")
+    p.add_argument("-c", "--config", required=True,
+                   metavar="configuration file")
+    p.add_argument("--no-telemetry", action="store_true",
+                   help="accepted for compatibility; this engine sends "
+                        "no telemetry")
+    p.add_argument("--cpus", type=int, default=None,
+                   help="local[] parallelism (default: env/auto)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    dump = sub.add_parser("dump", help="all dump commands")
+    dsub = dump.add_subparsers(dest="dump_cmd", required=True)
+
+    dsub.add_parser("list", help="list available dumps")
+
+    create = dsub.add_parser("create", help="launch dump")
+    create.add_argument("-n", "--name", default=None, help="dump name")
+    create.add_argument("-f", "--file", default=None, metavar="dump file",
+                        help="read the dump from this file instead of the "
+                             "configured source (.sql or mongodump archive)")
+    create.add_argument("-s", "--source-type", default=None,
+                        choices=["postgresql", "mysql", "mongodb"],
+                        help="source type for -i/-f input")
+    create.add_argument("-i", "--input", action="store_true",
+                        help="import dump from stdin (requires -s)")
+
+    restore = dsub.add_parser("restore", help="all restore commands")
+    rsub = restore.add_subparsers(dest="restore_cmd", required=True)
+    remote = rsub.add_parser("remote",
+                             help="restore dump inside the configured "
+                                  "destination")
+    remote.add_argument("-v", "--value", required=True,
+                        metavar="[latest | dump name]")
+    remote.add_argument("-o", "--output", action="store_true",
+                        help="stream the restored tables as SQL INSERT "
+                             "statements on stdout")
+    local = rsub.add_parser("local",
+                            help="restore dump inside a local Docker "
+                                 "container (unsupported)")
+    local.add_argument("-v", "--value", default="latest")
+
+    delete = dsub.add_parser("delete", help="delete dumps")
+    delete.add_argument("dump", nargs="?", default=None,
+                        help="name of the dump to delete")
+    delete.add_argument("--older-than", default=None, metavar="Nd",
+                        help="delete dumps older than N days, e.g. 14d")
+    delete.add_argument("--keep-last", type=int, default=None, metavar="N",
+                        help="keep only the last N dumps")
+
+    transformer = sub.add_parser("transformer", help="all transformer commands")
+    tsub = transformer.add_subparsers(dest="transformer_cmd", required=True)
+    tsub.add_parser("list", help="list available transformers")
+
+    source = sub.add_parser("source", help="all source commands")
+    ssub = source.add_subparsers(dest="source_cmd", required=True)
+    ssub.add_parser("schema", help="show the source schema")
+    return p
+
+
+def _show(df, n: int = 1000) -> None:
+    df.show(n, truncate=False)
+
+
+def _source_override(config, path: str, source_type: str | None):
+    """`-f file` / `-i` replace the configured source with a dump file —
+    commands/dump.rs:141-188 (stdin/file branches of DumpCommand::Create).
+    `.sql` text for postgresql/mysql, mongodump archive for mongodb."""
+    from dataclasses import replace
+
+    if source_type == "mongodb" or (source_type is None
+                                    and not path.endswith(".sql")):
+        uri = f"mongodump://{path}"
+    else:
+        uri = f"sqltext://{path}"
+    if config.source is None:
+        from .config import SourceConfig
+
+        return replace(config, source=SourceConfig(connection_uri=uri))
+    return replace(config, source=replace(config.source, connection_uri=uri))
+
+
+def _cmd_dump_create(spark, config, args) -> int:
+    from .plans.pipeline import DumpPipeline
+
+    if args.input:
+        if not args.source_type:
+            print("error: -i/--input requires -s/--source-type",
+                  file=sys.stderr)
+            return 2
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+                suffix=".sql" if args.source_type != "mongodb" else ".archive",
+                delete=False) as tmp:
+            tmp.write(sys.stdin.buffer.read())
+            path = tmp.name
+        config = _source_override(config, path, args.source_type)
+    elif args.file:
+        config = _source_override(config, args.file, args.source_type)
+    info = DumpPipeline(config).run(spark, args.name)
+    print(f"dump {info.directory_name} created "
+          f"({len(info.tables)} tables, {info.size} bytes)")
+    return 0
+
+
+def _cmd_dump_restore_remote(spark, config, args) -> int:
+    if args.output:
+        # `-o`: stream the dump as SQL text on stdout
+        # (cli.rs:70-72 `output`; destination/generic_stdout.rs) — restore
+        # from the datastore and print INSERT statements per table,
+        # through toLocalIterator so the driver never holds a full table
+        from .sinks.datastore import Datastore
+        from .sinks.sqldump_sink import to_insert_statements
+
+        if not config.datastore:
+            print("error: restore requires datastore config", file=sys.stderr)
+            return 2
+        store = Datastore(spark, config.datastore.dir)
+        tables = store.restore(
+            args.value,
+            decrypt_columns=config.datastore.encrypted_columns,
+            encryption_key=config.encryption_key)
+        for t in sorted(tables):
+            for row in to_insert_statements(tables[t], t).toLocalIterator():
+                print(row[0])
+        return 0
+    from .plans.pipeline import RestorePipeline
+
+    tables = RestorePipeline(config).run(spark, args.value)
+    print(f"restored {len(tables)} tables from {args.value}")
+    return 0
+
+
+def _cmd_dump_delete(spark, config, args) -> int:
+    from .sinks.datastore import Datastore
+
+    modes = [m for m in (args.dump, args.older_than, args.keep_last)
+             if m is not None]
+    if len(modes) != 1:
+        print("error: pass exactly one of <dump name>, --older-than, "
+              "--keep-last", file=sys.stderr)
+        return 2
+    store = Datastore(spark, config.datastore.dir)
+    if args.dump is not None:
+        store.delete(args.dump)
+        print(f"deleted {args.dump}")
+        return 0
+    if args.older_than is not None:
+        m = re.fullmatch(r"(\d+)d", args.older_than)
+        if not m:
+            print(f"error: --older-than wants e.g. '14d', "
+                  f"got {args.older_than!r}", file=sys.stderr)
+            return 2
+        deleted = store.retain(older_than_days=int(m.group(1)))
+    else:
+        deleted = store.retain(keep_last=args.keep_last)
+    print(f"deleted {len(deleted)} dumps: {', '.join(deleted) or '(none)'}")
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .config import Config
+
+    config = Config.from_file(args.config)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("replibyte-spark-cli", cpus=args.cpus)
+
+    if args.cmd == "transformer":
+        from .introspect import transformer_list
+
+        _show(transformer_list(spark))
+        return 0
+    if args.cmd == "source":
+        from .plans.pipeline import DumpPipeline
+
+        tables = DumpPipeline(config).load_source_tables(spark)
+        rows = [(t, f.name, i, f.dataType.simpleString())
+                for t in sorted(tables)
+                for i, f in enumerate(tables[t].schema.fields)]
+        _show(spark.createDataFrame(
+            rows, "table_name string, column_name string, ordinal int, "
+                  "data_type string"))
+        return 0
+    # dump subtree
+    if config.datastore is None:
+        print("error: dump commands require datastore config",
+              file=sys.stderr)
+        return 2
+    if args.dump_cmd == "list":
+        from .introspect import dump_list
+
+        _show(dump_list(spark, config.datastore.dir))
+        return 0
+    if args.dump_cmd == "create":
+        return _cmd_dump_create(spark, config, args)
+    if args.dump_cmd == "restore":
+        if args.restore_cmd == "local":
+            print("error: `dump restore local` (Docker containers, "
+                  "reference cli.rs:75-96) is not supported by the Spark "
+                  "engine — use `dump restore remote` with a destination "
+                  "connection_uri", file=sys.stderr)
+            return 2
+        return _cmd_dump_restore_remote(spark, config, args)
+    if args.dump_cmd == "delete":
+        return _cmd_dump_delete(spark, config, args)
+    raise AssertionError(f"unhandled command {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,134 @@
+"""CLI tests — the reference's clap command tree (cli.rs:9-131) over the
+Spark engine via `python -m replibyte_spark`.  Each command is driven
+through `cli.main(argv, spark=...)` so the suite reuses the session."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from replibyte_spark.cli import main
+
+
+@pytest.fixture()
+def conf(tmp_path, sf_dir):
+    path = tmp_path / "conf.yaml"
+    path.write_text(f"""
+source:
+  connection_uri: parquet://{sf_dir}
+  only_tables:
+    - table: region
+    - table: nation
+  transformers:
+    - table: nation
+      columns:
+        - name: n_name
+          transformer_name: redacted
+datastore:
+  dir: {tmp_path}/store
+destination:
+  connection_uri: parquet://{tmp_path}/out
+  wipe_database: true
+""")
+    return str(path)
+
+
+def test_cli_dump_lifecycle(spark, conf, tmp_path, capsys):
+    assert main(["-c", conf, "dump", "create", "-n", "d1"], spark=spark) == 0
+    assert "dump d1 created" in capsys.readouterr().out
+
+    assert main(["-c", conf, "dump", "list"], spark=spark) == 0
+    assert "d1" in capsys.readouterr().out
+
+    assert main(["-c", conf, "dump", "restore", "remote", "-v", "d1"],
+                spark=spark) == 0
+    assert "restored 2 tables" in capsys.readouterr().out
+    out = spark.read.parquet(str(tmp_path / "out" / "region"))
+    assert out.count() == 5
+
+    # transformer applied at dump time: restored names are redacted
+    nat = spark.read.parquet(str(tmp_path / "out" / "nation"))
+    assert all(len(r.n_name) <= 3 or r.n_name.endswith("***")
+               for r in nat.collect())
+
+    assert main(["-c", conf, "dump", "delete", "d1"], spark=spark) == 0
+    assert "deleted d1" in capsys.readouterr().out
+    assert main(["-c", conf, "dump", "list"], spark=spark) == 0
+    assert "d1" not in capsys.readouterr().out
+
+
+def test_cli_restore_output_streams_inserts(spark, conf, capsys):
+    assert main(["-c", conf, "dump", "create", "-n", "d2"], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["-c", conf, "dump", "restore", "remote", "-v", "d2", "-o"],
+                spark=spark) == 0
+    out = capsys.readouterr().out
+    assert out.count("INSERT INTO region") == 5
+    assert out.count("INSERT INTO nation") == 25
+
+
+def test_cli_dump_create_from_sql_file(spark, tmp_path, capsys):
+    dump_file = tmp_path / "mini.sql"
+    dump_file.write_text(
+        "INSERT INTO pets (id, name) VALUES (1, 'rex');\n"
+        "INSERT INTO pets (id, name) VALUES (2, 'o''malley');\n")
+    conf = tmp_path / "c.yaml"
+    conf.write_text(f"""
+datastore:
+  dir: {tmp_path}/store2
+destination:
+  connection_uri: console://
+""")
+    assert main(["-c", str(conf), "dump", "create", "-f", str(dump_file),
+                 "-s", "postgresql", "-n", "filed"], spark=spark) == 0
+    assert "dump filed created (1 tables" in capsys.readouterr().out
+    assert main(["-c", str(conf), "dump", "restore", "remote",
+                 "-v", "filed", "-o"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "o''malley" in out and out.count("INSERT INTO pets") == 2
+
+
+def test_cli_delete_modes_and_errors(spark, conf, capsys):
+    for n in ("a", "b", "c"):
+        assert main(["-c", conf, "dump", "create", "-n", n], spark=spark) == 0
+    capsys.readouterr()
+    # exactly-one-mode validation
+    assert main(["-c", conf, "dump", "delete"], spark=spark) == 2
+    assert main(["-c", conf, "dump", "delete", "a", "--keep-last", "1"],
+                spark=spark) == 2
+    assert main(["-c", conf, "dump", "delete", "--older-than", "14days"],
+                spark=spark) == 2
+    capsys.readouterr()
+    assert main(["-c", conf, "dump", "delete", "--keep-last", "1"],
+                spark=spark) == 0
+    assert "deleted 2 dumps: a, b" in capsys.readouterr().out
+    assert main(["-c", conf, "dump", "delete", "--older-than", "14d"],
+                spark=spark) == 0
+    assert "deleted 0 dumps" in capsys.readouterr().out
+
+
+def test_cli_transformer_list_and_source_schema(spark, conf, capsys):
+    assert main(["-c", conf, "transformer", "list"], spark=spark) == 0
+    out = capsys.readouterr().out
+    for t in ("email", "credit-card", "custom-wasm", "redacted"):
+        assert t in out
+    assert main(["-c", conf, "source", "schema"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "n_nationkey" in out and "r_regionkey" in out
+    assert "c_custkey" not in out        # only_tables pruned the listing
+
+
+def test_cli_restore_local_is_explicitly_unsupported(spark, conf, capsys):
+    assert main(["-c", conf, "dump", "restore", "local", "-v", "latest"],
+                spark=spark) == 2
+    assert "not supported" in capsys.readouterr().err
+
+
+def test_cli_stdin_requires_source_type(spark, conf, capsys):
+    assert main(["-c", conf, "dump", "create", "-i"], spark=spark) == 2
+    assert "requires -s" in capsys.readouterr().err
+
+
+def test_module_entrypoint_exists():
+    import replibyte_spark.__main__  # noqa: F401  (import must not run main)
