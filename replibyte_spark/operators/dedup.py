@@ -544,3 +544,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(train: DataFrame, benchmark: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 8, bench_id_col: str | None = None,
+                       bench_text_col: str | None = None) -> DataFrame:
+    """Per-training-doc contamination summary against a benchmark set:
+    (id, n_shared_grams, n_bench_docs) for every training doc sharing at
+    least one distinct word n-gram with any benchmark doc — the standard
+    eval-decontamination check (the GPT-3/Llama-style 13-gram overlap
+    rule; `n` is the dial).
+
+    Scale shape: the benchmark side is an eval suite — tiny next to a
+    100 TB corpus — so its distinct gram set BROADCASTS; the train side is
+    one scan + explode, and the only shuffle is the final per-doc
+    aggregation.  No pairwise anything."""
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    tg = shingles(train, id_col, text_col, n)
+    bg = (shingles(benchmark, bid, btx, n)
+          .select(F.col(bid).alias("__bench_id"), "gram"))
+    return (tg.join(F.broadcast(bg), on="gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_shared_grams"),
+                 F.countDistinct("__bench_id").alias("n_bench_docs"))
+            .orderBy(id_col))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8, **kw) -> DataFrame:
+    """Training corpus minus every contaminated doc (one anti-join against
+    the flagged id set from :func:`contamination_hits`)."""
+    flagged = contamination_hits(train, benchmark, id_col, text_col, n,
+                                 **kw).select(id_col)
+    return train.join(flagged, on=id_col, how="left_anti")

@@ -119,8 +119,11 @@ class Datastore:
             if had_old:
                 fs.rename(bak, final)  # roll back: old manifest restored
             raise IOError(f"rename {tmp} -> {final} failed")
-        if had_old:
-            fs.delete(bak, False)
+        # unconditional: a .bak left by a CRASHED earlier swap (no old
+        # final this time) must not outlive a successful write — a stale
+        # .bak is exactly what the missing-final fallback would wrongly
+        # serve after a later manifest loss
+        fs.delete(bak, False)
 
     def _dir_size(self, path: str) -> int:
         return int(self._fs(path).getContentSummary(self._jpath(path))

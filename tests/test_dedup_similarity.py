@@ -541,3 +541,32 @@ def test_build_ann_index_with_refinement(spark, sf_dir, tmp_path):
     raw = sorted(map(tuple, S.ivf_topk(emb, queries, k=3,
                                        centroids=cents).collect()))
     assert idx == raw and idx
+
+
+def test_decontaminate_removes_exactly_flagged_docs(spark, sf_dir):
+    """decontaminate = train minus contamination_hits ids, nothing else;
+    a doc sharing a planted n-gram span with a benchmark doc must be
+    flagged, and the flagged set is consistent between the two calls."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    hits = DD.contamination_hits(train, bench, n=8)
+    flagged = {r.doc_id for r in hits.collect()}
+    assert flagged, "fixture should contain contaminated docs at n=8"
+    clean = DD.decontaminate(train, bench, n=8)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_train = {r.doc_id for r in train.select("doc_id").collect()}
+    assert kept == all_train - flagged
+    assert all(r.n_shared_grams >= 1 and r.n_bench_docs >= 1
+               for r in hits.collect())
+
+
+def test_contamination_plan_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark gram set must reach the join as a BROADCAST (eval
+    suites are tiny next to a 100 TB corpus — a shuffle join here would
+    shuffle the full training gram stream on the gram key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (DD.contamination_hits(docs.filter("doc_id % 10 != 0"),
+                                  docs.filter("doc_id % 10 = 0"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
