@@ -94,3 +94,63 @@ def systematic_percent(df: DataFrame, order_key: str, pct: int) -> DataFrame:
         .filter(F.col("__rn") % k == 0)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus mixing (training-data curation)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_thresholds(docs: DataFrame, weights: dict[str, float],
+                            total_budget: int, stratum_col: str = "lang",
+                            text_col: str = "text") -> dict[str, int]:
+    """Per-stratum keep thresholds (millionths) so the EXPECTED token mix
+    approaches `weights` (normalized) × `total_budget`:
+    rate_s = min(1, budget_s / tokens_s).
+
+    One aggregation over the corpus (map-side partial sum on the stratum
+    key) and a driver collect bounded by the number of strata — the rate
+    table is config-sized metadata, like IVF centroids.  Strata absent
+    from `weights`, absent from the data, or with zero tokens keep
+    nothing."""
+    from ..functions.text import token_count_sql
+
+    wsum = float(sum(weights.values()))
+    tok = token_count_sql(D.SPARK, text_col)
+    totals = {r["s"]: r["t"] or 0 for r in (
+        docs.selectExpr(f"{stratum_col} AS s", f"CAST({tok} AS BIGINT) AS t")
+        .groupBy("s").agg(F.sum("t").alias("t")).collect())}
+    out = {}
+    for s, w in weights.items():
+        t = totals.get(s)
+        if not t:
+            continue
+        budget = total_budget * (w / wsum)
+        out[s] = int(min(1.0, budget / t) * 1_000_000)
+    return out
+
+
+def token_budget_mix(docs: DataFrame, weights: dict[str, float],
+                     total_budget: int, stratum_col: str = "lang",
+                     key_col: str = "doc_id", text_col: str = "text",
+                     salt: str = "mix",
+                     thresholds: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic source/language mixing: keep each stratum at the rate
+    that lands its token mass at its weight share of `total_budget` —
+    the data-mixing step of a training pipeline (downsample the dominant
+    web crawl, keep all of the small high-quality sources), as a pure
+    per-row hash predicate: no shuffle, stable under retries/partitioning.
+
+    Pass `thresholds` (from :func:`token_budget_thresholds`) to reuse a
+    precomputed rate table across runs."""
+    thr = thresholds if thresholds is not None else token_budget_thresholds(
+        docs, weights, total_budget, stratum_col, text_col)
+    if not thr:
+        return docs.filter(F.lit(False))
+    branches = " ".join(
+        f"WHEN {D.q(s)} THEN {v}" for s, v in sorted(thr.items()))
+    combined = (f"({D.to_str(D.SPARK, key_col)} || '|' || "
+                f"{D.to_str(D.SPARK, stratum_col)})")
+    draw = D.hash_uniform_mod(D.SPARK, combined, salt, 1_000_000)
+    return docs.filter(F.expr(
+        f"{draw} < (CASE {stratum_col} {branches} ELSE 0 END)"))

@@ -240,3 +240,63 @@ SELECT doc_id, source FROM (
 
 register(Query("stratified_topn_docs", stratified_topn_docs,
                _topn_oracle(), tags=("sample",)))
+
+
+# --- token-budget corpus mixing ---------------------------------------------
+# The data-mixing step of a training pipeline: languages weighted 5:2:1
+# (others dropped), sampled so the expected token mass per language lands
+# at its share of MIX_BUDGET.  The oracle recomputes the identical rate
+# table in SQL: per-stratum token totals are exact BIGINT sums, and the
+# budget-per-stratum constants are config-derived doubles inlined by repr
+# (bit-exact round-trip), so threshold = floor(min(1, b/t)·1e6) agrees
+# between Python and DuckDB bit for bit.
+
+MIX_WEIGHTS = {"en": 5.0, "de": 2.0, "zh": 1.0}
+MIX_BUDGET = 8000
+
+
+def token_budget_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..functions.text import token_count_sql
+    from ..operators.sample import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_mix(docs, MIX_WEIGHTS, MIX_BUDGET, stratum_col="lang")
+    tok = token_count_sql(D.SPARK, "text")
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(f"CAST({tok} AS BIGINT)")).alias("n_tokens"))
+            .orderBy("lang"))
+
+
+def _mix_oracle() -> str:
+    from ..functions.text import token_count_sql
+
+    d = D.DUCK
+    tok = token_count_sql(d, "text")
+    wsum = float(sum(MIX_WEIGHTS.values()))
+    budget_case = " ".join(
+        f"WHEN {D.q(s)} THEN {MIX_BUDGET * (w / wsum)!r}"
+        for s, w in sorted(MIX_WEIGHTS.items()))
+    combined = (f"({D.to_str(d, 'doc_id')} || '|' || "
+                f"{D.to_str(d, 'lang')})")
+    draw = D.hash_uniform_mod(d, combined, "mix", 1_000_000)
+    return f"""
+WITH tot AS (
+  SELECT lang, sum(CAST({tok} AS BIGINT)) AS t FROM documents GROUP BY lang
+), thr AS (
+  SELECT lang, CASE WHEN coalesce(t, 0) > 0 THEN
+    CAST(floor(least(1.0, (CASE lang {budget_case} ELSE 0 END) / t)
+               * 1000000) AS BIGINT) ELSE 0 END AS thr
+  FROM tot
+), kept AS (
+  SELECT d.* FROM documents d JOIN thr USING (lang) WHERE {draw} < thr
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST({tok} AS BIGINT)) AS BIGINT) AS n_tokens
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+register(Query("token_budget_corpus_mix", token_budget_corpus_mix,
+               _mix_oracle(), tags=("sample", "text")), extra=True)

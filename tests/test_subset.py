@@ -4,6 +4,8 @@ passthrough complete) plus the stronger RI property the reference lacks."""
 
 from __future__ import annotations
 
+import pytest
+
 from replibyte_spark.catalog import load_tables
 from replibyte_spark.operators.sample import hash_percent_filter, systematic_percent
 from replibyte_spark.operators.subset import (
@@ -171,3 +173,38 @@ def test_parent_referenced_via_two_different_columns(spark):
     assert kept_users == [1, 2, 3]
     assert res.tables["orders"].count() == 2
     assert res.tables["msgs"].count() == 1
+
+
+def test_token_budget_mix_hits_weighted_budgets(spark, sf_dir):
+    """The kept token mass per stratum lands near min(budget_s, total_s):
+    capped strata keep everything, uncapped strata keep ≈ their share of
+    the budget (hash sampling: expect within ~35% on fixture sizes), and
+    unlisted strata are dropped entirely.  Thresholds reuse verbatim."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark import dialect as D
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.functions.text import token_count_sql
+    from replibyte_spark.operators.sample import (token_budget_mix,
+                                                  token_budget_thresholds)
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights, budget = {"en": 5.0, "de": 2.0, "zh": 1.0}, 8000
+    tok = f"CAST({token_count_sql(D.SPARK, 'text')} AS BIGINT)"
+    totals = {r["lang"]: r["t"] for r in
+              docs.groupBy("lang").agg(F.expr(f"sum({tok})").alias("t"))
+              .collect()}
+    kept = token_budget_mix(docs, weights, budget, stratum_col="lang")
+    got = {r["lang"]: r["t"] for r in
+           kept.groupBy("lang").agg(F.expr(f"sum({tok})").alias("t"))
+           .collect()}
+    assert set(got) <= set(weights)          # es/fr dropped
+    wsum = sum(weights.values())
+    for s, w in weights.items():
+        want = min(budget * w / wsum, totals[s])
+        assert got.get(s, 0) == pytest.approx(want, rel=0.35), (s, got, want)
+    thr = token_budget_thresholds(docs, weights, budget, stratum_col="lang")
+    again = token_budget_mix(docs, weights, budget, stratum_col="lang",
+                             thresholds=thr)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple,
+                                                             kept.collect()))
