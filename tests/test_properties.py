@@ -264,3 +264,100 @@ def test_retention_preserves_chains_random_shapes(spark, n, parent_seed,
         assert set(deleted) <= candidates           # (3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    n_tables=st.integers(2, 3),
+    rows_per_table=st.integers(3, 8),
+    edge_seed=st.integers(0, 2**30),
+    seed_rows=st.integers(1, 3),
+    include_children=st.booleans(),
+)
+@settings(max_examples=8, deadline=None)
+def test_subset_closure_matches_python_model_on_random_graphs(
+        spark, n_tables, rows_per_table, edge_seed, seed_rows,
+        include_children):
+    """subset_closure (DAG fast path OR the r6 cyclic fixpoint with
+    frontier skipping — whichever the generated graph selects) vs a naive
+    Python reachability fixpoint, on random FK graphs including self-loops
+    and mutual cycles.  A wrong edge-skip or a premature fixpoint would
+    show up as a missing row."""
+    import random
+
+    from replibyte_spark.operators.subset import FkEdge, subset_closure
+
+    rng = random.Random(edge_seed)
+    # table i: rows (id, fk_to_0, fk_to_1, ...) — one fk column per
+    # potential parent, each a deterministic function of the row id
+    names = [f"t{i}" for i in range(n_tables)]
+    edges, fk_fn = [], {}
+    for ci, c in enumerate(names):
+        for pi, p in enumerate(names):
+            if rng.random() < 0.5:
+                a, b = rng.randrange(1, 4), rng.randrange(0, 3)
+                edges.append(FkEdge(c, f"fk{pi}", p, "id"))
+                fk_fn[(ci, pi)] = (a, b)
+    if not edges:
+        edges.append(FkEdge(names[0], "fk0", names[0], "id"))
+        fk_fn[(0, 0)] = (1, 1)
+
+    def fk_val(ci, pi, rid):
+        if (ci, pi) not in fk_fn:
+            return None
+        a, b = fk_fn[(ci, pi)]
+        return (rid * a + b) % rows_per_table
+
+    data = {}
+    for ci, c in enumerate(names):
+        rows = [tuple([rid] + [fk_val(ci, pi, rid)
+                               for pi in range(n_tables)])
+                for rid in range(rows_per_table)]
+        cols = ", ".join(["id long"] + [f"fk{pi} long"
+                                        for pi in range(n_tables)])
+        data[c] = spark.createDataFrame(rows, cols)
+
+    seed_ids = set(range(min(seed_rows, rows_per_table)))
+    seed_df = data[names[0]].filter(
+        data[names[0]]["id"].isin([int(x) for x in seed_ids]))
+
+    res = subset_closure(data, edges, names[0], seed_df,
+                         include_children=include_children,
+                         max_iterations=60)
+    got = {t: {r.id for r in df.select("id").collect()}
+           for t, df in res.tables.items()}
+
+    # Python model of the documented semantics: kept grows by FK targets
+    # of kept rows; with include_children, children of EXPAND rows join
+    # both kept and expand (RI-pulled parents never re-expand children)
+    pidx = {c: i for i, c in enumerate(names)}
+    kept = {names[0]: set(seed_ids)}
+    expand = {names[0]: set(seed_ids)}
+    changed = True
+    while changed:
+        changed = False
+        for e in edges:
+            if e.child not in kept:
+                continue
+            ci, pi = pidx[e.child], pidx[e.parent]
+            want = {fk_val(ci, pi, rid) for rid in kept[e.child]}
+            add = {rid for rid in range(rows_per_table) if rid in want}
+            before = len(kept.get(e.parent, set()))
+            kept.setdefault(e.parent, set()).update(add)
+            changed |= len(kept[e.parent]) != before
+        if include_children:
+            for e in edges:
+                if e.parent not in expand:
+                    continue
+                ci, pi = pidx[e.child], pidx[e.parent]
+                add = {rid for rid in range(rows_per_table)
+                       if fk_val(ci, pi, rid) in expand[e.parent]}
+                bk = len(kept.get(e.child, set()))
+                be = len(expand.get(e.child, set()))
+                kept.setdefault(e.child, set()).update(add)
+                expand.setdefault(e.child, set()).update(add)
+                changed |= (len(kept[e.child]) != bk
+                            or len(expand[e.child]) != be)
+    want_sets = {t: s for t, s in kept.items() if s}
+    assert got == want_sets, (
+        f"edges={edges} fk={fk_fn} children={include_children}: "
+        f"{got} != {want_sets}")
