@@ -103,7 +103,8 @@ def systematic_percent(df: DataFrame, order_key: str, pct: int) -> DataFrame:
 
 def token_budget_thresholds(docs: DataFrame, weights: dict[str, float],
                             total_budget: int, stratum_col: str = "lang",
-                            text_col: str = "text") -> dict[str, int]:
+                            text_col: str = "text",
+                            tokens_col: str | None = None) -> dict[str, int]:
     """Per-stratum keep thresholds (millionths) so the EXPECTED token mix
     approaches `weights` (normalized) × `total_budget`:
     rate_s = min(1, budget_s / tokens_s).
@@ -112,13 +113,17 @@ def token_budget_thresholds(docs: DataFrame, weights: dict[str, float],
     key) and a driver collect bounded by the number of strata — the rate
     table is config-sized metadata, like IVF centroids.  Strata absent
     from `weights`, absent from the data, or with zero tokens keep
-    nothing."""
-    from ..functions.text import token_count_sql
-
+    nothing.  Pass `tokens_col` when the frame already carries a token
+    count (a pipeline stage upstream computed it) — skips the re-count."""
     wsum = float(sum(weights.values()))
-    tok = token_count_sql(D.SPARK, text_col)
+    if tokens_col is None:
+        from ..functions.text import token_count_sql
+
+        tok = f"CAST({token_count_sql(D.SPARK, text_col)} AS BIGINT)"
+    else:
+        tok = f"CAST({tokens_col} AS BIGINT)"
     totals = {r["s"]: r["t"] or 0 for r in (
-        docs.selectExpr(f"{stratum_col} AS s", f"CAST({tok} AS BIGINT) AS t")
+        docs.selectExpr(f"{stratum_col} AS s", f"{tok} AS t")
         .groupBy("s").agg(F.sum("t").alias("t")).collect())}
     out = {}
     for s, w in weights.items():

@@ -112,3 +112,115 @@ FROM p ORDER BY source, doc_id
 register(Query("training_corpus_pipeline", training_corpus_pipeline,
                _corpus_oracle(), tags=("text", "dedup", "pipeline"),
                bench=True))
+
+
+# ---------------------------------------------------------------------------
+# v2: the FULL modern curation chain — quality → decontaminate (vs a held-
+# out benchmark slice) → MinHash near-dup survivors → token-budget language
+# mixing → per-source packing, still ONE declarative plan per stage with the
+# two shared frames eagerly materialized.  The oracle composes the same CTE
+# fragments the standalone gates use (decon grams, minhash nd, mix
+# thresholds, pack prefix window), so the composite is value-checked end to
+# end.  doc_id % DECON_MOD == 0 plays the benchmark set.
+# ---------------------------------------------------------------------------
+
+from ..operators.sample import token_budget_mix, token_budget_thresholds
+from .dedup_queries import DECON_MOD, DECON_N
+from .subset_queries import MIX_BUDGET, MIX_WEIGHTS
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = D.SPARK
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    scored = docs.filter(F.col("doc_id") % DECON_MOD != 0).selectExpr(
+        "doc_id", "source", "lang", "text",
+        f"round({T.quality_score_sql(d, 'text')}, 6) AS quality",
+        f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
+    )
+    kept0 = scored.filter(F.col("quality") >= QUALITY_FLOOR)
+    # decontaminated corpus feeds pair generation AND the survivor
+    # anti-join — same persist + noop-fill materialization as v1's `kept`
+    clean = DD.decontaminate(kept0, bench, n=DECON_N).persist()
+    clean.write.mode("overwrite").format("noop").save()
+    pairs = DD.minhash_near_dup_pairs(clean, "doc_id", "text",
+                                      threshold=JACCARD_T,
+                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+    surv = DD.keep_canonical(clean, pairs, "doc_id").drop("text").persist()
+    thr = token_budget_thresholds(surv, MIX_WEIGHTS, MIX_BUDGET,
+                                  stratum_col="lang", tokens_col="n_tokens")
+    mixed = token_budget_mix(surv, MIX_WEIGHTS, MIX_BUDGET,
+                             stratum_col="lang", thresholds=thr)
+    packed = pack_token_budget(mixed, "source", "doc_id", "n_tokens",
+                               PACK_BUDGET)
+    return (packed.select("doc_id", "source", "lang", "quality", "n_tokens",
+                          F.col("bin_id").cast("long").alias("bin_id"))
+            .orderBy("source", "doc_id"))
+
+
+def _curation_v2_oracle() -> str:
+    d = D.DUCK
+    g8 = DD.word_ngrams_sql(d, "text", DECON_N)
+    wsum = float(sum(MIX_WEIGHTS.values()))
+    budget_case = " ".join(
+        f"WHEN {D.q(s)} THEN {MIX_BUDGET * (w / wsum)!r}"
+        for s, w in sorted(MIX_WEIGHTS.items()))
+    combined = f"({D.to_str(d, 'doc_id')} || '|' || {D.to_str(d, 'lang')})"
+    draw = D.hash_uniform_mod(d, combined, "mix", 1_000_000)
+    return f"""
+WITH RECURSIVE bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 0
+), kept0 AS (
+  SELECT doc_id, source, lang, text,
+         round({T.quality_score_sql(d, 'text')}, 6) AS quality,
+         CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE doc_id % {DECON_MOD} <> 0
+    AND round({T.quality_score_sql(d, 'text')}, 6) >= {QUALITY_FLOOR}
+), kg AS (
+  SELECT DISTINCT doc_id, unnest({g8}) AS gram FROM kept0
+), bgr AS (
+  SELECT DISTINCT unnest({g8}) AS gram FROM bench
+), flagged AS (
+  SELECT DISTINCT kg.doc_id FROM kg JOIN bgr USING (gram)
+), kept AS (
+  SELECT * FROM kept0 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+), {_minhash_ctes(src='kept')}, nodes AS (
+  SELECT id_a AS n FROM nd UNION SELECT id_b FROM nd
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd UNION ALL SELECT id_b, id_a FROM nd
+), reach(node, root) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.root < e.dst
+), labels AS (
+  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node
+), surv AS (
+  SELECT doc_id, source, lang, quality, n_tokens FROM kept
+  WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+), tot AS (
+  SELECT lang, sum(n_tokens) AS t FROM surv GROUP BY lang
+), thr AS (
+  SELECT lang, CASE WHEN coalesce(t, 0) > 0 THEN
+    CAST(floor(least(1.0, (CASE lang {budget_case} ELSE 0 END) / t)
+               * 1000000) AS BIGINT) ELSE 0 END AS thr
+  FROM tot
+), mixed AS (
+  SELECT s.* FROM surv s JOIN thr USING (lang) WHERE {draw} < thr
+), p AS (
+  SELECT doc_id, source, lang, quality, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS prefix
+  FROM mixed
+)
+SELECT doc_id, source, lang, quality, n_tokens,
+       CAST(floor(prefix / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+FROM p ORDER BY source, doc_id
+"""
+
+
+register(Query("curation_pipeline_v2", curation_pipeline_v2,
+               _curation_v2_oracle(), tags=("text", "dedup", "pipeline")),
+         extra=True)
