@@ -585,3 +585,57 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     flagged = contamination_hits(train, benchmark, id_col, text_col, n,
                                  **kw).select(id_col)
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (CCNet-style repeated-chunk suppression)
+# ---------------------------------------------------------------------------
+
+
+def text_chunks(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", chunk_tokens: int = 10) -> DataFrame:
+    """(id, idx, chunk): the text split into ALIGNED fixed-width token
+    windows (last window partial).  Tokenized once into a column, same
+    split-materialization move as :func:`_exploded_grams`.
+
+    `greatest(..., 0)` guards the sequence bound: Spark's sequence(0, -1)
+    counts DOWN (two spurious chunks), unlike DuckDB's empty series."""
+    w = chunk_tokens
+    toks = D.split_ws(D.SPARK, text_col)
+    with_toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.expr(toks).alias("__toks"))
+    e = (f"transform(sequence(0, greatest(CAST(floor((size(__toks) - 1) "
+         f"/ {w}) AS INT), 0)), "
+         f"i -> struct(i AS idx, "
+         f"array_join(slice(__toks, i * {w} + 1, {w}), ' ') AS chunk))")
+    return (with_toks.select(F.col(id_col), F.explode(F.expr(e)).alias("c"))
+            .select(F.col(id_col), F.col("c.idx").alias("idx"),
+                    F.col("c.chunk").alias("chunk")))
+
+
+def remove_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", chunk_tokens: int = 10,
+                       min_docs: int = 2) -> DataFrame:
+    """CCNet-style boilerplate suppression: drop every text chunk whose
+    exact content appears in ≥ `min_docs` DISTINCT documents (headers,
+    footers, nav bars, license blurbs — content repeated verbatim across
+    a crawl), then rebuild each document from its surviving chunks in
+    order.  Returns `docs` with `text_col` replaced ('' when everything
+    was boilerplate).
+
+    Scale shape: one explode + one (chunk → distinct-doc-count) aggregation
+    + one anti-join + one per-doc rebuild aggregation — chunk frequency is
+    the classic hot-key aggregation and shuffles on the chunk hash, never
+    pairwise."""
+    chunks = text_chunks(docs, id_col, text_col, chunk_tokens)
+    boiler = (chunks.groupBy("chunk")
+              .agg(F.countDistinct(F.col(id_col)).alias("__f"))
+              .filter(F.col("__f") >= min_docs).select("chunk"))
+    kept = chunks.join(boiler, on="chunk", how="left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(F.transform(
+                   F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                   lambda s: s["chunk"]), " ").alias("__clean")))
+    return (docs.join(rebuilt, on=id_col, how="left")
+            .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+            .drop("__clean"))

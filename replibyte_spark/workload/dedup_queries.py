@@ -327,3 +327,70 @@ GROUP BY t.doc_id ORDER BY doc_id
 
 register(Query("benchmark_decontamination", benchmark_decontamination,
                _decon_oracle(), tags=("dedup", "text")), extra=True)
+
+
+# --- boilerplate removal (repeated-chunk suppression) -----------------------
+
+BOILER_W, BOILER_K = 10, 2
+
+
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts before/after CCNet-style repeated-chunk
+    suppression, for the docs the pass actually changed."""
+    from ..functions.text import token_count_sql
+
+    d = D.SPARK
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = DD.remove_boilerplate(docs, chunk_tokens=BOILER_W,
+                                    min_docs=BOILER_K)
+    before = docs.selectExpr(
+        "doc_id",
+        f"CAST({token_count_sql(d, 'text')} AS BIGINT) AS n_before")
+    after = cleaned.selectExpr(
+        "doc_id",
+        f"CAST({token_count_sql(d, 'text')} AS BIGINT) AS n_after")
+    return (before.join(after, on="doc_id")
+            .filter(F.col("n_after") != F.col("n_before"))
+            .orderBy("doc_id"))
+
+
+def _boilerplate_oracle() -> str:
+    from ..functions.text import token_count_sql
+
+    d = D.DUCK
+    w = BOILER_W
+    toks = D.split_ws(d, "text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {toks} AS t FROM documents
+), chunks AS (
+  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(0, CAST(floor((len(t) - 1) / {w}) AS INT)),
+      i -> {{'idx': i,
+            'chunk': array_to_string(t[i * {w} + 1 : i * {w} + {w}], ' ')}}
+    )) AS u
+    FROM toks
+  )
+), boiler AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= {BOILER_K}
+), kept AS (
+  SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, array_to_string(list(chunk ORDER BY idx), ' ') AS clean
+  FROM kept GROUP BY doc_id
+), paired AS (
+  SELECT d.doc_id,
+         CAST({token_count_sql(d, 'd.text')} AS BIGINT) AS n_before,
+         CAST({token_count_sql(d, "coalesce(r.clean, '')")} AS BIGINT)
+           AS n_after
+  FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+)
+SELECT doc_id, n_before, n_after FROM paired
+WHERE n_after <> n_before ORDER BY doc_id
+"""
+
+
+register(Query("boilerplate_removal", boilerplate_removal,
+               _boilerplate_oracle(), tags=("dedup", "text")), extra=True)

@@ -570,3 +570,23 @@ def test_contamination_plan_broadcasts_benchmark_side(spark, sf_dir):
                                   docs.filter("doc_id % 10 = 0"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_remove_boilerplate_drops_shared_chunks_keeps_unique(spark):
+    """A 10-token header shared by 3 docs is removed from each; unique
+    tails survive in order; a doc that is ONLY boilerplate becomes ''."""
+    header = " ".join(f"h{i}" for i in range(10))      # one aligned chunk
+    rows = [
+        (1, header + " " + "alpha beta gamma"),
+        (2, header + " " + "delta epsilon"),
+        (3, header),                                   # pure boilerplate
+        (4, "totally unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in DD.remove_boilerplate(df, chunk_tokens=10,
+                                          min_docs=2).collect()}
+    assert out[1] == "alpha beta gamma"
+    assert out[2] == "delta epsilon"
+    assert out[3] == ""
+    assert out[4] == "totally unique text here"
