@@ -639,3 +639,55 @@ def remove_boilerplate(docs: DataFrame, id_col: str = "doc_id",
     return (docs.join(rebuilt, on=id_col, how="left")
             .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
             .drop("__clean"))
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", top_n: int = 2,
+                       dup_n: int = 5) -> DataFrame:
+    """Per-doc repetition signals in the Gopher-rules family:
+
+    - `top_ngram_frac`: characters covered by occurrences of the single
+      most frequent `top_n`-gram, over total text characters
+      (count × gram length / char length; deterministic count-then-gram
+      tie-break).
+    - `dup_ngram_frac`: characters covered by occurrences of every
+      `dup_n`-gram appearing more than once in the doc, over total text
+      characters (overlapping occurrences counted per occurrence — a
+      repetition SIGNAL, not a partition of the text).
+
+    Both are per-doc aggregations over exploded grams — two shuffles on
+    the doc id, nothing pairwise; filter on them to drop the
+    gibberish/repetition tail of a crawl."""
+    chars = docs.select(F.col(id_col),
+                        F.length(F.col(text_col)).alias("__chars"))
+
+    tc = (_exploded_grams(docs, id_col, text_col, top_n)
+          .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.max(F.struct(F.col("c"), F.col("gram"))).alias("__top"))
+          .select(F.col(id_col),
+                  (F.col("__top.c") * F.length("__top.gram"))
+                  .alias("__top_chars")))
+    dc = (_exploded_grams(docs, id_col, text_col, dup_n)
+          .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+          .filter(F.col("c") >= 2)
+          .groupBy(id_col)
+          .agg(F.sum(F.col("c") * F.length("gram")).alias("__dup_chars")))
+    return (chars.join(tc, on=id_col, how="left")
+            .join(dc, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("__chars") > 0, F.round(
+                    F.coalesce(F.col("__top_chars"), F.lit(0))
+                    / F.col("__chars"), 6)).otherwise(0.0)
+                .alias("top_ngram_frac"),
+                F.when(F.col("__chars") > 0, F.round(
+                    F.coalesce(F.col("__dup_chars"), F.lit(0))
+                    / F.col("__chars"), 6)).otherwise(0.0)
+                .alias("dup_ngram_frac"))
+            .orderBy(id_col))

@@ -394,3 +394,53 @@ WHERE n_after <> n_before ORDER BY doc_id
 
 register(Query("boilerplate_removal", boilerplate_removal,
                _boilerplate_oracle(), tags=("dedup", "text")), extra=True)
+
+
+# --- repetition metrics (Gopher-style quality signals) ----------------------
+
+REP_TOP_N, REP_DUP_N = 2, 5
+
+
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.repetition_metrics(docs, top_n=REP_TOP_N, dup_n=REP_DUP_N)
+
+
+def _repetition_oracle() -> str:
+    d = D.DUCK
+    g_top = DD.word_ngrams_sql(d, "text", REP_TOP_N)
+    g_dup = DD.word_ngrams_sql(d, "text", REP_DUP_N)
+    return f"""
+WITH tg AS (
+  SELECT doc_id, unnest({g_top}) AS gram FROM documents
+), tcnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, c * length(gram) AS top_chars FROM (
+    SELECT doc_id, gram, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram DESC) AS rn
+    FROM tcnt
+  ) WHERE rn = 1
+), dg AS (
+  SELECT doc_id, unnest({g_dup}) AS gram FROM documents
+), dcnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM dg GROUP BY doc_id, gram
+), dup AS (
+  SELECT doc_id, sum(c * length(gram)) AS dup_chars
+  FROM dcnt WHERE c >= 2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN length(d.text) > 0
+            THEN round(coalesce(t.top_chars, 0) * 1.0 / length(d.text), 6)
+            ELSE 0.0 END AS top_ngram_frac,
+       CASE WHEN length(d.text) > 0
+            THEN round(coalesce(u.dup_chars, 0) * 1.0 / length(d.text), 6)
+            ELSE 0.0 END AS dup_ngram_frac
+FROM documents d LEFT JOIN top t USING (doc_id) LEFT JOIN dup u USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+register(Query("doc_repetition_metrics", doc_repetition_metrics,
+               _repetition_oracle(), tags=("dedup", "text")), extra=True)

@@ -590,3 +590,15 @@ def test_remove_boilerplate_drops_shared_chunks_keeps_unique(spark):
     assert out[2] == "delta epsilon"
     assert out[3] == ""
     assert out[4] == "totally unique text here"
+
+
+def test_repetition_metrics_rank_repetitive_docs(spark):
+    """A looping doc scores near 1.0 on both signals; a no-repeat doc
+    scores 0 on dup_ngram_frac and low on top_ngram_frac."""
+    rows = [(1, "spam ham " * 20), (2, "one two three four five six seven "
+                                       "eight nine ten eleven twelve")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.top_ngram_frac, r.dup_ngram_frac)
+           for r in DD.repetition_metrics(df).collect()}
+    assert out[1][0] > 0.8 and out[1][1] > 0.8
+    assert out[2][1] == 0.0 and out[2][0] < 0.3
