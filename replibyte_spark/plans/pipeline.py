@@ -91,7 +91,20 @@ class DumpPipeline:
             pct = int(ss.strategy_options.get("percent", 50))
             seed = hash_percent_filter(tables[ss.table],
                                        _first_column(tables[ss.table]), pct)
-            res = subset_closure(tables, self.fk_edges, ss.table, seed,
+            edges = self.fk_edges
+            if not edges:
+                # live-database sources carry their own FK graph: extract
+                # it from the JDBC catalog (reference: parsed back out of
+                # the dump DDL, subset/src/postgres.rs:583-734) instead of
+                # silently subsetting with no referential closure
+                scheme, _path = _parse_uri(cfg.source.connection_uri)
+                if scheme in ("postgres", "postgresql", "mysql", "jdbc"):
+                    from ..sources.jdbc import fk_edges_from_jdbc
+
+                    edges = fk_edges_from_jdbc(
+                        spark, cfg.source.connection_uri,
+                        cfg.source.jdbc_driver)
+            res = subset_closure(tables, edges, ss.table, seed,
                                  include_children=True,
                                  passthrough_tables=ss.passthrough_tables)
             tables = res.tables

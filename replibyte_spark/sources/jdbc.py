@@ -113,3 +113,48 @@ def write_jdbc_tables(tables: dict[str, DataFrame], uri: str,
     for t, df in tables.items():
         df.write.format("jdbc").options(
             **jdbc_options(uri, driver), dbtable=t).mode(mode).save()
+
+
+def fk_edges_from_jdbc(spark: SparkSession, uri: str,
+                       driver: str | None = None) -> list:
+    """FK graph from the LIVE database catalog (SS1).  The reference
+    parses `ALTER TABLE ... FOREIGN KEY` DDL back out of the dump text
+    (subset/src/postgres.rs:583-734); the JDBC `DatabaseMetaData
+    .getImportedKeys` catalog API yields the same facts uniformly for
+    Postgres, MySQL and embedded engines (Derby — the flavor this repo
+    can execute live).  Driver-side: one bounded metadata call per table,
+    no Spark job.  Names are lowercased to match the DataFrame-dict keys
+    the pipelines use (unquoted SQL identifiers are case-insensitive)."""
+    from ..operators.subset import FkEdge
+
+    opts = jdbc_options(uri, driver)
+    jvm = spark._jvm
+    if "driver" in opts:
+        jvm.java.lang.Class.forName(opts["driver"])
+    props = jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if k in opts:
+            props.setProperty(k, opts[k])
+    conn = jvm.java.sql.DriverManager.getConnection(opts["url"], props)
+    try:
+        md = conn.getMetaData()
+        names = []
+        rs = md.getTables(None, None, "%", None)
+        while rs.next():
+            if rs.getString("TABLE_TYPE") == "TABLE":
+                names.append((rs.getString("TABLE_SCHEM"),
+                              rs.getString("TABLE_NAME")))
+        rs.close()
+        edges = []
+        for schem, t in names:
+            rs = md.getImportedKeys(None, schem, t)
+            while rs.next():
+                edges.append(FkEdge(
+                    child=rs.getString("FKTABLE_NAME").lower(),
+                    fk_col=rs.getString("FKCOLUMN_NAME").lower(),
+                    parent=rs.getString("PKTABLE_NAME").lower(),
+                    parent_col=rs.getString("PKCOLUMN_NAME").lower()))
+            rs.close()
+        return edges
+    finally:
+        conn.close()

@@ -119,3 +119,57 @@ destination:
     # redacted: first 3 chars kept, rest masked — never the original value
     assert all(v != src[k] and v.startswith(src[k][:3])
                for k, v in rows.items())
+
+
+def test_fk_edges_from_jdbc_and_config_subset(spark, tmp_path):
+    """FK-graph extraction from the LIVE Derby catalog
+    (DatabaseMetaData.getImportedKeys — the uniform JDBC path PG/MySQL
+    also take), then a config-driven subset dump over that source: the
+    dumped child rows' FK targets must all be present (RI closure ran
+    with the EXTRACTED edges, not an empty graph)."""
+    from replibyte_spark.config import Config
+    from replibyte_spark.operators.subset import FkEdge
+    from replibyte_spark.plans.pipeline import DumpPipeline
+    from replibyte_spark.sinks.datastore import Datastore
+    from replibyte_spark.sources.jdbc import fk_edges_from_jdbc
+
+    uri = f"jdbc:derby:{tmp_path}/fkdb;create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY)
+    conn = jvm.java.sql.DriverManager.getConnection(uri)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE region (id INT PRIMARY KEY, name VARCHAR(20))")
+    st.execute("CREATE TABLE nation (id INT PRIMARY KEY, region_id INT "
+               "REFERENCES region(id))")
+    for i in range(4):
+        st.execute(f"INSERT INTO region VALUES ({i}, 'r{i}')")
+    for i in range(20):
+        st.execute(f"INSERT INTO nation VALUES ({i}, {i % 4})")
+    st.close()
+    conn.close()
+
+    edges = fk_edges_from_jdbc(spark, uri, driver=DERBY)
+    assert edges == [FkEdge("nation", "region_id", "region", "id")]
+
+    conf = Config.from_dict({
+        "source": {
+            "connection_uri": uri,
+            "only_tables": [{"table": "nation"}, {"table": "region"}],
+            "database_subset": {"table": "nation",
+                                "strategy_name": "random",
+                                "strategy_options": {"percent": 40}},
+        },
+        "datastore": {"dir": str(tmp_path / "store")},
+    })
+    pipe = DumpPipeline(conf)
+    pipe.config.source.jdbc_driver = DERBY
+    info = pipe.run(spark, "sub")
+    back = Datastore(spark, str(tmp_path / "store")).restore("sub")
+    # Derby stores unquoted identifiers uppercase; Spark COLUMN resolution
+    # is case-insensitive (the closure's lowercase fk columns resolved),
+    # but Row field access is not
+    nations = [r.asDict() for r in back["nation"].collect()]
+    regions = {r["ID"] for r in back["region"].collect()}
+    assert 0 < len(nations) < 20                 # genuinely subset
+    assert {n["REGION_ID"] for n in nations} <= regions   # RI closure held
+    assert sorted(info.tables) == ["nation", "region"]
