@@ -361,3 +361,81 @@ def test_subset_closure_matches_python_model_on_random_graphs(
     assert got == want_sets, (
         f"edges={edges} fk={fk_fn} children={include_children}: "
         f"{got} != {want_sets}")
+
+
+@given(
+    seed=st.integers(0, 2**30),
+    budget_lo=st.integers(20, 60),
+    budget_hi_extra=st.integers(1, 200),
+)
+@settings(max_examples=6, deadline=None)
+def test_token_budget_mix_monotone_in_budget(spark, seed, budget_lo,
+                                             budget_hi_extra):
+    """Raising the budget only raises per-stratum thresholds, so the kept
+    set must GROW monotonically (hash draws are fixed per row): a resumed
+    curation run with a bigger budget strictly extends, never reshuffles,
+    the previous sample."""
+    import random
+
+    from replibyte_spark.operators.sample import token_budget_mix
+
+    rng = random.Random(seed)
+    words = ["aa", "bb", "cc", "dd"]
+    rows = [(i, rng.choice(["en", "de", "zh", "fr"]),
+             " ".join(rng.choices(words, k=rng.randrange(1, 9))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights = {"en": 3.0, "de": 1.0}
+    lo = {r.doc_id for r in token_budget_mix(
+        df, weights, budget_lo, stratum_col="lang").collect()}
+    hi = {r.doc_id for r in token_budget_mix(
+        df, weights, budget_lo + budget_hi_extra,
+        stratum_col="lang").collect()}
+    assert lo <= hi, f"budget increase dropped docs: {lo - hi}"
+    langs = {r.doc_id: r.lang for r in df.collect()}
+    assert all(langs[i] in weights for i in hi)   # unlisted strata dropped
+
+
+@given(seed=st.integers(0, 2**30), w=st.integers(2, 4))
+@settings(max_examples=6, deadline=None)
+def test_remove_boilerplate_only_deletes_aligned_chunks(spark, seed, w):
+    """Every cleaned text is the original with some aligned w-token chunks
+    deleted (token subsequence at chunk granularity), and a corpus of
+    all-distinct chunks comes back byte-identical."""
+    import random
+
+    from replibyte_spark.operators.dedup import remove_boilerplate
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(1, 13))))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in remove_boilerplate(df, chunk_tokens=w,
+                                       min_docs=2).collect()}
+    for i, text in rows:
+        toks = text.split()
+        chunks = [" ".join(toks[j:j + w]) for j in range(0, len(toks), w)]
+        got = out[i]
+        # cleaned text must be a subsequence of the doc's aligned chunks
+        remaining = got.split(" ") if got else []
+        rebuilt_chunks = []
+        while remaining:
+            take = min(w, len(remaining))
+            # chunks are joined back with single spaces in original order;
+            # peel them off greedily against the original chunk list
+            rebuilt_chunks.append(" ".join(remaining[:take]))
+            remaining = remaining[take:]
+        it = iter(chunks)
+        assert all(any(c == x for x in it) for c in rebuilt_chunks), (
+            f"doc {i}: {got!r} is not chunk-subsequence of {text!r}")
+
+    # all-unique corpus: untouched
+    uniq = [(i, " ".join(f"u{i}_{j}" for j in range(2 * w)))
+            for i in range(5)]
+    udf = spark.createDataFrame(uniq, "doc_id long, text string")
+    uout = {r.doc_id: r.text
+            for r in remove_boilerplate(udf, chunk_tokens=w,
+                                        min_docs=2).collect()}
+    assert uout == dict(uniq)
