@@ -691,3 +691,72 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
                     / F.col("__chars"), 6)).otherwise(0.0)
                 .alias("dup_ngram_frac"))
             .orderBy(id_col))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" — substring-granularity dedup)
+# ---------------------------------------------------------------------------
+
+
+def positioned_grams(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     span_tokens: int = 8) -> DataFrame:
+    """(id, pos, gram): every SLIDING window of `span_tokens` consecutive
+    tokens with its 1-based start position — unaligned, unlike
+    :func:`text_chunks`.  Docs shorter than the span produce no rows
+    (filtered BEFORE the sequence expression: sequence(1, 0) would count
+    down)."""
+    n = span_tokens
+    toks = D.split_ws(D.SPARK, text_col)
+    with_toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+                 .select(F.col(id_col), F.expr(toks).alias("__toks"))
+                 .filter(F.expr(f"size(__toks) >= {n}")))
+    e = (f"transform(sequence(1, size(__toks) - {n} + 1), "
+         f"i -> struct(i AS pos, "
+         f"array_join(slice(__toks, i, {n}), ' ') AS gram))")
+    return (with_toks.select(F.col(id_col), F.explode(F.expr(e)).alias("g"))
+            .select(F.col(id_col), F.col("g.pos").alias("pos"),
+                    F.col("g.gram").alias("gram")))
+
+
+def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", span_tokens: int = 8,
+                           min_count: int = 2) -> DataFrame:
+    """Substring-granularity exact dedup: delete every token covered by a
+    `span_tokens`-long window whose exact text occurs ≥ `min_count` times
+    in the whole corpus (across docs OR repeated within one doc), then
+    rebuild each text from its surviving tokens in order.  The
+    set-at-a-time restatement of the suffix-array dedup: shared windows
+    play the role of duplicated suffixes.
+
+    Scale shape: one gram explode + a gram-frequency aggregation (hot-key
+    agg on the gram hash) + a semi-join back to positions + one covered-
+    position explode + a per-doc rebuild — no suffix array, no pairwise
+    comparison, every step a shuffle on (id) or (gram)."""
+    n = span_tokens
+    grams = positioned_grams(docs, id_col, text_col, n)
+    dup = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count).select("gram"))
+    covered = (grams.join(dup, on="gram", how="leftsemi")
+               .select(F.col(id_col),
+                       F.explode(F.expr(
+                           f"sequence(pos, pos + {n} - 1)")).alias("pos"))
+               .distinct())
+    toks = D.split_ws(D.SPARK, text_col)
+    positions = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+                 .select(F.col(id_col), F.expr(toks).alias("__toks"))
+                 .select(F.col(id_col), F.explode(F.expr(
+                     "transform(sequence(1, size(__toks)), "
+                     "i -> struct(i AS pos, element_at(__toks, i) AS tok))"))
+                     .alias("p"))
+                 .select(F.col(id_col), F.col("p.pos").alias("pos"),
+                         F.col("p.tok").alias("tok")))
+    kept = positions.join(covered, on=[id_col, "pos"], how="left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                   lambda s: s["tok"]), " ").alias("__clean")))
+    return (docs.join(rebuilt, on=id_col, how="left")
+            .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+            .drop("__clean"))

@@ -444,3 +444,79 @@ ORDER BY doc_id
 
 register(Query("doc_repetition_metrics", doc_repetition_metrics,
                _repetition_oracle(), tags=("dedup", "text")), extra=True)
+
+
+# --- exact duplicate-span removal (substring-granularity dedup) -------------
+
+SPAN_L = 8
+
+
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts before/after removing every token covered by
+    an 8-token window whose exact text occurs >= 2 times in the corpus,
+    for the docs the pass changed."""
+    from ..functions.text import token_count_sql
+
+    d = D.SPARK
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = DD.remove_duplicate_spans(docs, span_tokens=SPAN_L)
+    before = docs.selectExpr(
+        "doc_id",
+        f"CAST({token_count_sql(d, 'text')} AS BIGINT) AS n_before")
+    after = cleaned.selectExpr(
+        "doc_id",
+        f"CAST({token_count_sql(d, 'text')} AS BIGINT) AS n_after")
+    return (before.join(after, on="doc_id")
+            .filter(F.col("n_after") != F.col("n_before"))
+            .orderBy("doc_id"))
+
+
+def _span_oracle() -> str:
+    from ..functions.text import token_count_sql
+
+    d = D.DUCK
+    n = SPAN_L
+    toks = D.split_ws(d, "text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {toks} AS t FROM documents
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t) - {n} + 1),
+      i -> {{'pos': i, 'gram': array_to_string(t[i : i + {n} - 1], ' ')}}
+    )) AS u
+    FROM toks WHERE len(t) >= {n}
+  )
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, c.p AS pos
+  FROM grams g JOIN dup USING (gram),
+       unnest(generate_series(g.pos, g.pos + {n} - 1)) AS c(p)
+), positions AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t)), i -> {{'pos': i, 'tok': t[i]}})) AS u
+    FROM toks
+  )
+), kept AS (
+  SELECT p.* FROM positions p LEFT JOIN covered c USING (doc_id, pos)
+  WHERE c.pos IS NULL
+), rebuilt AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean
+  FROM kept GROUP BY doc_id
+), paired AS (
+  SELECT d.doc_id,
+         CAST({token_count_sql(d, 'd.text')} AS BIGINT) AS n_before,
+         CAST({token_count_sql(d, "coalesce(r.clean, '')")} AS BIGINT)
+           AS n_after
+  FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+)
+SELECT doc_id, n_before, n_after FROM paired
+WHERE n_after <> n_before ORDER BY doc_id
+"""
+
+
+register(Query("duplicate_span_removal", duplicate_span_removal,
+               _span_oracle(), tags=("dedup", "text")), extra=True)

@@ -602,3 +602,24 @@ def test_repetition_metrics_rank_repetitive_docs(spark):
            for r in DD.repetition_metrics(df).collect()}
     assert out[1][0] > 0.8 and out[1][1] > 0.8
     assert out[2][1] == 0.0 and out[2][0] < 0.3
+
+
+def test_remove_duplicate_spans_unaligned_and_within_doc(spark):
+    """An exact 8-token span shared at DIFFERENT offsets in two docs is
+    removed from both (sliding windows — alignment-free, unlike
+    boilerplate chunks); a doc repeating a span WITHIN itself loses both
+    copies; unique docs are untouched."""
+    span = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, "pre1 " + span + " tail1 tail2"),          # span at offset 2
+        (2, span + " other"),                          # span at offset 1
+        (3, span + " mid " + span),                    # within-doc repeat
+        (4, "completely different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in DD.remove_duplicate_spans(df, span_tokens=8).collect()}
+    assert out[1] == "pre1 tail1 tail2"
+    assert out[2] == "other"
+    assert out[3] == "mid"
+    assert out[4] == "completely different words here now"
