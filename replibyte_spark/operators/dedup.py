@@ -305,24 +305,41 @@ def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
     sizes — the scale path for SimHash dedup.
     """
     bounds = simhash_block_bounds(bits, max_hamming)
-    entries = [F.struct(F.lit(i).alias("blk"),
-                        F.substring("simhash", s, ln).alias("bv"))
-               for i, (s, ln) in enumerate(bounds)]
-    bk = (sig.select(F.col(id_col), F.col("simhash"),
-                     F.explode(F.array(*entries)).alias("e"))
-          .select(F.col(id_col), F.col("simhash"),
-                  F.col("e.blk").alias("blk"), F.col("e.bv").alias("bv")))
-    a = bk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
-                  "blk", "bv")
-    b = bk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
-                  "blk", "bv")
+    n_blocks = len(bounds)
+    # Pack each block into an INTEGER word once per doc: per-candidate work
+    # then drops from `bits` substring comparisons to n_blocks xor +
+    # bit_count ops, and block equality is a single long compare.  On a
+    # corpus whose signatures cluster (similar token distributions → hot
+    # block buckets → 436k candidates from 5k docs at sf0.1), the
+    # per-candidate constant IS the query: this rewrite + the
+    # first-matching-block canonicalization below measured 10.5s → [see
+    # SCALE.md] for the pair stage.
+    words = sig.select(
+        F.col(id_col),
+        *[F.expr(f"CAST(conv(substring(simhash, {s}, {ln}), 2, 10) AS BIGINT)")
+          .alias(f"w{i}") for i, (s, ln) in enumerate(bounds)])
+    wcols = [f"w{i}" for i in range(n_blocks)]
+    bk = (words.select(F.col(id_col), *wcols,
+                       F.explode(F.array(*[F.lit(i)
+                                           for i in range(n_blocks)]))
+                       .alias("blk"))
+          .withColumn("bv", F.element_at(F.array(*wcols), F.col("blk") + 1)))
+    a = bk.select(F.col(id_col).alias("id_a"),
+                  *[F.col(w).alias(f"{w}_a") for w in wcols], "blk", "bv")
+    b = bk.select(F.col(id_col).alias("id_b"),
+                  *[F.col(w).alias(f"{w}_b") for w in wcols], "blk", "bv")
+    # first-matching-block canonicalization replaces the wide distinct():
+    # a pair is emitted ONLY by the join on its smallest equal block (all
+    # earlier blocks must differ), so each candidate appears exactly once
+    # and no dedup shuffle is needed.
+    uniq = F.lit(True)
+    for i in range(n_blocks - 1):
+        uniq = uniq & ((F.col("blk") <= i)
+                       | (F.col(f"w{i}_a") != F.col(f"w{i}_b")))
     cand = (a.join(b, on=["blk", "bv"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
-    hamming = sum(
-        (F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1)).cast("int")
-        for j in range(bits)
-    )
+            .filter((F.col("id_a") < F.col("id_b")) & uniq))
+    hamming = sum(F.bit_count(F.col(f"w{i}_a").bitwiseXOR(F.col(f"w{i}_b")))
+                  for i in range(n_blocks))
     return (cand.withColumn("hamming", hamming.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
