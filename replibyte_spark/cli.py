@@ -115,6 +115,7 @@ def _source_override(config, path: str, source_type: str | None):
 def _cmd_dump_create(spark, config, args) -> int:
     from .plans.pipeline import DumpPipeline
 
+    stdin_copy = None
     if args.input:
         if not args.source_type:
             print("error: -i/--input requires -s/--source-type",
@@ -126,11 +127,22 @@ def _cmd_dump_create(spark, config, args) -> int:
                 suffix=".sql" if args.source_type != "mongodb" else ".archive",
                 delete=False) as tmp:
             tmp.write(sys.stdin.buffer.read())
-            path = tmp.name
+            stdin_copy = path = tmp.name
         config = _source_override(config, path, args.source_type)
     elif args.file:
         config = _source_override(config, args.file, args.source_type)
-    info = DumpPipeline(config).run(spark, args.name)
+    try:
+        info = DumpPipeline(config).run(spark, args.name)
+    finally:
+        if stdin_copy is not None:
+            # the temp file holds a PRE-transformation copy of the dump
+            # (PII included) — it must not outlive the command
+            import os
+
+            try:
+                os.unlink(stdin_copy)
+            except OSError:
+                pass
     print(f"dump {info.directory_name} created "
           f"({len(info.tables)} tables, {info.size} bytes)")
     return 0

@@ -306,6 +306,13 @@ def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
     """
     bounds = simhash_block_bounds(bits, max_hamming)
     n_blocks = len(bounds)
+    if any(ln > 63 for _, ln in bounds):
+        # a block of 64+ bits (e.g. bits=64 with max_hamming=0) overflows
+        # the BIGINT packing below — conv() values >= 2^63 cast to NULL (or
+        # raise under ANSI), silently dropping candidate pairs.  Take the
+        # wide-block path: string block equality + 63-bit hamming words.
+        return _simhash_pairs_wide_blocks(sig, id_col, bits, max_hamming,
+                                          bounds)
     # Pack each block into an INTEGER word once per doc: per-candidate work
     # then drops from `bits` substring comparisons to n_blocks xor +
     # bit_count ops, and block equality is a single long compare.  On a
@@ -340,6 +347,56 @@ def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
             .filter((F.col("id_a") < F.col("id_b")) & uniq))
     hamming = sum(F.bit_count(F.col(f"w{i}_a").bitwiseXOR(F.col(f"w{i}_b")))
                   for i in range(n_blocks))
+    return (cand.withColumn("hamming", hamming.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b"))
+
+
+def _simhash_pairs_wide_blocks(sig: DataFrame, id_col: str, bits: int,
+                               max_hamming: int,
+                               bounds: list[tuple[int, int]]) -> DataFrame:
+    """Pigeonhole pair generation when a block exceeds 63 bits (so it
+    cannot pack into one BIGINT word): block equality compares the raw
+    bit-substring, and Hamming is computed from signature-spanning 63-bit
+    words (independent of the block layout).  Same completeness argument
+    and first-matching-block canonicalization as the packed fast path —
+    only the block-value representation differs.  Not the benched path:
+    oversized blocks occur only at tiny max_hamming relative to bits,
+    where n_blocks (and therefore the join fan-out) is small anyway."""
+    n_blocks = len(bounds)
+    hbounds, start = [], 1
+    while start <= bits:
+        ln = min(63, bits - start + 1)
+        hbounds.append((start, ln))
+        start += ln
+    words = sig.select(
+        F.col(id_col),
+        *[F.expr(f"substring(simhash, {s}, {ln})").alias(f"w{i}")
+          for i, (s, ln) in enumerate(bounds)],
+        *[F.expr(f"CAST(conv(substring(simhash, {s}, {ln}), 2, 10) AS BIGINT)")
+          .alias(f"h{j}") for j, (s, ln) in enumerate(hbounds)])
+    wcols = [f"w{i}" for i in range(n_blocks)]
+    hcols = [f"h{j}" for j in range(len(hbounds))]
+    bk = (words.select(F.col(id_col), *wcols, *hcols,
+                       F.explode(F.array(*[F.lit(i)
+                                           for i in range(n_blocks)]))
+                       .alias("blk"))
+          .withColumn("bv", F.element_at(F.array(*wcols), F.col("blk") + 1)))
+    a = bk.select(F.col(id_col).alias("id_a"),
+                  *[F.col(c).alias(f"{c}_a") for c in wcols + hcols],
+                  "blk", "bv")
+    b = bk.select(F.col(id_col).alias("id_b"),
+                  *[F.col(c).alias(f"{c}_b") for c in wcols + hcols],
+                  "blk", "bv")
+    uniq = F.lit(True)
+    for i in range(n_blocks - 1):
+        uniq = uniq & ((F.col("blk") <= i)
+                       | (F.col(f"w{i}_a") != F.col(f"w{i}_b")))
+    cand = (a.join(b, on=["blk", "bv"])
+            .filter((F.col("id_a") < F.col("id_b")) & uniq))
+    hamming = sum(F.bit_count(F.col(f"{h}_a").bitwiseXOR(F.col(f"{h}_b")))
+                  for h in hcols)
     return (cand.withColumn("hamming", hamming.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")

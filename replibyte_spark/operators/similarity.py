@@ -600,6 +600,13 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
         "refine_iterations int")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "meta")))
+    # write-through: a rebuild at the same path in one process must not
+    # leave load_ann_index_meta serving the PREVIOUS build's (bits, seed) —
+    # the plan-time guard in lsh_topk would then reject valid queries or,
+    # worse, admit a same-width/different-seed query against stale metadata.
+    _META_CACHE[path] = {"bits": bits, "seed": seed,
+                         "n_centroids": n_centroids, "dim": dim,
+                         "refine_iterations": refine_iterations}
     return cents
 
 
@@ -634,10 +641,10 @@ def load_ann_index(spark, path: str,
     return corpus, cents
 
 
-# meta is immutable once an index directory is built (the gate fixtures
-# key directories by dataset fingerprint + parameters, and a rebuild goes
-# through load_ann_index_meta below, which refreshes the entry) — caching
-# keeps the per-query warm path free of an extra 1-row Spark job
+# meta changes only when build_ann_index rewrites the directory, and that
+# function writes the cache entry through (see its tail) — caching keeps
+# the per-query warm path free of an extra 1-row Spark job while a
+# same-process rebuild still refreshes the entry
 _META_CACHE: dict[str, dict] = {}
 
 

@@ -129,19 +129,51 @@ def subset_closure(
     # WITHOUT a distinct — semi-join semantics dedupe for free, and the
     # distinct was a whole extra shuffle per edge per round.
 
-    def _merge(store, szs, table, new_rows) -> bool:
-        """Eagerly union new_rows into store[table]; True if it grew."""
+    sc = seed_df.sparkSession.sparkContext
+
+    def _pinned_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keys())
+
+    def _free_ids(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    # (store_name, table) -> the checkpoint-RDD ids the CURRENT frame pins.
+    # Long fixpoints over graphs with many stagnant edges otherwise
+    # accumulate one orphaned checkpoint per no-growth merge (and one per
+    # superseded frame) in executor storage until JVM GC — which round 4
+    # showed may never run while the session lives.  Freeing is safe only
+    # for frames nothing else references: discarded candidates and
+    # superseded per-(store, table) frames qualify; the seed checkpoint is
+    # SHARED between kept[] and expand[] and is deliberately registered in
+    # neither, so supersession never frees it.  The FINAL kept frames stay
+    # pinned for the caller (bench/tests sweep them via
+    # util.free_persistent_rdds afterwards).
+    owned: dict[tuple[str, str], set] = {}
+
+    def _merge(store, szs, table, new_rows, store_name) -> bool:
+        """Eagerly union new_rows into store[table]; True if it grew.
+        Discarded candidate checkpoints and superseded frames are
+        unpersisted immediately instead of waiting for JVM GC."""
+        before = _pinned_ids()
         if table not in store:
             m = new_rows.localCheckpoint(eager=True)
             n = m.count()
             if n == 0:
+                _free_ids(_pinned_ids() - before)
                 return False
         else:
             m = (store[table].unionByName(new_rows).distinct()
                  .localCheckpoint(eager=True))
             n = m.count()
             if n <= szs[table]:
+                _free_ids(_pinned_ids() - before)
                 return False
+        _free_ids(owned.pop((store_name, table), set()))
+        owned[(store_name, table)] = _pinned_ids() - before
         store[table], szs[table] = m, n
         return True
 
@@ -167,7 +199,7 @@ def subset_closure(
                        .select(F.col(e.fk_col).alias(e.parent_col)).na.drop())
             rows = tables[e.parent].join(fk_keys, on=e.parent_col,
                                          how="leftsemi")
-            if _merge(kept, sizes, e.parent, rows):
+            if _merge(kept, sizes, e.parent, rows, "kept"):
                 grew_k.add(e.parent)
         # ---- child direction (optional): children of the seed subtree only
         if include_children:
@@ -179,11 +211,11 @@ def subset_closure(
                 pk = expand[e.parent].select(
                     F.col(e.parent_col).alias(e.fk_col))
                 rows = tables[e.child].join(pk, on=e.fk_col, how="leftsemi")
-                if _merge(kept, sizes, e.child, rows):
+                if _merge(kept, sizes, e.child, rows, "kept"):
                     grew_k.add(e.child)
                 # child-derived rows expand further; tracked separately from
                 # kept so RI-derived rows of the same table never re-expand
-                if _merge(expand, esizes, e.child, rows):
+                if _merge(expand, esizes, e.child, rows, "expand"):
                     grew_e.add(e.child)
         if not grew_k and not grew_e:
             break

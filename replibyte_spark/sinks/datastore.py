@@ -146,7 +146,12 @@ class Datastore:
             # empty-manifest rewrite here would clobber the real state the
             # _read_manifest fallback exists to serve
             if fs.exists(self._jpath(self._manifest_path + ".bak")):
-                self._migrate()
+                # crashed swap: force the recovered (.bak-served) manifest
+                # back onto the FINAL path even when no migration applies —
+                # _migrate()'s changed-only write would otherwise leave
+                # every later read serving (and warning about) .bak, and a
+                # later loss of the .bak would lose the manifest entirely
+                self._migrate(force_write=True)
             else:
                 self._write_manifest({"v": MANIFEST_VERSION, "dumps": []})
         else:
@@ -187,12 +192,14 @@ class Datastore:
         payload = json.dumps(m, indent=2, sort_keys=True).encode()
         self._write_bytes(self._manifest_path, payload)
 
-    def _migrate(self) -> None:
+    def _migrate(self, force_write: bool = False) -> None:
         """Versioned manifest migrations (reference: migration/mod.rs:48-106;
         rename_backups_to_dumps.rs; update_version_number.rs).  Writes ONLY
         when something actually migrates — init() runs on every read-side
         call (list/find/restore), and an unconditional rewrite would make
-        pure reads race each other's 3-rename manifest swaps."""
+        pure reads race each other's 3-rename manifest swaps.
+        `force_write=True` (the crashed-swap recovery in init()) persists
+        the manifest even when nothing migrated."""
         m = self._read_manifest()
         changed = False
         if "backups" in m and "dumps" not in m:  # v1 → v2
@@ -201,7 +208,7 @@ class Datastore:
         if m.get("v") != MANIFEST_VERSION:
             m["v"] = MANIFEST_VERSION
             changed = True
-        if changed:
+        if changed or force_write:
             self._write_manifest(m)
 
     # -- dump (write) ------------------------------------------------------

@@ -116,7 +116,8 @@ def write_jdbc_tables(tables: dict[str, DataFrame], uri: str,
 
 
 def fk_edges_from_jdbc(spark: SparkSession, uri: str,
-                       driver: str | None = None) -> list:
+                       driver: str | None = None,
+                       schema: str | None = None) -> list:
     """FK graph from the LIVE database catalog (SS1).  The reference
     parses `ALTER TABLE ... FOREIGN KEY` DDL back out of the dump text
     (subset/src/postgres.rs:583-734); the JDBC `DatabaseMetaData
@@ -124,7 +125,15 @@ def fk_edges_from_jdbc(spark: SparkSession, uri: str,
     Postgres, MySQL and embedded engines (Derby — the flavor this repo
     can execute live).  Driver-side: one bounded metadata call per table,
     no Spark job.  Names are lowercased to match the DataFrame-dict keys
-    the pipelines use (unquoted SQL identifiers are case-insensitive)."""
+    the pipelines use (unquoted SQL identifiers are case-insensitive).
+
+    `FkEdge` carries BARE table names (the reference addresses tables as
+    `{database}.{table}`, transformer/mod.rs:60-76, and the pipelines key
+    their DataFrame dicts the same way), so when the SAME table name
+    exists in two schemas the graphs would silently merge.  Guard: pass
+    `schema` (a JDBC schemaPattern, e.g. ``"APP"``) to scope the walk to
+    one schema; without it, a cross-schema name collision raises instead
+    of returning an ambiguous graph."""
     from ..operators.subset import FkEdge
 
     opts = jdbc_options(uri, driver)
@@ -139,12 +148,24 @@ def fk_edges_from_jdbc(spark: SparkSession, uri: str,
     try:
         md = conn.getMetaData()
         names = []
-        rs = md.getTables(None, None, "%", None)
+        rs = md.getTables(None, schema, "%", None)
         while rs.next():
             if rs.getString("TABLE_TYPE") == "TABLE":
                 names.append((rs.getString("TABLE_SCHEM"),
                               rs.getString("TABLE_NAME")))
         rs.close()
+        by_name: dict[str, set] = {}
+        for schem, t in names:
+            by_name.setdefault(t.lower(), set()).add(schem)
+        dupes = {t: s for t, s in by_name.items() if len(s) > 1}
+        if dupes:
+            detail = ", ".join(
+                f"{t} (schemas {'/'.join(sorted(s))})"
+                for t, s in sorted(dupes.items()))
+            raise ValueError(
+                f"table name(s) present in multiple schemas: {detail} — "
+                f"FkEdge uses bare table names, so the FK graphs would "
+                f"merge; pass schema=<name> to scope the extraction")
         edges = []
         for schem, t in names:
             rs = md.getImportedKeys(None, schem, t)

@@ -132,3 +132,43 @@ def test_cli_stdin_requires_source_type(spark, conf, capsys):
 
 def test_module_entrypoint_exists():
     import replibyte_spark.__main__  # noqa: F401  (import must not run main)
+
+
+def test_cli_stdin_dump_removes_temp_copy(spark, tmp_path, capsys,
+                                          monkeypatch):
+    """`dump create -i` stages stdin in a temp file (a PRE-transformation
+    copy of the dump, PII included) — it must be deleted once the dump
+    completes, not leaked into the temp directory."""
+    import io
+    import sys as _sys
+
+    conf = tmp_path / "c.yaml"
+    conf.write_text(f"""
+datastore:
+  dir: {tmp_path}/store3
+destination:
+  connection_uri: console://
+""")
+    created: list[str] = []
+    import tempfile as _tempfile
+
+    real_ntf = _tempfile.NamedTemporaryFile
+
+    def spy_ntf(*a, **kw):
+        f = real_ntf(*a, **kw)
+        created.append(f.name)
+        return f
+
+    monkeypatch.setattr(_tempfile, "NamedTemporaryFile", spy_ntf)
+    sql = ("INSERT INTO pets (id, name) VALUES (1, 'rex');\n"
+           "INSERT INTO pets (id, name) VALUES (2, 'ivy');\n")
+    monkeypatch.setattr(
+        _sys, "stdin",
+        type("S", (), {"buffer": io.BytesIO(sql.encode())})())
+    assert main(["-c", str(conf), "dump", "create", "-i",
+                 "-s", "postgresql", "-n", "stdind"], spark=spark) == 0
+    assert "dump stdind created (1 tables" in capsys.readouterr().out
+    staged = [p for p in created if p.endswith(".sql")]
+    assert staged, "stdin should have been staged through a temp file"
+    assert not any(os.path.exists(p) for p in staged), \
+        "stdin temp copy leaked after dump completed"

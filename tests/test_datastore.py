@@ -318,3 +318,37 @@ def test_corrupt_manifest_raises_not_served_from_bak(spark, sf_dir,
         names = {d.directory_name for d in ds.list_dumps()}
     assert "a" in names                  # .bak manifest served
     assert any("served from .bak" in str(x.message) for x in w)
+
+
+def test_crashed_swap_recovery_repersists_manifest(spark, sf_dir, tmp_path):
+    """A crashed swap (final manifest ABSENT, .bak present) must be healed
+    on the next read: the recovered manifest is re-persisted to the FINAL
+    path and the stale .bak removed — not served-with-a-warning forever.
+    Before round 7 the recovery routed through _migrate()'s changed-only
+    write, so nothing was ever written back and a later loss of the .bak
+    lost the manifest entirely."""
+    import warnings
+
+    ds = Datastore(spark, str(tmp_path / "heal"))
+    region = load_table(spark, sf_dir, "region")
+    ds.dump({"region": region}, "a")
+    path = os.path.join(ds.root, "metadata.json")
+    good = open(path, "rb").read()
+    with open(path + ".bak", "wb") as f:
+        f.write(good)
+    os.remove(path)                      # crashed swap: final lost
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        names = {d.directory_name for d in ds.list_dumps()}
+    assert "a" in names
+    assert any("served from .bak" in str(x.message) for x in w)
+
+    # healed: final re-persisted, .bak gone, second read is warning-free
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".bak")
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        names2 = {d.directory_name for d in ds.list_dumps()}
+    assert names2 == names
+    assert not any("served from .bak" in str(x.message) for x in w2)

@@ -623,3 +623,69 @@ def test_remove_duplicate_spans_unaligned_and_within_doc(spark):
     assert out[2] == "other"
     assert out[3] == "mid"
     assert out[4] == "completely different words here now"
+
+
+def test_ann_index_rebuild_refreshes_meta_cache(spark, sf_dir, tmp_path):
+    """Rebuild an index AT THE SAME PATH with different (bits, seed) in one
+    process: load_ann_index must stamp the NEW meta onto the bucket column
+    (build_ann_index writes the _META_CACHE entry through), so the
+    plan-time guard accepts the new parameters and rejects the old ones.
+    Before round 7 the stale cached entry did the exact opposite."""
+    import pytest as _pt
+
+    from replibyte_spark.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "rebuild_idx")
+    S.build_ann_index(emb, path, bits=6, seed="rp", n_centroids=4, dim=64)
+    corpus, _ = S.load_ann_index(spark, path, with_centroids=False)
+    assert S.lsh_topk(corpus, queries, k=3, bits=6, seed="rp",
+                      dim=64).count() >= 0
+
+    # rebuild in-place with a different width AND seed
+    S.build_ann_index(emb, path, bits=7, seed="seed2", n_centroids=4,
+                      dim=64)
+    meta = S.load_ann_index_meta(spark, path)   # default use_cache=True
+    assert (meta["bits"], meta["seed"]) == (7, "seed2")
+    corpus2, _ = S.load_ann_index(spark, path, with_centroids=False)
+    # NEW parameters pass the plan-time guard...
+    ok = S.lsh_topk(corpus2, queries, k=3, bits=7, seed="seed2", dim=64)
+    assert ok.count() >= 0
+    # ...and the PREVIOUS build's parameters are rejected at plan time
+    with _pt.raises(ValueError, match="built with bits=7"):
+        S.lsh_topk(corpus2, queries, k=3, bits=6, seed="rp", dim=64)
+
+
+def test_simhash_wide_block_path_complete(spark):
+    """Blocks wider than 63 bits cannot pack into one BIGINT word (conv()
+    values >= 2^63 overflow, silently dropping pairs) — those layouts must
+    route through the wide-block path and still honor the pigeonhole
+    contract.  bits=64/max_hamming=0 is the minimal trigger: one 64-bit
+    block, pairs = identical signatures."""
+    from replibyte_spark.operators.dedup import (
+        simhash_block_bounds,
+        simhash_pairs_from_signatures,
+    )
+
+    assert simhash_block_bounds(64, 0) == [(1, 64)]
+    # signatures with the high bit SET so the packed value would be >= 2^63
+    hi = "1" + "0" * 62 + "1"          # 64 bits, value 2^63 + 1
+    hi2 = "1" + "0" * 63               # 64 bits, value 2^63
+    sig = spark.createDataFrame(
+        [(1, hi), (2, hi), (3, hi2), (4, "0" * 64)],
+        "doc_id int, simhash string")
+    got = sorted(map(tuple, simhash_pairs_from_signatures(
+        sig, "doc_id", bits=64, max_hamming=0).collect()))
+    assert got == [(1, 2, 0)]
+
+    # bits=128 / max_hamming=1 → two 64-bit blocks; Hamming-1 pair must
+    # survive, Hamming-2 must not
+    a = "1" * 64 + "0" * 64
+    b = a[:127] + "1"                  # distance 1 from a (last bit)
+    c = "00" + a[2:]                   # distance 2 from a, 3 from b
+    sig2 = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id int, simhash string")
+    got2 = sorted(map(tuple, simhash_pairs_from_signatures(
+        sig2, "doc_id", bits=128, max_hamming=1).collect()))
+    assert got2 == [(1, 2, 1)]

@@ -173,3 +173,40 @@ def test_fk_edges_from_jdbc_and_config_subset(spark, tmp_path):
     assert 0 < len(nations) < 20                 # genuinely subset
     assert {n["REGION_ID"] for n in nations} <= regions   # RI closure held
     assert sorted(info.tables) == ["nation", "region"]
+
+
+def test_fk_edges_two_schemas_same_table_name(spark, tmp_path):
+    """Two schemas holding the SAME table name with DIFFERENT FK graphs:
+    unscoped extraction must refuse (FkEdge carries bare names — the
+    graphs would silently merge), and schema-scoped extraction must
+    return each schema's own distinct graph (the reference's
+    `{database}.{table}` addressing, transformer/mod.rs:60-76)."""
+    import pytest as _pytest
+
+    from replibyte_spark.operators.subset import FkEdge
+    from replibyte_spark.sources.jdbc import fk_edges_from_jdbc
+
+    uri = f"jdbc:derby:{tmp_path}/twoschema;create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY)
+    conn = jvm.java.sql.DriverManager.getConnection(uri)
+    st = conn.createStatement()
+    # schema A: child -> parent_a ; schema B: child -> parent_b
+    st.execute("CREATE SCHEMA sa")
+    st.execute("CREATE SCHEMA sb")
+    st.execute("CREATE TABLE sa.parent_a (id INT PRIMARY KEY)")
+    st.execute("CREATE TABLE sa.child (id INT PRIMARY KEY, "
+               "pa_id INT REFERENCES sa.parent_a(id))")
+    st.execute("CREATE TABLE sb.parent_b (id INT PRIMARY KEY)")
+    st.execute("CREATE TABLE sb.child (id INT PRIMARY KEY, "
+               "pb_id INT REFERENCES sb.parent_b(id))")
+    st.close()
+    conn.close()
+
+    with _pytest.raises(ValueError, match="multiple schemas"):
+        fk_edges_from_jdbc(spark, uri, driver=DERBY)
+
+    ea = fk_edges_from_jdbc(spark, uri, driver=DERBY, schema="SA")
+    eb = fk_edges_from_jdbc(spark, uri, driver=DERBY, schema="SB")
+    assert ea == [FkEdge("child", "pa_id", "parent_a", "id")]
+    assert eb == [FkEdge("child", "pb_id", "parent_b", "id")]

@@ -208,3 +208,30 @@ def test_token_budget_mix_hits_weighted_budgets(spark, sf_dir):
                              thresholds=thr)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple,
                                                              kept.collect()))
+
+
+def test_cyclic_closure_frees_superseded_checkpoints(spark):
+    """The cyclic fixpoint localCheckpoints every merge; superseded and
+    discarded frames must be unpersisted as the loop runs, not parked in
+    executor storage until JVM GC.  After the closure, the registry may
+    hold only the LIVE frames (seed + current kept/expand per table) —
+    a multi-round cycle would otherwise leave one orphan per round."""
+    from replibyte_spark.operators.subset import FkEdge
+    from replibyte_spark.util import free_persistent_rdds
+
+    free_persistent_rdds(spark)
+    a = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], "id long, ref long")
+    b = spark.createDataFrame([(1, 1), (2, 3), (3, 2)], "id long, ref long")
+    edges = [FkEdge("a", "ref", "b", "id"), FkEdge("b", "ref", "a", "id")]
+    seed = a.filter("id = 1")
+    res = subset_closure({"a": a, "b": b}, edges, "a", seed,
+                         include_children=True)
+    assert res.iterations >= 3          # genuinely multi-round
+    pinned = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # live frames: seed + kept[a] + kept[b] + expand[a] + expand[b] — each
+    # pins one checkpoint RDD; anything above that is a leak
+    assert pinned <= 5, f"{pinned} persistent RDDs after cyclic closure"
+    # results are still consumable (no live frame was freed)
+    assert res.tables["a"].count() == 3
+    assert res.tables["b"].count() == 3
+    free_persistent_rdds(spark)
