@@ -221,6 +221,9 @@ FROM p ORDER BY source, doc_id
 """
 
 
+# driver-visible (round 7): the composite transitively exercises
+# decontamination, token-budget mixing and MinHash near-dup — the round-6
+# curation layer gets a CORRECTNESS row; normalized_fingerprints (subsumed
+# by doc_text_metrics + dedup_exact_events) moved to EXTRA to make room.
 register(Query("curation_pipeline_v2", curation_pipeline_v2,
-               _curation_v2_oracle(), tags=("text", "dedup", "pipeline")),
-         extra=True)
+               _curation_v2_oracle(), tags=("text", "dedup", "pipeline")))

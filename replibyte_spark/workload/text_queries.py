@@ -195,5 +195,8 @@ FROM documents ORDER BY doc_id
 """
 
 
+# EXTRA since round 7: subsumed by doc_text_metrics (same text functions)
+# + dedup_exact_events (same hash-groupBy risk surface); its driver slot
+# went to curation_pipeline_v2.  Still oracle-checked by pytest.
 register(Query("normalized_fingerprints", normalized_fingerprints,
-               _normalized_oracle(), tags=("text",)))
+               _normalized_oracle(), tags=("text",)), extra=True)

@@ -152,3 +152,20 @@ def test_redacted_documented_option_key_works(spark):
     out = apply_transformers(df, {"s": ("redacted", {"character": "#"})})
     row = out.collect()[0]
     assert row.s == "sec" + "#" * 10   # reference semantics: first 3 kept
+
+
+def test_readme_query_count_matches_registry():
+    """README advertises the registry size — assert it so the number can't
+    drift again (round 6 shipped an off-by-one after adding a query)."""
+    import re
+
+    from replibyte_spark.workload import EXTRA, REGISTRY
+
+    text = open("README.md").read()
+    m = re.search(r"\((\d+) queries —\s*(\d+) driver-gated \+ (\d+) "
+                  r"pytest-only", text)
+    assert m, "README query-count line not found"
+    total, gated, extra = map(int, m.groups())
+    assert gated == len(REGISTRY), (gated, len(REGISTRY))
+    assert extra == len(EXTRA), (extra, len(EXTRA))
+    assert total == len(REGISTRY) + len(EXTRA)

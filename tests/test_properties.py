@@ -439,3 +439,80 @@ def test_remove_boilerplate_only_deletes_aligned_chunks(spark, seed, w):
             for r in remove_boilerplate(udf, chunk_tokens=w,
                                         min_docs=2).collect()}
     assert uout == dict(uniq)
+
+
+def _span_dedup_model(rows, n, min_count=2):
+    """Python reference model for remove_duplicate_spans: count every
+    sliding n-token window across the corpus (within-doc repeats count),
+    mark every position covered by a >= min_count window, rebuild from
+    the surviving tokens."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in rows}
+    grams: Counter = Counter()
+    for ts in toks.values():
+        for j in range(len(ts) - n + 1):
+            grams[tuple(ts[j:j + n])] += 1
+    out = {}
+    for i, ts in toks.items():
+        covered: set = set()
+        for j in range(len(ts) - n + 1):
+            if grams[tuple(ts[j:j + n])] >= min_count:
+                covered.update(range(j, j + n))
+        out[i] = " ".join(t for k, t in enumerate(ts) if k not in covered)
+    return out
+
+
+@given(seed=st.integers(0, 2**30), n=st.integers(2, 3))
+@settings(max_examples=6, deadline=None)
+def test_remove_duplicate_spans_matches_python_model(spark, seed, n):
+    """Random corpora over a tiny vocabulary (dense window collisions,
+    within-doc repeats included): the Spark plan must agree with the
+    direct Python restatement of the Lee-et-al rule on every doc — which
+    also implies every output is a token-subsequence of its input and
+    that exactly the covered positions were deleted, nothing else."""
+    import random
+
+    from replibyte_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(4)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(0, 11))))
+            for i in range(14)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in remove_duplicate_spans(df, span_tokens=n,
+                                           min_count=2).collect()}
+    want = _span_dedup_model(rows, n)
+    assert got == want
+    # subsequence invariant, asserted directly as well
+    for i, text in rows:
+        it = iter(text.split())
+        assert all(tok in it for tok in got[i].split()), (
+            f"doc {i}: {got[i]!r} not a subsequence of {text!r}")
+
+
+def test_remove_duplicate_spans_second_pass_not_idempotent_by_design(spark):
+    """Documented semantics: removal can make previously NON-adjacent
+    tokens adjacent, forming new windows that collide with other docs —
+    so a second pass may remove more (matching the one-pass suffix-array
+    dedup, which also only removes spans duplicated in the ORIGINAL
+    corpus).  Pin that behavior so a future 'fix' has to argue with this
+    test: doc 10's 'a q q b' loses the doubled 'q q', the rebuilt 'a b'
+    now equals doc 11, and only a SECOND pass would remove that pair."""
+    from replibyte_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [(10, "a q q b"), (11, "a b"), (12, "q q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p1 = {r.doc_id: r.text
+          for r in remove_duplicate_spans(df, span_tokens=2,
+                                          min_count=2).collect()}
+    # 'q q' occurs in doc 10 and doc 12 -> both occurrences deleted;
+    # 'a b' (doc 11) occurred ONCE in the original corpus -> kept
+    assert p1 == {10: "a b", 11: "a b", 12: ""}
+    df2 = spark.createDataFrame(sorted(p1.items()),
+                                "doc_id long, text string")
+    p2 = {r.doc_id: r.text
+          for r in remove_duplicate_spans(df2, span_tokens=2,
+                                          min_count=2).collect()}
+    assert p2 == {10: "", 11: "", 12: ""}   # second pass removes the new dup
