@@ -49,6 +49,27 @@ def all_queries() -> dict[str, Query]:
     return {**REGISTRY, **EXTRA}
 
 
+# On-disk fixture builders (materialized ANN indexes, mongodump archives —
+# anything keyed by dataset fingerprint + parameters and built lazily on
+# first use).  bench.py runs these BEFORE its timing loop: a parameter
+# change (new cache key) must cost one build OUTSIDE the measured
+# iterations, not land inside a recorded time (the BENCH_r06 artifact
+# inflation).  Each preparer takes (spark, sf_dir) and must be idempotent.
+FIXTURE_PREPARERS: list[Callable[[SparkSession, str], None]] = []
+
+
+def register_fixture_preparer(
+        fn: Callable[[SparkSession, str], None]) -> Callable:
+    FIXTURE_PREPARERS.append(fn)
+    return fn
+
+
+def prepare_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotently build every parameter-keyed on-disk fixture."""
+    for fn in FIXTURE_PREPARERS:
+        fn(spark, sf_dir)
+
+
 def _load_all() -> None:
     # one module per operator family; ORDER MATTERS: highest-risk gate
     # queries (subset closure, text/sampling — the round-1 failures) first.
@@ -64,6 +85,7 @@ def _load_all() -> None:
         streaming_queries,
         introspect_queries,
         corpus,
+        pii_queries,
     )
 
 

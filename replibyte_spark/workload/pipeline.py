@@ -497,3 +497,11 @@ DUMP_MANIFEST_ORACLE = f"SELECT * FROM ({_manifest_selects}) ORDER BY table_name
 
 register(Query("dump_manifest_skip_tables", dump_manifest, DUMP_MANIFEST_ORACLE,
                tags=("pipeline",)), extra=True)
+
+
+from . import register_fixture_preparer  # noqa: E402
+
+
+@register_fixture_preparer
+def _prepare_archive_fixture(spark: SparkSession, sf_dir: str) -> None:
+    _archive_fixture(spark, sf_dir)

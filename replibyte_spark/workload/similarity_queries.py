@@ -523,3 +523,16 @@ register(Query("ann_scale_lsh_topk", ann_scale_lsh, ANN_SCALE_LSH_ORACLE,
                tags=("similarity", "bench"), bench=True), extra=True)
 register(Query("ann_scale_ivf_topk", ann_scale_ivf, _ann_scale_ivf_oracle(),
                tags=("similarity", "bench"), bench=True), extra=True)
+
+
+# bench.py pre-builds these OUTSIDE its timing loop: a cache-key change
+# (new bits/centroids/refine parameters) then costs one build before
+# measurement instead of inflating a recorded iteration (BENCH_r06's
+# ann_scale rows read 2x their true cost for exactly this reason).
+from . import register_fixture_preparer  # noqa: E402
+
+
+@register_fixture_preparer
+def _prepare_ann_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    _ann_index(spark, sf_dir)
+    _ann_scale_fixture(spark, sf_dir)

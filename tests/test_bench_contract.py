@@ -33,3 +33,9 @@ def test_bench_emits_one_json_line_with_contract_schema():
     # round-4 straggler metric rides along, one entry per query
     assert set(rec["max_shuffle_task_ms"]) == set(rec["queries"])
     assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.01
+    # round-7: raw per-iteration times ride along so artifact drift is
+    # attributable post hoc; the recorded time is their minimum
+    assert set(rec["raw_times"]) == set(rec["queries"])
+    for name, rt in rec["raw_times"].items():
+        assert rt and all(isinstance(t, (int, float)) for t in rt)
+        assert abs(min(rt) - rec["queries"][name]) < 0.01
