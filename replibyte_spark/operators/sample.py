@@ -159,3 +159,54 @@ def token_budget_mix(docs: DataFrame, weights: dict[str, float],
     draw = D.hash_uniform_mod(D.SPARK, combined, salt, 1_000_000)
     return docs.filter(F.expr(
         f"{draw} < (CASE {stratum_col} {branches} ELSE 0 END)"))
+
+
+def shard_shuffle(df: DataFrame, id_col: str, seed: str = "shuffle",
+                  n_shards: int = 64) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded for scale.
+
+    A literal global shuffle (ORDER BY random key) funnels 100 TB through
+    one total-order sort; training readers don't need that — they need (a)
+    a reproducible order and (b) no locality between neighboring input
+    docs.  Both come from two hash draws: `shard = md5(seed||id) mod
+    n_shards` spreads any input clustering across shards, and `pos` orders
+    WITHIN a shard by an independent second draw.  One shuffle on the
+    shard key, per-shard windows run in parallel, and the (shard, pos)
+    addressing is stable under retries and engine changes — the property
+    a resumable multi-epoch reader needs.  Different `seed` = a fresh
+    epoch permutation."""
+    shard = D.hash_mod(D.SPARK, id_col, f"{seed}-shard", n_shards)
+    draw = D.hash_uniform_long(D.SPARK, id_col, f"{seed}-pos")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("__draw").asc(), F.col(id_col).asc()))
+    return (df.withColumn("shard", F.expr(shard).cast("int"))
+            .withColumn("__draw", F.expr(draw))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__draw"))
+
+
+def corpus_quality_report(docs: DataFrame, group_col: str = "source",
+                          tokens_col: str = "n_tokens",
+                          quality_col: str = "quality",
+                          percentiles: "tuple" = (0.25, 0.5, 0.9, 0.99),
+                          approx: bool = False) -> DataFrame:
+    """Per-group corpus health report: doc/token totals, token-count
+    percentiles, mean quality — the sanity dashboard you read before
+    committing a 100 TB training mix.
+
+    `approx=False` uses exact interpolated percentiles (Spark `percentile`
+    buffers each group's values — fine while a group fits an executor, and
+    bit-identical to DuckDB's quantile_cont, so the gate hash-matches).
+    `approx=True` is the 100 TB path: `approx_percentile` (t-digest-style
+    bounded sketch, mergeable across partitions) — same report shape, not
+    oracle-exact, asserted against the exact path within tolerance in the
+    unit tests."""
+    fn = "approx_percentile" if approx else "percentile"
+    pcts = [F.expr(f"round({fn}({tokens_col}, {p}), 4)")
+            .alias(f"p{int(p * 100)}_tokens") for p in percentiles]
+    return (docs.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(tokens_col).cast("long").alias("total_tokens"),
+                 *pcts,
+                 F.round(F.avg(quality_col), 6).alias("avg_quality"))
+            .orderBy(group_col))

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import dialect as D
 from ..catalog import load_table
 from ..streaming.events import sessionized_stats, windowed_event_counts
 from . import Query, register
@@ -190,3 +191,70 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 register(Query("stateful_running_totals", stateful_running_totals,
                STATEFUL_ORACLE, tags=("streaming", "stateful")))
+
+
+def streaming_curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time curation: the PII scrub + quality scoring
+    pass applied INSIDE a Structured Streaming micro-batch pipeline over
+    the documents table (availableNow), summarized per source.  The
+    transforms are pure projections + one windowless aggregation, so
+    stream ≡ batch exactly — which is the point: the same curation
+    expressions bolt onto a live ingest stream with no semantic drift,
+    and the batch-SQL oracle proves it."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+    from ..functions.pii import scrub_pii_sql
+
+    d = D.SPARK
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    path = os.path.join(sf_dir, "documents.parquet")
+    reader = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(path)))
+    stream = reader.parquet(os.path.dirname(path))
+    scored = stream.selectExpr(
+        "source",
+        f"{scrub_pii_sql(d, 'text')} AS clean_text",
+        f"round({T.quality_score_sql(d, 'text')}, 6) AS quality")
+    agg = (scored.filter(F.col("quality") >= 0.5)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.length("clean_text")).cast("long")
+                .alias("clean_chars")))
+    name = f"gate_cur_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    return _drain_memory_sink(spark, q, name, ckpt).orderBy("source")
+
+
+def _streaming_curation_oracle() -> str:
+    from ..functions import text as T
+    from ..functions.pii import scrub_pii_sql
+
+    d = D.DUCK
+    return f"""
+WITH scored AS (
+  SELECT source,
+         {scrub_pii_sql(d, 'text')} AS clean_text,
+         round({T.quality_score_sql(d, 'text')}, 6) AS quality
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(length(clean_text)) AS BIGINT) AS clean_chars
+FROM scored WHERE quality >= 0.5
+GROUP BY source ORDER BY source
+"""
+
+
+register(Query("streaming_curation_quality", streaming_curation_quality,
+               _streaming_curation_oracle(), tags=("streaming", "text", "pii")),
+         extra=True)

@@ -200,3 +200,93 @@ FROM documents ORDER BY doc_id
 # went to curation_pipeline_v2.  Still oracle-checked by pytest.
 register(Query("normalized_fingerprints", normalized_fingerprints,
                _normalized_oracle(), tags=("text",)), extra=True)
+
+
+# --- training-order shuffle + corpus report (round 7) -----------------------
+
+N_SHARDS = 16
+SHUFFLE_SEED = "epoch0"
+
+
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle over the documents
+    table: (shard, pos) addressing reproducible across engines and runs
+    (operators/sample.py shard_shuffle — one shuffle on the shard key,
+    per-shard rank windows in parallel; no global sort)."""
+    from ..operators.sample import shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (shard_shuffle(docs, "doc_id", seed=SHUFFLE_SEED,
+                          n_shards=N_SHARDS)
+            .select("doc_id", "shard", "pos")
+            .orderBy("shard", "pos"))
+
+
+def _shard_shuffle_oracle() -> str:
+    d = D.DUCK
+    shard = D.hash_mod(d, "doc_id", f"{SHUFFLE_SEED}-shard", N_SHARDS)
+    draw = D.hash_uniform_long(d, "doc_id", f"{SHUFFLE_SEED}-pos")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST({shard} AS INT) AS shard, {draw} AS dr
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY dr, doc_id)
+            AS BIGINT) AS pos
+FROM keyed ORDER BY shard, pos
+"""
+
+
+register(Query("corpus_shard_shuffle", corpus_shard_shuffle,
+               _shard_shuffle_oracle(), tags=("text", "sampling")),
+         extra=True)
+
+
+# quarter percentiles on integer token counts are EXACT in both engines:
+# the interpolation fraction (0.25/0.5/0.75) is a dyadic rational, so
+# a + d*(b-a) and (1-d)*a + d*b both evaluate exactly for integer a, b —
+# no last-ulp divergence between Spark's and DuckDB's formulas.  (0.9/0.99
+# are not dyadic; the operator supports them, the gate sticks to quarters.)
+REPORT_PCTS = (0.25, 0.5, 0.75)
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (exact-percentile path; the
+    approx_percentile scale variant is asserted within tolerance in
+    tests/test_subset.py)."""
+    from ..functions import text as T
+    from ..operators.sample import corpus_quality_report
+
+    d = D.SPARK
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
+        f"round({T.quality_score_sql(d, 'text')}, 6) AS quality")
+    return corpus_quality_report(docs, "source", percentiles=REPORT_PCTS)
+
+
+def _corpus_report_oracle() -> str:
+    from ..functions import text as T
+
+    d = D.DUCK
+    pcts = ",\n       ".join(
+        f"round(quantile_cont(n_tokens, {p}), 4) AS p{int(p * 100)}_tokens"
+        for p in REPORT_PCTS)
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens,
+         round({T.quality_score_sql(d, 'text')}, 6) AS quality
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {pcts},
+       round(avg(quality), 6) AS avg_quality
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+register(Query("corpus_report", corpus_report, _corpus_report_oracle(),
+               tags=("text",)), extra=True)

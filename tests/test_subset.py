@@ -235,3 +235,65 @@ def test_cyclic_closure_frees_superseded_checkpoints(spark):
     assert res.tables["a"].count() == 3
     assert res.tables["b"].count() == 3
     free_persistent_rdds(spark)
+
+
+def test_shard_shuffle_invariants_and_parallel_plan(spark, sf_dir):
+    """(shard, pos) must be a bijection onto the corpus: every shard's pos
+    runs 1..len(shard) contiguously, the mapping is deterministic across
+    calls, a different seed yields a different permutation, and the plan
+    contains NO single-partition window (the rank is per-shard parallel,
+    not a global sort)."""
+    import re
+
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.operators.sample import shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    a = shard_shuffle(docs, "doc_id", seed="e0", n_shards=8)
+    rows = [(r.doc_id, r.shard, r.pos) for r in a.collect()]
+    assert len(rows) == n
+    by_shard: dict = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s}"
+    # deterministic
+    again = [(r.doc_id, r.shard, r.pos) for r in shard_shuffle(
+        docs, "doc_id", seed="e0", n_shards=8).collect()]
+    assert sorted(rows) == sorted(again)
+    # new seed = new permutation (overwhelmingly; fixture has 500+ docs)
+    other = {(r.doc_id, r.shard, r.pos) for r in shard_shuffle(
+        docs, "doc_id", seed="e1", n_shards=8).collect()}
+    assert other != set(rows)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Window .*SinglePartition", plan)
+
+
+def test_corpus_quality_report_approx_close_to_exact(spark, sf_dir):
+    """approx_percentile (the mergeable 100 TB sketch path) must land
+    within a small relative tolerance of the exact interpolated
+    percentiles on the fixture distribution; totals/counts/means are
+    sketch-free and must be identical."""
+    from replibyte_spark import dialect as D
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.functions import text as T
+    from replibyte_spark.operators.sample import corpus_quality_report
+
+    d = D.SPARK
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
+        f"round({T.quality_score_sql(d, 'text')}, 6) AS quality")
+    exact = {r.source: r.asDict() for r in
+             corpus_quality_report(docs, "source").collect()}
+    approx = {r.source: r.asDict() for r in
+              corpus_quality_report(docs, "source", approx=True).collect()}
+    assert set(exact) == set(approx) and exact
+    for src in exact:
+        e, a = exact[src], approx[src]
+        assert e["n_docs"] == a["n_docs"]
+        assert e["total_tokens"] == a["total_tokens"]
+        assert e["avg_quality"] == a["avg_quality"]
+        for k in ("p25_tokens", "p50_tokens", "p90_tokens", "p99_tokens"):
+            assert abs(a[k] - e[k]) <= max(2.0, 0.05 * e[k]), (src, k, e, a)
