@@ -834,3 +834,105 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     return (docs.join(rebuilt, on=id_col, how="left")
             .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
             .drop("__clean"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a materialized MinHash index
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 12,
+                        bands: int = 4, n: int = 3) -> None:
+    """Materialize a corpus's MinHash signatures + banded LSH keys as a
+    STORAGE LAYOUT — the dedup sibling of similarity.build_ann_index.
+
+    The 100 TB workflow this serves: a deduped corpus is long-lived while
+    crawl snapshots arrive incrementally; re-shingling 100 TB to admit a
+    1 TB batch is the anti-pattern.  With the index, ingest hashes ONLY
+    the new batch and joins its band keys against the stored buckets —
+    corpus-side cost is a bucket-key join against parquet written once at
+    curation time.  A one-row meta sidecar records (n_hashes, bands, n)
+    so a batch hashed with different parameters fails loudly at plan time
+    instead of silently joining disjoint hash spaces."""
+    import os
+
+    spark = docs.sparkSession
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, n)
+    sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    # bands derive from the stored copy: one shingle pass total, and the
+    # written band keys provably match the written signatures
+    stored = spark.read.parquet(os.path.join(path, "signatures"))
+    bk = lsh_band_keys(stored, id_col, bands, n_hashes // bands)
+    bk.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    (spark.createDataFrame([(n_hashes, bands, n)],
+                           "n_hashes int, bands int, n int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "meta")))
+
+
+def load_minhash_index_meta(spark, path: str) -> dict:
+    import os
+
+    return spark.read.parquet(os.path.join(path, "meta")) \
+        .collect()[0].asDict()
+
+
+def minhash_index_flagged_pairs(new_docs: DataFrame, path: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                threshold: float = 0.8) -> DataFrame:
+    """(id_new, id_corpus, agreement) for new-batch docs whose estimated
+    Jaccard against an indexed corpus doc is ≥ threshold.
+
+    Candidates come from the stored band buckets (any shared band);
+    verification is SIGNATURE AGREEMENT — the fraction of equal minhash
+    components, an unbiased Jaccard estimator computable without the
+    corpus text (the index stores signatures, not documents; exact
+    verification would re-scan the corpus and defeat the index).  Both
+    stages are deterministic, so the from-scratch SQL oracle reproduces
+    the estimate bit-exactly."""
+    import os
+
+    spark = new_docs.sparkSession
+    meta = load_minhash_index_meta(spark, path)
+    n_hashes, bands, n = meta["n_hashes"], meta["bands"], meta["n"]
+    corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
+    corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    # the new batch is small next to the corpus: checkpoint its signature
+    # frame once, feed both the band join and the agreement join
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, n) \
+        .localCheckpoint(eager=True)
+    new_bands = lsh_band_keys(new_sig, id_col, bands, n_hashes // bands)
+    cand = (new_bands.select(F.col(id_col).alias("id_new"),
+                             "band", "band_key")
+            .join(corpus_bands.select(F.col(id_col).alias("id_corpus"),
+                                      "band", "band_key"),
+                  on=["band", "band_key"])
+            .select("id_new", "id_corpus").distinct())
+    a = new_sig.select(F.col(id_col).alias("id_new"),
+                       *[F.col(f"h{i}").alias(f"a{i}")
+                         for i in range(n_hashes)])
+    b = corpus_sigs.select(F.col(id_col).alias("id_corpus"),
+                           *[F.col(f"h{i}").alias(f"b{i}")
+                             for i in range(n_hashes)])
+    agree = sum(F.expr(f"CAST(a{i} = b{i} AS INT)")
+                for i in range(n_hashes))
+    return (cand.join(a, "id_new").join(b, "id_corpus")
+            .withColumn("agreement",
+                        F.round(agree / F.lit(float(n_hashes)), 6))
+            .filter(F.col("agreement") >= threshold)
+            .select("id_new", "id_corpus", "agreement")
+            .orderBy("id_new", "id_corpus"))
+
+
+def dedup_batch_against_index(new_docs: DataFrame, path: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.8) -> DataFrame:
+    """New-batch docs that are NOT near-dups of the indexed corpus (the
+    admit step of incremental ingest; compose with minhash_near_dup_pairs
+    + keep_canonical for WITHIN-batch dedup)."""
+    flagged = (minhash_index_flagged_pairs(new_docs, path, id_col,
+                                           text_col, threshold)
+               .select(F.col("id_new").alias(id_col)).distinct())
+    return new_docs.join(flagged, on=id_col, how="left_anti")
