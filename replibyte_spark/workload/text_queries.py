@@ -290,3 +290,73 @@ FROM t GROUP BY source ORDER BY source
 
 register(Query("corpus_report", corpus_report, _corpus_report_oracle(),
                tags=("text",)), extra=True)
+
+
+# --- sequence assembly (round 7) --------------------------------------------
+
+def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, bin): the ASSEMBLED training sequence — concatenated
+    member text (hashed for the compare), token totals, and per-doc token
+    offsets for attention masking at document boundaries
+    (operators/grouped.py assemble_packed_sequences)."""
+    from ..functions.text import token_count_sql
+    from ..operators.grouped import assemble_packed_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", "text",
+        F.expr(token_count_sql(D.SPARK, "text")).cast("long")
+        .alias("n_tokens"))
+    seqs = assemble_packed_sequences(with_tokens, "source", "doc_id",
+                                     "n_tokens", "text", PACK_BUDGET)
+    return (seqs.select(
+        "source", F.col("bin_id").cast("long").alias("bin_id"),
+        "n_docs", "seq_tokens",
+        F.md5("seq_text").alias("seq_md5"),
+        F.array_join(
+            F.transform(F.col("doc_offsets"),
+                        lambda o: F.concat(o["start"].cast("string"),
+                                           F.lit(":"),
+                                           o["end"].cast("string"))),
+            ",").alias("offsets"))
+        .orderBy("source", "bin_id"))
+
+
+def _packed_seq_oracle() -> str:
+    from ..functions.text import token_count_sql
+
+    d = D.DUCK
+    ntok = token_count_sql(d, "text")
+    off = D.to_str(d, "tok_offset")
+    end = D.to_str(d, "tok_offset + n_tokens")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, {ntok} AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, source, text, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS prefix
+  FROM t
+), b AS (
+  SELECT doc_id, source, text, n_tokens,
+         CAST(floor(prefix / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM p
+), o AS (
+  SELECT doc_id, source, text, n_tokens, bin_id,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source, bin_id
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS tok_offset
+  FROM b
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5,
+       string_agg({off} || ':' || {end}, ',' ORDER BY doc_id) AS offsets
+FROM o GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
+register(Query("packed_training_sequences", packed_training_sequences,
+               _packed_seq_oracle(), tags=("text", "packing")), extra=True)

@@ -169,3 +169,35 @@ def test_readme_query_count_matches_registry():
     assert gated == len(REGISTRY), (gated, len(REGISTRY))
     assert extra == len(EXTRA), (extra, len(EXTRA))
     assert total == len(REGISTRY) + len(EXTRA)
+
+
+def test_assemble_packed_sequences_offsets_and_order(spark):
+    """Sequence assembly invariants: docs concatenate in order within
+    each bin, offsets are contiguous ([0, n0), [n0, n0+n1), ...), the
+    separator count equals n_docs - 1, and every bin's seq_tokens equals
+    the sum of member token counts."""
+    from replibyte_spark.operators.grouped import assemble_packed_sequences
+
+    rows = [(i, "g", f"doc{i} " * (i % 3 + 1), (i % 3 + 1) * 2)
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_tokens long")
+    out = assemble_packed_sequences(df, "source", "doc_id", "n_tokens",
+                                    "text", budget=6, sep="|").collect()
+    assert out
+    texts = {(r.source, r.bin_id): r for r in out}
+    seen_docs = 0
+    for r in out:
+        parts = r.seq_text.split("|")
+        assert len(parts) == r.n_docs
+        seen_docs += r.n_docs
+        # offsets contiguous and consistent with seq_tokens
+        assert r.doc_offsets[0]["start"] == 0
+        for a, b in zip(r.doc_offsets, r.doc_offsets[1:]):
+            assert b["start"] == a["end"]
+        assert r.doc_offsets[-1]["end"] == r.seq_tokens
+        # in-order: doc ids ascend within the bin -> texts ascend too
+        ids = [int(p.split()[0][3:]) for p in parts]
+        assert ids == sorted(ids)
+    assert seen_docs == len(rows)
+    _ = texts
