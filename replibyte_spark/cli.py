@@ -11,6 +11,13 @@ dispatched in main.rs:84-209:
     replibyte -c conf.yaml transformer list
     replibyte -c conf.yaml source schema
 
+Beyond the reference tree, a `corpus` subtree exposes the curation
+operators over plain parquet (no config file needed):
+
+    replibyte corpus report -i docs.parquet [--group-col source]
+    replibyte corpus scrub  -i docs.parquet -o clean.parquet [--columns text]
+    replibyte corpus dedup  -i docs.parquet -o kept.parquet [--threshold 0.8]
+
 `python -m replibyte_spark` exposes the same tree over the Spark engine:
 every subcommand builds the same declarative plans the library API exposes
 (plans/pipeline.py, introspect.py, sinks/datastore.py).  `--no-telemetry`
@@ -32,7 +39,7 @@ def _build_parser() -> argparse.ArgumentParser:
         prog="replibyte-spark",
         description="Seed databases with production data while keeping "
                     "sensitive data safe — Spark engine.")
-    p.add_argument("-c", "--config", required=True,
+    p.add_argument("-c", "--config", required=False,
                    metavar="configuration file")
     p.add_argument("--no-telemetry", action="store_true",
                    help="accepted for compatibility; this engine sends "
@@ -87,6 +94,40 @@ def _build_parser() -> argparse.ArgumentParser:
     source = sub.add_parser("source", help="all source commands")
     ssub = source.add_subparsers(dest="source_cmd", required=True)
     ssub.add_parser("schema", help="show the source schema")
+
+    corpus = sub.add_parser(
+        "corpus", help="training-corpus curation over parquet (no config)")
+    csub = corpus.add_subparsers(dest="corpus_cmd", required=True)
+    rep = csub.add_parser("report", help="per-group quality/token report")
+    rep.add_argument("-i", "--input", required=True, help="parquet path")
+    rep.add_argument("--group-col", default="source")
+    rep.add_argument("--text-col", default="text")
+    scrub = csub.add_parser("scrub", help="redact PII from text columns")
+    scrub.add_argument("-i", "--input", required=True)
+    scrub.add_argument("-o", "--output", required=True)
+    scrub.add_argument("--columns", nargs="+", default=["text"])
+    ddp = csub.add_parser("dedup",
+                          help="MinHash near-dup removal (canonical kept)")
+    ddp.add_argument("-i", "--input", required=True)
+    ddp.add_argument("-o", "--output", required=True)
+    ddp.add_argument("--id-col", default="doc_id")
+    ddp.add_argument("--text-col", default="text")
+    ddp.add_argument("--threshold", type=float, default=0.8)
+    idx = csub.add_parser("index",
+                          help="materialize a MinHash index of a corpus")
+    idx.add_argument("-i", "--input", required=True)
+    idx.add_argument("-o", "--output", required=True, help="index directory")
+    idx.add_argument("--id-col", default="doc_id")
+    idx.add_argument("--text-col", default="text")
+    adm = csub.add_parser(
+        "admit", help="keep only batch docs that are NOT near-dups of an "
+                      "indexed corpus (incremental ingest)")
+    adm.add_argument("-i", "--input", required=True, help="new batch parquet")
+    adm.add_argument("--index", required=True, help="index directory")
+    adm.add_argument("-o", "--output", required=True)
+    adm.add_argument("--id-col", default="doc_id")
+    adm.add_argument("--text-col", default="text")
+    adm.add_argument("--threshold", type=float, default=0.8)
     return p
 
 
@@ -203,15 +244,98 @@ def _cmd_dump_delete(spark, config, args) -> int:
     return 0
 
 
+def _cmd_corpus(spark, args) -> int:
+    """Curation subcommands over plain parquet — the same operators the
+    library gates, driven from the shell (no conf.yaml: these act on
+    files, not configured sources)."""
+    if args.corpus_cmd == "report":
+        from . import dialect as D
+        from .functions import text as T
+        from .operators.sample import corpus_quality_report
+
+        d = D.SPARK
+        docs = spark.read.parquet(args.input).selectExpr(
+            args.group_col,
+            f"CAST({T.token_count_sql(d, args.text_col)} AS BIGINT) "
+            f"AS n_tokens",
+            f"round({T.quality_score_sql(d, args.text_col)}, 6) AS quality")
+        _show(corpus_quality_report(docs, args.group_col))
+        return 0
+    if args.corpus_cmd == "scrub":
+        from .functions.pii import scrub_pii
+
+        df = spark.read.parquet(args.input)
+        missing = [c for c in args.columns if c not in df.columns]
+        if missing:
+            print(f"error: column(s) not in input: {', '.join(missing)}",
+                  file=sys.stderr)
+            return 2
+        scrub_pii(df, *args.columns).write.mode("overwrite") \
+            .parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"scrubbed {', '.join(args.columns)} -> {args.output} "
+              f"({n} rows)")
+        return 0
+    if args.corpus_cmd == "dedup":
+        from .operators.dedup import keep_canonical, minhash_near_dup_pairs
+
+        df = spark.read.parquet(args.input)
+        pairs = minhash_near_dup_pairs(df, args.id_col, args.text_col,
+                                       threshold=args.threshold)
+        kept = keep_canonical(df, pairs, args.id_col)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in = df.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"kept {n_out}/{n_in} docs -> {args.output} "
+              f"({n_in - n_out} near-dups removed at "
+              f"jaccard >= {args.threshold})")
+        return 0
+    if args.corpus_cmd == "index":
+        from .operators.dedup import build_minhash_index
+
+        df = spark.read.parquet(args.input)
+        build_minhash_index(df, args.output, id_col=args.id_col,
+                            text_col=args.text_col)
+        print(f"indexed {df.count()} docs -> {args.output}")
+        return 0
+    if args.corpus_cmd == "admit":
+        from .operators.dedup import dedup_batch_against_index
+
+        batch = spark.read.parquet(args.input)
+        kept = dedup_batch_against_index(batch, args.index,
+                                         id_col=args.id_col,
+                                         text_col=args.text_col,
+                                         threshold=args.threshold)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in = batch.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"admitted {n_out}/{n_in} batch docs -> {args.output} "
+              f"({n_in - n_out} near-dups of the indexed corpus dropped)")
+        return 0
+    print(f"error: unknown corpus command {args.corpus_cmd}",
+          file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
-    from .config import Config
 
-    config = Config.from_file(args.config)
     if spark is None:
         from .session import get_spark
 
         spark = get_spark("replibyte-spark-cli", cpus=args.cpus)
+
+    if args.cmd == "corpus":
+        return _cmd_corpus(spark, args)
+
+    # every reference-tree command reads the conf.yaml surface
+    if not args.config:
+        print("error: -c/--config is required for this command",
+              file=sys.stderr)
+        return 2
+    from .config import Config
+
+    config = Config.from_file(args.config)
 
     if args.cmd == "transformer":
         from .introspect import transformer_list

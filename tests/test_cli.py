@@ -172,3 +172,67 @@ destination:
     assert staged, "stdin should have been staged through a temp file"
     assert not any(os.path.exists(p) for p in staged), \
         "stdin temp copy leaked after dump completed"
+
+
+def test_cli_corpus_subcommands(spark, tmp_path, capsys, sf_dir):
+    """`corpus report/scrub/dedup` drive the curation operators over plain
+    parquet with no config file."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", "a"),
+         (2, "the quick brown fox jumps over the lazy dog today", "a"),
+         (3, "mail me at jo@example.com about the big meeting soon", "b")],
+        "doc_id long, text string, source string").write.parquet(src)
+
+    assert main(["corpus", "report", "-i", src], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "n_docs" in out and "p50_tokens" in out
+
+    clean = str(tmp_path / "clean.parquet")
+    assert main(["corpus", "scrub", "-i", src, "-o", clean],
+                spark=spark) == 0
+    assert "scrubbed text" in capsys.readouterr().out
+    texts = {r.doc_id: r.text
+             for r in spark.read.parquet(clean).collect()}
+    assert "<EMAIL>" in texts[3] and "jo@example.com" not in texts[3]
+
+    kept = str(tmp_path / "kept.parquet")
+    assert main(["corpus", "dedup", "-i", src, "-o", kept],
+                spark=spark) == 0
+    assert "near-dups removed" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(kept).collect()} == {1, 3}
+
+    # bad column fails loudly
+    assert main(["corpus", "scrub", "-i", src, "-o", clean,
+                 "--columns", "nope"], spark=spark) == 2
+
+    # reference-tree commands still demand a config
+    assert main(["dump", "list"], spark=spark) == 2
+    assert "config is required" in capsys.readouterr().err
+
+
+def test_cli_corpus_index_admit(spark, tmp_path, capsys):
+    """`corpus index` + `corpus admit`: incremental ingest from the shell —
+    a batch doc duplicating the indexed corpus is dropped, novel docs are
+    admitted."""
+    corp = str(tmp_path / "corp.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string").write.parquet(corp)
+    batch = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (11, "totally new words that never appeared in the corpus")],
+        "doc_id long, text string").write.parquet(batch)
+
+    idx = str(tmp_path / "idx")
+    assert main(["corpus", "index", "-i", corp, "-o", idx],
+                spark=spark) == 0
+    assert "indexed 2 docs" in capsys.readouterr().out
+
+    kept = str(tmp_path / "admitted.parquet")
+    assert main(["corpus", "admit", "-i", batch, "--index", idx,
+                 "-o", kept], spark=spark) == 0
+    assert "admitted 1/2" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(kept).collect()} == {11}
