@@ -128,6 +128,14 @@ def _build_parser() -> argparse.ArgumentParser:
     adm.add_argument("--id-col", default="doc_id")
     adm.add_argument("--text-col", default="text")
     adm.add_argument("--threshold", type=float, default=0.8)
+    sc = csub.add_parser(
+        "score", help="unigram-LM perplexity scores (statistical quality)")
+    sc.add_argument("-i", "--input", required=True, help="docs to score")
+    sc.add_argument("--train", default=None,
+                    help="training corpus parquet (default: the input)")
+    sc.add_argument("-o", "--output", required=True)
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--text-col", default="text")
     return p
 
 
@@ -311,6 +319,21 @@ def _cmd_corpus(spark, args) -> int:
         n_out = spark.read.parquet(args.output).count()
         print(f"admitted {n_out}/{n_in} batch docs -> {args.output} "
               f"({n_in - n_out} near-dups of the indexed corpus dropped)")
+        return 0
+    if args.corpus_cmd == "score":
+        from .operators.lm import perplexity_scores, train_unigram_lm
+
+        docs = spark.read.parquet(args.input)
+        train = (spark.read.parquet(args.train) if args.train else docs)
+        lm = train_unigram_lm(train, id_col=args.id_col,
+                              text_col=args.text_col)
+        scored = perplexity_scores(docs, lm, id_col=args.id_col,
+                                   text_col=args.text_col)
+        scored.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"scored {n} docs -> {args.output} "
+              f"(columns: {args.id_col}, n_tokens, cross_entropy, "
+              f"perplexity)")
         return 0
     print(f"error: unknown corpus command {args.corpus_cmd}",
           file=sys.stderr)

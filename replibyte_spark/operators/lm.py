@@ -1,0 +1,94 @@
+"""Unigram language-model perplexity — the CCNet-style statistical quality
+signal (Wenzek et al. 2020 score with a KenLM; this is the unigram
+restatement that stays inside pure SQL and is therefore oracle-checkable).
+
+Two-phase, both set-at-a-time:
+
+1. :func:`train_unigram_lm` — ONE aggregation over the training corpus:
+   token → count.  At 100 TB this is the classic word-count shape
+   (map-side partial agg absorbs the Zipf head before the shuffle; "the"
+   arrives at its reducer as one partial per map task, not one row per
+   occurrence).
+2. :func:`perplexity_scores` — per-document cross-entropy under the
+   trained model with add-k smoothing, unseen tokens included.  The doc
+   token stream is reduced to (doc, token, tf) BEFORE the frequency join
+   — the join touches distinct (doc, token) pairs, not raw occurrences —
+   and the frequency table broadcasts when small (vocab-sized, not
+   corpus-sized; for web-scale vocabularies AQE falls back to a shuffle
+   join on the token key with skew handling).
+
+The score ranks fluent in-distribution text low (familiar tokens, low
+cross-entropy) and gibberish/out-of-domain text high — the filter
+dimension the length/punct/stopword heuristics in functions/text.py
+cannot see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import dialect as D
+from ..util import fan_out
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.expr(D.split_ws(D.SPARK, f"lower({text_col})"))
+    return (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), F.explode(toks).alias("token"))
+            .filter(F.col("token") != ""))
+
+
+def train_unigram_lm(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """token → count over the training corpus (lowercased, whitespace
+    tokens — the same tokenizer every other text operator uses)."""
+    return (_tokens(docs, id_col, text_col)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def perplexity_scores(docs: DataFrame, lm: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: float = 0.5) -> DataFrame:
+    """(id, n_tokens, cross_entropy, perplexity) per document under the
+    unigram model `lm` (a train_unigram_lm frame) with add-k smoothing:
+
+        p(tok) = (count(tok) + k) / (total + k * (vocab + 1))
+
+    The +1 in the vocabulary term is the single unseen-token class, so
+    out-of-vocabulary tokens get a proper nonzero probability instead of
+    blowing up the entropy.  cross_entropy = mean(-ln p) over the doc's
+    tokens (occurrences, not types); perplexity = exp(cross_entropy).
+    Rounded to 6dp AFTER the deterministic per-doc fold so the DuckDB
+    oracle reproduces the values."""
+    stats = lm.agg(F.sum("n").alias("total"),
+                   F.count(F.lit(1)).alias("vocab")).collect()[0]
+    total, vocab = int(stats["total"]), int(stats["vocab"])
+    denom = float(total) + k * (vocab + 1)
+    # (doc, token, tf): the shuffle/join unit is distinct pairs, not the
+    # raw occurrence stream
+    tf = (_tokens(docs, id_col, text_col)
+          .groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    joined = tf.join(F.broadcast(lm), on="token", how="left") \
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    nll = F.col("tf") * -F.log((F.col("n") + F.lit(k)) / F.lit(denom))
+    # deterministic fold: floating summation is order-sensitive, and both
+    # engines leave aggregation order unspecified — so the per-doc sum is
+    # a LEFT FOLD over the (token-sorted) contribution list, bit-identical
+    # in Spark and DuckDB (the refine_centroids deterministic-mean trick).
+    # The collect_list is bounded by the doc's own vocabulary — the same
+    # bound as the text column itself, safe at any corpus scale.
+    entry = F.struct(F.col("token"), nll.alias("v"))
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                    F.aggregate(F.array_sort(F.collect_list(entry)),
+                                F.lit(0.0),
+                                lambda acc, e: acc + e["v"])
+                    .alias("__nll")))
+    ce = F.col("__nll") / F.col("n_tokens")
+    return (per_doc.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity")))

@@ -360,3 +360,67 @@ FROM o GROUP BY source, bin_id ORDER BY source, bin_id
 
 register(Query("packed_training_sequences", packed_training_sequences,
                _packed_seq_oracle(), tags=("text", "packing")), extra=True)
+
+
+# --- unigram-LM perplexity (round 7) ----------------------------------------
+
+LM_K = 0.5
+LM_MOD = 4  # train on doc_id % 4 != 0, score the held-out % 4 == 0 slice
+
+
+def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring: a unigram LM trained on
+    3/4 of the corpus scores the held-out quarter (unseen tokens take the
+    smoothed unseen-class probability).  operators/lm.py — one word-count
+    aggregation to train, a (doc, token, tf)-granularity broadcast join +
+    deterministic sorted fold to score."""
+    from ..operators.lm import perplexity_scores, train_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % LM_MOD != 0)
+    held = docs.filter(F.col("doc_id") % LM_MOD == 0)
+    lm = train_unigram_lm(train)
+    return (perplexity_scores(held, lm, k=LM_K)
+            .orderBy("doc_id"))
+
+
+def _perplexity_oracle() -> str:
+    d = D.DUCK
+    toks = D.split_ws(d, "lower(text)")
+    return f"""
+WITH tr AS (
+  SELECT unnest({toks}) AS token FROM documents
+  WHERE doc_id % {LM_MOD} <> 0
+), lm AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tr
+  WHERE token <> '' GROUP BY token
+), stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS vocab FROM lm
+), ht AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+  WHERE doc_id % {LM_MOD} = 0
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ht
+  WHERE token <> '' GROUP BY doc_id, token
+), j AS (
+  SELECT tf.doc_id, tf.token, tf.tf, coalesce(lm.n, 0) AS n
+  FROM tf LEFT JOIN lm USING (token)
+), contrib AS (
+  SELECT doc_id, token, tf,
+         tf * -ln((n + {LM_K}) / (total + {LM_K} * (vocab + 1))) AS v
+  FROM j, stats
+), folded AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         list_reduce(list(v ORDER BY token), (a, b) -> a + b) AS nll
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(nll / n_tokens, 6) AS cross_entropy,
+       round(exp(nll / n_tokens), 6) AS perplexity
+FROM folded ORDER BY doc_id
+"""
+
+
+register(Query("heldout_perplexity", heldout_perplexity,
+               _perplexity_oracle(), tags=("text", "lm")), extra=True)

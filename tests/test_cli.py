@@ -236,3 +236,22 @@ def test_cli_corpus_index_admit(spark, tmp_path, capsys):
                  "-o", kept], spark=spark) == 0
     assert "admitted 1/2" in capsys.readouterr().out
     assert {r.doc_id for r in spark.read.parquet(kept).collect()} == {11}
+
+
+def test_cli_corpus_score(spark, tmp_path, capsys):
+    """`corpus score` trains a unigram LM (on --train or the input
+    itself) and writes perplexity scores."""
+    docs = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zxqv wkjh qqpl mnbv")],
+        "doc_id long, text string").write.parquet(docs)
+    train = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog too") for i in range(10)],
+        "doc_id long, text string").write.parquet(train)
+    out = str(tmp_path / "scored.parquet")
+    assert main(["corpus", "score", "-i", docs, "--train", train,
+                 "-o", out], spark=spark) == 0
+    assert "scored 2 docs" in capsys.readouterr().out
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].perplexity < rows[2].perplexity

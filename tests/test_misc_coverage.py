@@ -201,3 +201,33 @@ def test_assemble_packed_sequences_offsets_and_order(spark):
         assert ids == sorted(ids)
     assert seen_docs == len(rows)
     _ = texts
+
+
+def test_perplexity_ranks_gibberish_above_fluent(spark):
+    """The unigram LM must separate in-distribution text (all familiar
+    tokens) from gibberish (all unseen tokens): strictly higher
+    perplexity for the latter, and an all-unseen doc still gets a FINITE
+    score (the +1 unseen class absorbs OOV mass)."""
+    from replibyte_spark.operators.lm import (
+        perplexity_scores,
+        train_unigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(20)]
+        + [(100 + i, "a cat and a dog walk on a mat") for i in range(10)],
+        "doc_id long, text string")
+    lm = train_unigram_lm(train)
+    held = spark.createDataFrame(
+        [(1000, "the cat sat on the mat"),          # in-distribution
+         (1001, "zxqv wkjh qqpl mnbv zzzz")],       # pure gibberish
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in perplexity_scores(held, lm).collect()}
+    assert out[1000].perplexity < out[1001].perplexity / 3
+    import math
+    assert math.isfinite(out[1001].perplexity)
+    assert out[1000].n_tokens == 6 and out[1001].n_tokens == 5
+    # deterministic across runs
+    again = {r.doc_id: r.perplexity
+             for r in perplexity_scores(held, lm).collect()}
+    assert again == {k: v.perplexity for k, v in out.items()}
