@@ -516,3 +516,62 @@ def test_remove_duplicate_spans_second_pass_not_idempotent_by_design(spark):
           for r in remove_duplicate_spans(df2, span_tokens=2,
                                           min_count=2).collect()}
     assert p2 == {10: "", 11: "", 12: ""}   # second pass removes the new dup
+
+
+@given(seed=st.integers(0, 2**30))
+@settings(max_examples=5, deadline=None)
+def test_minhash_index_path_equals_from_scratch(spark, tmp_path_factory,
+                                                seed):
+    """The materialized-index admit path must return EXACTLY the pairs a
+    from-scratch computation over (corpus + batch) signatures yields:
+    same candidates (any shared band), same signature-agreement values —
+    on random corpora with planted copies and shuffled word salads."""
+    import random
+
+    from replibyte_spark.operators.dedup import (
+        build_minhash_index,
+        lsh_band_keys,
+        minhash_index_flagged_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus_rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(4, 12))))
+                   for i in range(15)]
+    batch_rows = []
+    for j in range(8):
+        if j % 3 == 0 and corpus_rows:
+            batch_rows.append((100 + j, rng.choice(corpus_rows)[1]))  # copy
+        else:
+            batch_rows.append(
+                (100 + j, " ".join(rng.choices(vocab,
+                                               k=rng.randrange(4, 12)))))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("mhidx"))
+    build_minhash_index(corpus, path, n_hashes=12, bands=4, n=2)
+    got = {(r.id_new, r.id_corpus): r.agreement
+           for r in minhash_index_flagged_pairs(batch, path,
+                                                threshold=0.5).collect()}
+
+    # from scratch: signatures of both sides, band join, agreement
+    cs = minhash_signatures(corpus, "doc_id", "text", 12, 2)
+    ns = minhash_signatures(batch, "doc_id", "text", 12, 2)
+    cb = lsh_band_keys(cs, "doc_id", 4, 3).select(
+        F.col("doc_id").alias("id_corpus"), "band", "band_key")
+    nb = lsh_band_keys(ns, "doc_id", 4, 3).select(
+        F.col("doc_id").alias("id_new"), "band", "band_key")
+    cand = nb.join(cb, ["band", "band_key"]) \
+        .select("id_new", "id_corpus").distinct()
+    a = ns.select(F.col("doc_id").alias("id_new"),
+                  *[F.col(f"h{i}").alias(f"a{i}") for i in range(12)])
+    b = cs.select(F.col("doc_id").alias("id_corpus"),
+                  *[F.col(f"h{i}").alias(f"b{i}") for i in range(12)])
+    agree = sum(F.expr(f"CAST(a{i} = b{i} AS INT)") for i in range(12))
+    want = {(r.id_new, r.id_corpus): r.agreement
+            for r in cand.join(a, "id_new").join(b, "id_corpus")
+            .withColumn("agreement", F.round(agree / F.lit(12.0), 6))
+            .filter(F.col("agreement") >= 0.5).collect()}
+    assert got == want
