@@ -343,6 +343,20 @@ def _cmd_corpus(spark, args) -> int:
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
 
+    # validate + load config BEFORE building a SparkSession: a missing -c
+    # or malformed conf.yaml must fail in milliseconds, not after tens of
+    # seconds of JVM startup.  Only the corpus subtree (file-based, no
+    # config) skips this.
+    config = None
+    if args.cmd != "corpus":
+        if not args.config:
+            print("error: -c/--config is required for this command",
+                  file=sys.stderr)
+            return 2
+        from .config import Config
+
+        config = Config.from_file(args.config)
+
     if spark is None:
         from .session import get_spark
 
@@ -350,15 +364,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.cmd == "corpus":
         return _cmd_corpus(spark, args)
-
-    # every reference-tree command reads the conf.yaml surface
-    if not args.config:
-        print("error: -c/--config is required for this command",
-              file=sys.stderr)
-        return 2
-    from .config import Config
-
-    config = Config.from_file(args.config)
 
     if args.cmd == "transformer":
         from .introspect import transformer_list

@@ -325,28 +325,47 @@ def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
         F.col(id_col),
         *[F.expr(f"CAST(conv(substring(simhash, {s}, {ln}), 2, 10) AS BIGINT)")
           .alias(f"w{i}") for i, (s, ln) in enumerate(bounds)])
+    # hamming words ARE the block words here — _pigeonhole_pairs carries
+    # each column once, so the fast-path plan is unchanged
+    return _pigeonhole_pairs(words, id_col, n_blocks,
+                             [f"w{i}" for i in range(n_blocks)], max_hamming)
+
+
+def _pigeonhole_pairs(words: DataFrame, id_col: str, n_blocks: int,
+                      ham_cols: list, max_hamming: int) -> DataFrame:
+    """Shared candidate join for both SimHash block layouts: explode the
+    block index, self-join on (blk, block value), first-matching-block
+    canonicalization, exact Hamming filter.
+
+    `words` carries the id, the block-value columns w0..w{n_blocks-1}
+    (BIGINT in the packed fast path, bit-substrings in the wide path) and
+    the Hamming word columns `ham_cols` (the same w-columns in the fast
+    path; separate 63-bit h-columns in the wide path — each column is
+    carried exactly once either way).
+
+    The canonicalization replaces a wide distinct(): a pair is emitted
+    ONLY by the join on its smallest equal block (all earlier blocks must
+    differ), so each candidate appears exactly once and no dedup shuffle
+    is needed."""
     wcols = [f"w{i}" for i in range(n_blocks)]
-    bk = (words.select(F.col(id_col), *wcols,
+    carry = wcols + [c for c in ham_cols if c not in wcols]
+    bk = (words.select(F.col(id_col), *carry,
                        F.explode(F.array(*[F.lit(i)
                                            for i in range(n_blocks)]))
                        .alias("blk"))
           .withColumn("bv", F.element_at(F.array(*wcols), F.col("blk") + 1)))
     a = bk.select(F.col(id_col).alias("id_a"),
-                  *[F.col(w).alias(f"{w}_a") for w in wcols], "blk", "bv")
+                  *[F.col(c).alias(f"{c}_a") for c in carry], "blk", "bv")
     b = bk.select(F.col(id_col).alias("id_b"),
-                  *[F.col(w).alias(f"{w}_b") for w in wcols], "blk", "bv")
-    # first-matching-block canonicalization replaces the wide distinct():
-    # a pair is emitted ONLY by the join on its smallest equal block (all
-    # earlier blocks must differ), so each candidate appears exactly once
-    # and no dedup shuffle is needed.
+                  *[F.col(c).alias(f"{c}_b") for c in carry], "blk", "bv")
     uniq = F.lit(True)
     for i in range(n_blocks - 1):
         uniq = uniq & ((F.col("blk") <= i)
                        | (F.col(f"w{i}_a") != F.col(f"w{i}_b")))
     cand = (a.join(b, on=["blk", "bv"])
             .filter((F.col("id_a") < F.col("id_b")) & uniq))
-    hamming = sum(F.bit_count(F.col(f"w{i}_a").bitwiseXOR(F.col(f"w{i}_b")))
-                  for i in range(n_blocks))
+    hamming = sum(F.bit_count(F.col(f"{h}_a").bitwiseXOR(F.col(f"{h}_b")))
+                  for h in ham_cols)
     return (cand.withColumn("hamming", hamming.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
@@ -376,31 +395,9 @@ def _simhash_pairs_wide_blocks(sig: DataFrame, id_col: str, bits: int,
           for i, (s, ln) in enumerate(bounds)],
         *[F.expr(f"CAST(conv(substring(simhash, {s}, {ln}), 2, 10) AS BIGINT)")
           .alias(f"h{j}") for j, (s, ln) in enumerate(hbounds)])
-    wcols = [f"w{i}" for i in range(n_blocks)]
-    hcols = [f"h{j}" for j in range(len(hbounds))]
-    bk = (words.select(F.col(id_col), *wcols, *hcols,
-                       F.explode(F.array(*[F.lit(i)
-                                           for i in range(n_blocks)]))
-                       .alias("blk"))
-          .withColumn("bv", F.element_at(F.array(*wcols), F.col("blk") + 1)))
-    a = bk.select(F.col(id_col).alias("id_a"),
-                  *[F.col(c).alias(f"{c}_a") for c in wcols + hcols],
-                  "blk", "bv")
-    b = bk.select(F.col(id_col).alias("id_b"),
-                  *[F.col(c).alias(f"{c}_b") for c in wcols + hcols],
-                  "blk", "bv")
-    uniq = F.lit(True)
-    for i in range(n_blocks - 1):
-        uniq = uniq & ((F.col("blk") <= i)
-                       | (F.col(f"w{i}_a") != F.col(f"w{i}_b")))
-    cand = (a.join(b, on=["blk", "bv"])
-            .filter((F.col("id_a") < F.col("id_b")) & uniq))
-    hamming = sum(F.bit_count(F.col(f"{h}_a").bitwiseXOR(F.col(f"{h}_b")))
-                  for h in hcols)
-    return (cand.withColumn("hamming", hamming.cast("long"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
-            .orderBy("id_a", "id_b"))
+    return _pigeonhole_pairs(words, id_col, n_blocks,
+                             [f"h{j}" for j in range(len(hbounds))],
+                             max_hamming)
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -898,10 +895,17 @@ def minhash_index_flagged_pairs(new_docs: DataFrame, path: str,
     n_hashes, bands, n = meta["n_hashes"], meta["bands"], meta["n"]
     corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
     corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
-    # the new batch is small next to the corpus: checkpoint its signature
-    # frame once, feed both the band join and the agreement join
+    # the new batch is small next to the corpus: materialize its signature
+    # frame once and feed both the band join and the agreement join.
+    # Cache-manager persist + eager noop fill, NOT localCheckpoint: the
+    # advertised workflow is one admit call per arriving batch in a
+    # long-lived session, and a checkpoint per call would pin one RDD
+    # until JVM GC (the subset-closure leak class); persisted blocks stay
+    # reclaimable via clearCache / free_persistent_rdds, and the eager
+    # fill prevents the two consumer stages racing the cache population.
     new_sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, n) \
-        .localCheckpoint(eager=True)
+        .persist()
+    new_sig.write.mode("overwrite").format("noop").save()
     new_bands = lsh_band_keys(new_sig, id_col, bands, n_hashes // bands)
     cand = (new_bands.select(F.col(id_col).alias("id_new"),
                              "band", "band_key")

@@ -50,7 +50,8 @@ def train_unigram_lm(docs: DataFrame, id_col: str = "doc_id",
 
 def perplexity_scores(docs: DataFrame, lm: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      k: float = 0.5) -> DataFrame:
+                      k: float = 0.5,
+                      broadcast_vocab_limit: int = 5_000_000) -> DataFrame:
     """(id, n_tokens, cross_entropy, perplexity) per document under the
     unigram model `lm` (a train_unigram_lm frame) with add-k smoothing:
 
@@ -61,17 +62,32 @@ def perplexity_scores(docs: DataFrame, lm: DataFrame,
     blowing up the entropy.  cross_entropy = mean(-ln p) over the doc's
     tokens (occurrences, not types); perplexity = exp(cross_entropy).
     Rounded to 6dp AFTER the deterministic per-doc fold so the DuckDB
-    oracle reproduces the values."""
+    oracle reproduces the values.
+
+    The model frame is persisted here (cache-manager persist, bounded by
+    vocabulary size, reclaimable via `spark.catalog.clearCache()`): the
+    stats collect below fills the cache, so the scoring join reuses it
+    instead of re-running the training word-count a second time.  The
+    frequency table gets an explicit broadcast hint only while `vocab <=
+    broadcast_vocab_limit`; beyond that the join is left to the planner —
+    a forced broadcast of a web-scale vocabulary would fail outright
+    instead of falling back to a shuffle join."""
+    lm = lm.persist()
     stats = lm.agg(F.sum("n").alias("total"),
                    F.count(F.lit(1)).alias("vocab")).collect()[0]
+    if stats["total"] is None:
+        raise ValueError(
+            "unigram LM has an empty vocabulary (training corpus had no "
+            "tokens) — cannot score against it")
     total, vocab = int(stats["total"]), int(stats["vocab"])
     denom = float(total) + k * (vocab + 1)
+    lm_side = F.broadcast(lm) if vocab <= broadcast_vocab_limit else lm
     # (doc, token, tf): the shuffle/join unit is distinct pairs, not the
     # raw occurrence stream
     tf = (_tokens(docs, id_col, text_col)
           .groupBy(id_col, "token")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    joined = tf.join(F.broadcast(lm), on="token", how="left") \
+    joined = tf.join(lm_side, on="token", how="left") \
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     nll = F.col("tf") * -F.log((F.col("n") + F.lit(k)) / F.lit(denom))
     # deterministic fold: floating summation is order-sensitive, and both

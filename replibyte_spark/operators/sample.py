@@ -174,8 +174,11 @@ def shard_shuffle(df: DataFrame, id_col: str, seed: str = "shuffle",
     shard key, per-shard windows run in parallel, and the (shard, pos)
     addressing is stable under retries and engine changes — the property
     a resumable multi-epoch reader needs.  Different `seed` = a fresh
-    epoch permutation."""
-    shard = D.hash_mod(D.SPARK, id_col, f"{seed}-shard", n_shards)
+    epoch permutation.  Both draws are the UNIFORM hash family
+    (hash_uniform_*): the biased translate-trick hash would skew shard
+    sizes (digits 1-6 twice as likely), and unequal shards are straggler
+    partitions at scale."""
+    shard = D.hash_uniform_mod(D.SPARK, id_col, f"{seed}-shard", n_shards)
     draw = D.hash_uniform_long(D.SPARK, id_col, f"{seed}-pos")
     w = (Window.partitionBy("shard")
          .orderBy(F.col("__draw").asc(), F.col(id_col).asc()))

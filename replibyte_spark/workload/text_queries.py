@@ -224,7 +224,7 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shard_shuffle_oracle() -> str:
     d = D.DUCK
-    shard = D.hash_mod(d, "doc_id", f"{SHUFFLE_SEED}-shard", N_SHARDS)
+    shard = D.hash_uniform_mod(d, "doc_id", f"{SHUFFLE_SEED}-shard", N_SHARDS)
     draw = D.hash_uniform_long(d, "doc_id", f"{SHUFFLE_SEED}-pos")
     return f"""
 WITH keyed AS (

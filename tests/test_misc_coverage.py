@@ -231,3 +231,22 @@ def test_perplexity_ranks_gibberish_above_fluent(spark):
     again = {r.doc_id: r.perplexity
              for r in perplexity_scores(held, lm).collect()}
     assert again == {k: v.perplexity for k, v in out.items()}
+
+
+def test_perplexity_empty_lm_fails_loudly(spark):
+    """A training corpus with no tokens must raise a clear ValueError,
+    not a TypeError from int(None)."""
+    from replibyte_spark.operators.lm import (
+        perplexity_scores,
+        train_unigram_lm,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string")
+    lm = train_unigram_lm(empty)
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(9, "some text")],
+                                 "doc_id long, text string")
+    with _pt.raises(ValueError, match="empty vocabulary"):
+        perplexity_scores(docs, lm)
