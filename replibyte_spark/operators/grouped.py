@@ -98,3 +98,39 @@ def assemble_packed_sequences(df, group_col: str, order_col: str,
                                  s["__o"].cast("long").alias("start"),
                                  (s["__o"] + s["__n"]).cast("long")
                                  .alias("end"))).alias("doc_offsets")))
+
+
+def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_tokens: int = 128, overlap: int = 32):
+    """Fixed-stride overlapping token windows per document — the
+    retrieval/embedding ingestion shape (embed each chunk, keep (doc,
+    chunk) addressing back to the source).
+
+    Output: (id, chunk_idx, tok_start, n_tokens, chunk_text), one row per
+    window; starts run 1, 1+stride, ... while <= the doc's token count
+    (stride = chunk_tokens - overlap), the final window may be short, and
+    empty docs yield no chunks.  Pure per-row explode — no shuffle, no
+    UDF; at corpus scale the cost is the scan plus the output write."""
+    from pyspark.sql import functions as F
+
+    from .. import dialect as D
+
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = D.split_ws(D.SPARK, text_col)
+    e = (f"CASE WHEN size(__toks) = 0 OR __toks = array('') THEN "
+         f"array() ELSE "
+         f"transform(sequence(1, size(__toks), {stride}), "
+         f"s -> struct(s AS tok_start, "
+         f"slice(__toks, s, {chunk_tokens}) AS w)) END")
+    return (df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+            .select(F.col(id_col),
+                    F.posexplode(F.expr(e)).alias("chunk_idx", "c"))
+            .select(F.col(id_col),
+                    F.col("chunk_idx").cast("long"),
+                    F.col("c.tok_start").cast("long").alias("tok_start"),
+                    F.size("c.w").cast("long").alias("n_tokens"),
+                    F.array_join("c.w", " ").alias("chunk_text")))

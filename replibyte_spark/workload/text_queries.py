@@ -424,3 +424,52 @@ FROM folded ORDER BY doc_id
 
 register(Query("heldout_perplexity", heldout_perplexity,
                _perplexity_oracle(), tags=("text", "lm")), extra=True)
+
+
+# --- retrieval chunking (round 7) -------------------------------------------
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def doc_retrieval_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows per doc (the RAG/embedding ingestion
+    shape; operators/grouped.py chunk_documents) — text hashed for the
+    compare, (doc, chunk) addressing and token offsets exact."""
+    from ..operators.grouped import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=CHUNK_TOKENS,
+                         overlap=CHUNK_OVERLAP)
+    return (ch.select("doc_id", "chunk_idx", "tok_start", "n_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def _chunks_oracle() -> str:
+    d = D.DUCK
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    toks = D.split_ws(d, "text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+  WHERE len(toks) > 0 AND toks <> ['']
+), starts AS (
+  SELECT doc_id, toks, n, unnest(generate_series(1, n, {stride})) AS s
+  FROM nz
+), ch AS (
+  SELECT doc_id, s AS tok_start,
+         CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
+         toks[s : least(s + {CHUNK_TOKENS} - 1, n)] AS w
+  FROM starts
+)
+SELECT doc_id, chunk_idx, CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       md5(array_to_string(w, ' ')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
+register(Query("doc_retrieval_chunks", doc_retrieval_chunks,
+               _chunks_oracle(), tags=("text", "chunking")), extra=True)

@@ -250,3 +250,36 @@ def test_perplexity_empty_lm_fails_loudly(spark):
                                  "doc_id long, text string")
     with _pt.raises(ValueError, match="empty vocabulary"):
         perplexity_scores(docs, lm)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunk invariants: consecutive chunks overlap by exactly `overlap`
+    tokens (except a short tail), concatenating chunk[i][:stride] over all
+    but the last chunk plus the last chunk reconstructs the document, and
+    empty docs produce no chunks."""
+    from replibyte_spark.operators.grouped import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string")
+    out = {}
+    rows = chunk_documents(df, chunk_tokens=8, overlap=3) \
+        .orderBy("doc_id", "chunk_idx").collect()
+    for r in rows:
+        out.setdefault(r.doc_id, []).append(r)
+    assert 3 not in out                         # empty doc: no chunks
+    assert [r.chunk_text for r in out[2]] == ["a b"]
+    stride = 5
+    chunks = out[1]
+    assert [r.tok_start for r in chunks] == [1, 6, 11, 16, 21]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.chunk_text.split()[stride:] == \
+            b.chunk_text.split()[:len(a.chunk_text.split()) - stride]
+    rebuilt = []
+    for r in chunks[:-1]:
+        rebuilt.extend(r.chunk_text.split()[:stride])
+    rebuilt.extend(chunks[-1].chunk_text.split())
+    assert rebuilt == text.split()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
