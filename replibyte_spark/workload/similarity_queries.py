@@ -536,3 +536,80 @@ from . import register_fixture_preparer  # noqa: E402
 def _prepare_ann_fixtures(spark: SparkSession, sf_dir: str) -> None:
     _ann_index(spark, sf_dir)
     _ann_scale_fixture(spark, sf_dir)
+
+
+# --- RAG ingestion composition: chunk → embed → top-k (round 7) -------------
+
+RAG_CHUNK, RAG_OVERLAP, RAG_DIM, RAG_K = 32, 8, 16, 3
+RAG_QMOD = 29
+
+
+def rag_chunk_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval-ingestion composition over real operators:
+    overlapping chunking → per-chunk embedding → exact cosine top-k, with
+    (doc, chunk)-derived vector ids addressing back to the source.  The
+    embedder is the deterministic md5 test-vector generator
+    (hash_embedding_from_md5_sql — a stand-in for the external model, so
+    the whole pipeline stays oracle-checkable); everything around it is
+    the production plumbing."""
+    from ..operators.grouped import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=RAG_CHUNK, overlap=RAG_OVERLAP)
+    emb = (ch.withColumn("__h", F.md5("chunk_text"))
+           .select((F.col("doc_id") * 1000 + F.col("chunk_idx"))
+                   .alias("vec_id"),
+                   F.col("doc_id"), F.col("chunk_idx"),
+                   F.expr(S.hash_embedding_from_md5_sql(
+                       D.SPARK, "__h", RAG_DIM)).alias("embedding")))
+    queries = emb.filter((F.col("doc_id") % RAG_QMOD == 0)
+                         & (F.col("chunk_idx") == 0))
+    return S.brute_force_topk(emb.select("vec_id", "embedding"),
+                              queries.select("vec_id", "embedding"),
+                              k=RAG_K)
+
+
+def _rag_oracle() -> str:
+    d = D.DUCK
+    stride = RAG_CHUNK - RAG_OVERLAP
+    toks = D.split_ws(d, "text")
+    embed = S.hash_embedding_from_md5_sql(d, "h", RAG_DIM)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+  WHERE len(toks) > 0 AND toks <> ['']
+), starts AS (
+  SELECT doc_id, toks, n, unnest(generate_series(1, n, {stride})) AS s
+  FROM nz
+), ch AS (
+  SELECT doc_id, CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
+         md5(array_to_string(toks[s : least(s + {RAG_CHUNK} - 1, n)], ' '))
+           AS h
+  FROM starts
+), emb AS (
+  SELECT doc_id, chunk_idx, doc_id * 1000 + chunk_idx AS vec_id,
+         {embed} AS v
+  FROM ch
+), q AS (
+  SELECT vec_id, v FROM emb WHERE doc_id % {RAG_QMOD} = 0 AND chunk_idx = 0
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({S.dot_sql(d, 'q.v', 'e.v')} /
+               ({S.norm_sql(d, 'q.v')} * {S.norm_sql(d, 'e.v')}), 6)
+           AS cosine
+  FROM q CROSS JOIN emb e WHERE q.vec_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {RAG_K} ORDER BY query_id, rank
+"""
+
+
+register(Query("rag_chunk_ann_topk", rag_chunk_ann_topk, _rag_oracle(),
+               tags=("similarity", "text", "pipeline")), extra=True)
