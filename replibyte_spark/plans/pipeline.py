@@ -71,6 +71,17 @@ class DumpPipeline:
             from ..sources.mongo_archive import read_mongo_archive
 
             tables = read_mongo_archive(spark, path)
+        elif scheme == "jsonl":
+            # symmetric with the jsonl destination: one subdirectory per
+            # table of JSON-lines part files (gzip or plain — Spark's json
+            # reader decompresses by extension); schema via Spark's own
+            # inference (the I2 probabilistic-schema story)
+            import os
+
+            names = sorted(d for d in os.listdir(path)
+                           if os.path.isdir(os.path.join(path, d)))
+            tables = {n: spark.read.json(os.path.join(path, n))
+                      for n in names}
         else:
             raise ValueError(f"unsupported source scheme: {scheme}")
         # skip/only pushdown = not reading the table at all

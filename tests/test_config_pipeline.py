@@ -255,3 +255,39 @@ datastore:
 def test_transformer_registry_lists_custom_wasm(spark):
     ids = {r.id for r in transformer_list(spark).collect()}
     assert "custom-wasm" in ids
+
+
+def test_jsonl_source_round_trip(spark, sf_dir, tmp_path):
+    """jsonl:// works as a SOURCE too (symmetric with the K3-shaped sink):
+    dump parquet → restore to jsonl → re-dump FROM the jsonl directory —
+    values must survive the full loop (modulo JSON's type relaxation:
+    Spark re-infers longs/doubles/strings)."""
+    from replibyte_spark.config import Config
+    from replibyte_spark.plans.pipeline import DumpPipeline, RestorePipeline
+
+    jdir = tmp_path / "jout"
+    cfg1 = Config.from_dict({
+        "source": {"connection_uri": f"parquet://{sf_dir}",
+                   "only_tables": [{"table": "region"}]},
+        "datastore": {"dir": str(tmp_path / "s1")},
+        "destination": {"connection_uri": f"jsonl://{jdir}",
+                        "wipe_database": True},
+    })
+    DumpPipeline(cfg1).run(spark, "a")
+    RestorePipeline(cfg1).run(spark, "a")
+
+    cfg2 = Config.from_dict({
+        "source": {"connection_uri": f"jsonl://{jdir}"},
+        "datastore": {"dir": str(tmp_path / "s2")},
+    })
+    DumpPipeline(cfg2).run(spark, "b")
+    from replibyte_spark.sinks.datastore import Datastore
+
+    back = Datastore(spark, str(tmp_path / "s2")).restore("b")
+    got = sorted((int(r.r_regionkey), r.r_name) for r in
+                 back["region"].collect())
+    from replibyte_spark.catalog import load_table
+
+    want = sorted((int(r.r_regionkey), r.r_name) for r in
+                  load_table(spark, sf_dir, "region").collect())
+    assert got == want
