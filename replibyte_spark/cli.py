@@ -136,6 +136,14 @@ def _build_parser() -> argparse.ArgumentParser:
     sc.add_argument("-o", "--output", required=True)
     sc.add_argument("--id-col", default="doc_id")
     sc.add_argument("--text-col", default="text")
+    chk = csub.add_parser(
+        "chunk", help="overlapping token windows per doc (RAG ingestion)")
+    chk.add_argument("-i", "--input", required=True)
+    chk.add_argument("-o", "--output", required=True)
+    chk.add_argument("--chunk-tokens", type=int, default=128)
+    chk.add_argument("--overlap", type=int, default=32)
+    chk.add_argument("--id-col", default="doc_id")
+    chk.add_argument("--text-col", default="text")
     return p
 
 
@@ -334,6 +342,18 @@ def _cmd_corpus(spark, args) -> int:
         print(f"scored {n} docs -> {args.output} "
               f"(columns: {args.id_col}, n_tokens, cross_entropy, "
               f"perplexity)")
+        return 0
+    if args.corpus_cmd == "chunk":
+        from .operators.grouped import chunk_documents
+
+        df = spark.read.parquet(args.input)
+        ch = chunk_documents(df, id_col=args.id_col, text_col=args.text_col,
+                             chunk_tokens=args.chunk_tokens,
+                             overlap=args.overlap)
+        ch.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"chunked -> {args.output} ({n} chunks of "
+              f"<= {args.chunk_tokens} tokens, overlap {args.overlap})")
         return 0
     print(f"error: unknown corpus command {args.corpus_cmd}",
           file=sys.stderr)

@@ -55,10 +55,19 @@ def array_len(d: str, e: str) -> str:
 
 
 def split_ws(d: str, e: str) -> str:
-    """Split on runs of whitespace (leading/trailing trimmed first)."""
+    """Split on runs of whitespace (leading/trailing trimmed first).
+
+    Trimming is a REGEX strip of all whitespace classes, not trim():
+    both engines' trim() removes only the space character (0x20), so a
+    text starting with a newline/tab would split into an empty leading
+    token — inflating token counts and shifting every chunk offset on
+    real corpora (measured identical in Spark and DuckDB, so oracle
+    parity could never catch it)."""
     if d == SPARK:
-        return f"split(trim({e}), '\\\\s+')"
-    return f"regexp_split_to_array(trim({e}), '\\s+')"
+        return (f"split(regexp_replace({e}, '^\\\\s+|\\\\s+$', ''), "
+                f"'\\\\s+')")
+    return (f"regexp_split_to_array("
+            f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g'), '\\s+')")
 
 
 def regexp_replace(d: str, e: str, pattern: str, repl: str) -> str:

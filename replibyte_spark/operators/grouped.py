@@ -115,10 +115,15 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
 
     from .. import dialect as D
 
-    if overlap >= chunk_tokens:
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        # a NEGATIVE overlap (easy to typo on the CLI) would make the
+        # stride exceed the window and silently drop tokens from every
+        # chunk — the corpus would be gap-riddled with exit code 0
         raise ValueError(
-            f"overlap ({overlap}) must be smaller than chunk_tokens "
-            f"({chunk_tokens})")
+            f"overlap must be in [0, chunk_tokens), got {overlap} "
+            f"(chunk_tokens={chunk_tokens})")
     stride = chunk_tokens - overlap
     toks = D.split_ws(D.SPARK, text_col)
     e = (f"CASE WHEN size(__toks) = 0 OR __toks = array('') THEN "

@@ -46,18 +46,28 @@ class DumpPipeline:
 
     def load_source_tables(self, spark: SparkSession) -> dict[str, DataFrame]:
         scheme, path = _parse_uri(self.config.source.connection_uri)
+        # skip/only pushdown belongs BEFORE the readers for file-listing
+        # sources: building a reader already costs real work there (JSON
+        # schema inference is a full-data job; parquet opens footers), so
+        # a skipped table must never get one
+        only = {t.table for t in self.config.source.only_tables}
+        skip = {t.table for t in self.config.source.skip}
+
+        def _wanted(n: str) -> bool:
+            return (not only or n in only) and n not in skip
+
         if scheme == "parquet":
             from ..catalog import load_table
             import os
 
-            names = [f[:-8] for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            names = [f[:-8] for f in sorted(os.listdir(path))
+                     if f.endswith(".parquet") and _wanted(f[:-8])]
             tables = {n: load_table(spark, path, n) for n in names}
         elif scheme in ("postgres", "postgresql", "mysql", "jdbc"):
             from ..sources.jdbc import read_jdbc_tables
 
-            only = [t.table for t in self.config.source.only_tables] or None
             tables = read_jdbc_tables(spark, self.config.source.connection_uri,
-                                      tables=only,
+                                      tables=sorted(only) or None,
                                       driver=self.config.source.jdbc_driver)
         elif scheme == "sqltext":
             # .sql dump files (INSERT and/or COPY statements)
@@ -75,21 +85,21 @@ class DumpPipeline:
             # symmetric with the jsonl destination: one subdirectory per
             # table of JSON-lines part files (gzip or plain — Spark's json
             # reader decompresses by extension); schema via Spark's own
-            # inference (the I2 probabilistic-schema story)
+            # inference (the I2 probabilistic-schema story).  Inference is
+            # a full-data job per table, which is exactly why _wanted
+            # filters the listing BEFORE any reader is built.
             import os
 
             names = sorted(d for d in os.listdir(path)
-                           if os.path.isdir(os.path.join(path, d)))
+                           if os.path.isdir(os.path.join(path, d))
+                           and _wanted(d))
             tables = {n: spark.read.json(os.path.join(path, n))
                       for n in names}
         else:
             raise ValueError(f"unsupported source scheme: {scheme}")
-        # skip/only pushdown = not reading the table at all
-        only = {t.table for t in self.config.source.only_tables}
-        skip = {t.table for t in self.config.source.skip}
-        if only:
-            tables = {n: df for n, df in tables.items() if n in only}
-        return {n: df for n, df in tables.items() if n not in skip}
+        # the non-listing sources (jdbc/sqltext/mongodump) surface their
+        # own table dicts — apply the same only/skip filter to those
+        return {n: df for n, df in tables.items() if _wanted(n)}
 
     def run(self, spark: SparkSession, name: str | None = None) -> DumpInfo:
         cfg = self.config

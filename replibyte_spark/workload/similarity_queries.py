@@ -541,6 +541,7 @@ def _prepare_ann_fixtures(spark: SparkSession, sf_dir: str) -> None:
 # --- RAG ingestion composition: chunk → embed → top-k (round 7) -------------
 
 RAG_CHUNK, RAG_OVERLAP, RAG_DIM, RAG_K = 32, 8, 16, 3
+RAG_ID_STRIDE = 1_000_000
 RAG_QMOD = 29
 
 
@@ -556,12 +557,26 @@ def rag_chunk_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(docs, chunk_tokens=RAG_CHUNK, overlap=RAG_OVERLAP)
+    # vec_id packs (doc, chunk) into one long; the assert_true guard
+    # (riding a keep-everything filter, the lsh_topk pattern) makes a
+    # 1M+-chunk document fail loudly instead of silently colliding ids
+    # across documents
     emb = (ch.withColumn("__h", F.md5("chunk_text"))
-           .select((F.col("doc_id") * 1000 + F.col("chunk_idx"))
+           .select((F.col("doc_id") * RAG_ID_STRIDE + F.col("chunk_idx"))
                    .alias("vec_id"),
                    F.col("doc_id"), F.col("chunk_idx"),
                    F.expr(S.hash_embedding_from_md5_sql(
-                       D.SPARK, "__h", RAG_DIM)).alias("embedding")))
+                       D.SPARK, "__h", RAG_DIM)).alias("embedding"))
+           .filter(F.coalesce(
+               F.assert_true(F.col("chunk_idx") < RAG_ID_STRIDE,
+                             F.lit("chunk_idx overflows the vec_id "
+                                   "packing stride")),
+               F.lit(True))))
+    # both top-k sides derive from `emb`; materialize the chunk+md5+embed
+    # pipeline ONCE (reclaimable cache-manager persist, eager noop fill —
+    # the corpus.py pattern) instead of running it per side
+    emb = emb.persist()
+    emb.write.mode("overwrite").format("noop").save()
     queries = emb.filter((F.col("doc_id") % RAG_QMOD == 0)
                          & (F.col("chunk_idx") == 0))
     return S.brute_force_topk(emb.select("vec_id", "embedding"),
@@ -570,28 +585,17 @@ def rag_chunk_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rag_oracle() -> str:
+    from .text_queries import chunk_ctes
+
     d = D.DUCK
-    stride = RAG_CHUNK - RAG_OVERLAP
-    toks = D.split_ws(d, "text")
     embed = S.hash_embedding_from_md5_sql(d, "h", RAG_DIM)
     return f"""
-WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
-), nz AS (
-  SELECT doc_id, toks, len(toks) AS n FROM t
-  WHERE len(toks) > 0 AND toks <> ['']
-), starts AS (
-  SELECT doc_id, toks, n, unnest(generate_series(1, n, {stride})) AS s
-  FROM nz
-), ch AS (
-  SELECT doc_id, CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
-         md5(array_to_string(toks[s : least(s + {RAG_CHUNK} - 1, n)], ' '))
-           AS h
-  FROM starts
+WITH {chunk_ctes(d, RAG_CHUNK, RAG_OVERLAP)}, hashed AS (
+  SELECT doc_id, chunk_idx, md5(array_to_string(w, ' ')) AS h FROM ch
 ), emb AS (
-  SELECT doc_id, chunk_idx, doc_id * 1000 + chunk_idx AS vec_id,
+  SELECT doc_id, chunk_idx, doc_id * {RAG_ID_STRIDE} + chunk_idx AS vec_id,
          {embed} AS v
-  FROM ch
+  FROM hashed
 ), q AS (
   SELECT vec_id, v FROM emb WHERE doc_id % {RAG_QMOD} = 0 AND chunk_idx = 0
 ), scored AS (

@@ -445,12 +445,14 @@ def doc_retrieval_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_idx"))
 
 
-def _chunks_oracle() -> str:
-    d = D.DUCK
-    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+def chunk_ctes(d: str, chunk_tokens: int, overlap: int) -> str:
+    """Shared DuckDB CTE chain ending in `ch(doc_id, chunk_idx,
+    tok_start, w)` — the oracle rendering of chunk_documents, reused by
+    every chunk-consuming gate so the chunk semantics live in ONE place
+    (operator + this helper), not one copy per oracle."""
+    stride = chunk_tokens - overlap
     toks = D.split_ws(d, "text")
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, {toks} AS toks FROM documents
 ), nz AS (
   SELECT doc_id, toks, len(toks) AS n FROM t
@@ -459,12 +461,17 @@ WITH t AS (
   SELECT doc_id, toks, n, unnest(generate_series(1, n, {stride})) AS s
   FROM nz
 ), ch AS (
-  SELECT doc_id, s AS tok_start,
-         CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
-         toks[s : least(s + {CHUNK_TOKENS} - 1, n)] AS w
+  SELECT doc_id, CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
+         CAST(s AS BIGINT) AS tok_start,
+         toks[s : least(s + {chunk_tokens} - 1, n)] AS w
   FROM starts
-)
-SELECT doc_id, chunk_idx, CAST(tok_start AS BIGINT) AS tok_start,
+)"""
+
+
+def _chunks_oracle() -> str:
+    return f"""
+WITH {chunk_ctes(D.DUCK, CHUNK_TOKENS, CHUNK_OVERLAP)}
+SELECT doc_id, chunk_idx, tok_start,
        CAST(len(w) AS BIGINT) AS n_tokens,
        md5(array_to_string(w, ' ')) AS chunk_md5
 FROM ch ORDER BY doc_id, chunk_idx

@@ -255,3 +255,18 @@ def test_cli_corpus_score(spark, tmp_path, capsys):
     assert "scored 2 docs" in capsys.readouterr().out
     rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
     assert rows[1].perplexity < rows[2].perplexity
+
+
+def test_cli_corpus_chunk(spark, tmp_path, capsys):
+    src = str(tmp_path / "cd.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "chunks.parquet")
+    assert main(["corpus", "chunk", "-i", src, "-o", out,
+                 "--chunk-tokens", "8", "--overlap", "3"],
+                spark=spark) == 0
+    assert "chunked ->" in capsys.readouterr().out
+    rows = spark.read.parquet(out).orderBy("chunk_idx").collect()
+    assert [r.tok_start for r in rows] == [1, 6, 11, 16]
+    assert rows[0].chunk_text.startswith("w0 w1")

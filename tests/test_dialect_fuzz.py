@@ -41,3 +41,28 @@ def test_fuzz_cross_dialect(spark, name):
     want = dict(con.execute(f"SELECT i, {fn(D.DUCK, 'v')} FROM t").fetchall())
     bad = {i: (got[i], want[i], CORPUS[i]) for i in got if got[i] != want[i]}
     assert not bad, f"{name}: {len(bad)} divergent values, first: {next(iter(bad.items()))}"
+
+
+def test_split_ws_strips_all_whitespace_classes(spark, duck):
+    """Leading/trailing newlines/tabs must not produce empty edge tokens:
+    trim() strips only 0x20 in BOTH engines, so split_ws regex-trims —
+    token counts and chunk offsets on newline-wrapped corpora depend on
+    it, and the two engines must keep agreeing."""
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions.text import token_count_sql
+
+    cases = ["\nhello world\t", "\t\n  a \n", "x", "", " ", "\n\t",
+             "a\nb\tc", "  spaced  out  "]
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, t string")
+    se = D.split_ws(D.SPARK, "t")
+    got = {r.i: (r.a, r.c) for r in df.selectExpr(
+        "i", f"{se} AS a",
+        f"CAST({token_count_sql(D.SPARK, 't')} AS BIGINT) AS c").collect()}
+    de = D.split_ws(D.DUCK, "t")
+    for i, s in enumerate(cases):
+        want = duck.execute(
+            f"SELECT {de}, CAST({token_count_sql(D.DUCK, 't')} AS BIGINT) "
+            f"FROM (SELECT ?::VARCHAR AS t)", [s]).fetchone()
+        assert got[i] == tuple(want), (i, s, got[i], want)
+    assert got[0] == (["hello", "world"], 2)      # no empty edge tokens
+    assert got[6] == (["a", "b", "c"], 3)

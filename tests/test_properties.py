@@ -575,3 +575,35 @@ def test_minhash_index_path_equals_from_scratch(spark, tmp_path_factory,
             .withColumn("agreement", F.round(agree / F.lit(12.0), 6))
             .filter(F.col("agreement") >= 0.5).collect()}
     assert got == want
+
+
+@given(seed=st.integers(0, 2**30), chunk=st.integers(2, 10),
+       overlap=st.integers(0, 8))
+@settings(max_examples=6, deadline=None)
+def test_chunk_documents_matches_python_model(spark, seed, chunk, overlap):
+    """chunk_documents vs the direct Python restatement: same windows,
+    same offsets, for random docs and random (chunk, overlap) settings."""
+    import random
+
+    from hypothesis import assume
+
+    from replibyte_spark.operators.grouped import chunk_documents
+
+    assume(overlap < chunk)
+    rng = random.Random(seed)
+    rows = [(i, " ".join(f"t{rng.randrange(5)}"
+                         for _ in range(rng.randrange(0, 25))))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.chunk_idx, r.tok_start, r.n_tokens,
+                  r.chunk_text)
+                 for r in chunk_documents(df, chunk_tokens=chunk,
+                                          overlap=overlap).collect())
+    stride = chunk - overlap
+    want = []
+    for i, text in rows:
+        toks = text.split()
+        for idx, s in enumerate(range(0, len(toks), stride)):
+            w = toks[s:s + chunk]
+            want.append((i, idx, s + 1, len(w), " ".join(w)))
+    assert got == sorted(want)
