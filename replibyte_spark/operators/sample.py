@@ -213,3 +213,52 @@ def corpus_quality_report(docs: DataFrame, group_col: str = "source",
                  *pcts,
                  F.round(F.avg(quality_col), 6).alias("avg_quality"))
             .orderBy(group_col))
+
+
+def leakage_free_splits(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", val_permille: int = 100,
+                        seed: str = "split", threshold: float = 0.8,
+                        n_hashes: int = 12, bands: int = 4,
+                        n: int = 3) -> DataFrame:
+    """Train/val split with NEAR-DUP leakage control: assign each doc by
+    a deterministic uniform hash (val_permille/1000 to 'val'), then
+    DEMOTE to 'train' every val doc that is a MinHash near-dup of a
+    train doc — a heldout set sharing near-duplicates with train
+    measures memorization, not generalization (the dedup-side sibling of
+    benchmark decontamination, which protects external eval suites; this
+    protects the pipeline's own split).
+
+    Only DIRECT cross-split pairs demote (the standard operating point);
+    val–val duplicates stay val, and a val doc connected to train only
+    through another val doc is not treated as leaked.  Deterministic:
+    the hash assignment and the demotion set are pure functions of the
+    corpus, stable under retries — a resumed run reproduces the split.
+
+    Scale shape: one uniform-hash projection + the banded-LSH near-dup
+    pass this repo already runs for dedup (never pairwise) + one
+    semi-join to demote."""
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    draw = D.hash_uniform_mod(D.SPARK, id_col, seed, 1000)
+    assigned = docs.withColumn(
+        "split", F.when(F.expr(draw) < val_permille,
+                        F.lit("val")).otherwise(F.lit("train")))
+    pairs = minhash_near_dup_pairs(docs, id_col, text_col,
+                                   threshold=threshold, n_hashes=n_hashes,
+                                   bands=bands, n=n)
+    sp = assigned.select(F.col(id_col), "split")
+    pa = sp.select(F.col(id_col).alias("id_a"),
+                   F.col("split").alias("split_a"))
+    pb = sp.select(F.col(id_col).alias("id_b"),
+                   F.col("split").alias("split_b"))
+    crossed = (pairs.join(pa, "id_a").join(pb, "id_b")
+               .filter(F.col("split_a") != F.col("split_b")))
+    leaky = (crossed.selectExpr(
+        f"CASE WHEN split_a = 'val' THEN id_a ELSE id_b END AS {id_col}")
+        .distinct())
+    return (assigned.join(leaky.withColumn("__leak", F.lit(True)),
+                          on=id_col, how="left")
+            .withColumn("split",
+                        F.when(F.col("__leak").isNotNull(), F.lit("train"))
+                        .otherwise(F.col("split")))
+            .drop("__leak"))

@@ -300,3 +300,57 @@ FROM kept GROUP BY lang ORDER BY lang
 
 register(Query("token_budget_corpus_mix", token_budget_corpus_mix,
                _mix_oracle(), tags=("sample", "text")), extra=True)
+
+
+# --- leakage-free train/val split (round 7) ---------------------------------
+
+SPLIT_PERMILLE = 150
+SPLIT_SEED = "split"
+
+
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val assignment over documents: hash split,
+    then val docs that are MinHash near-dups of a train doc are DEMOTED
+    to train (operators/sample.py leakage_free_splits — the split-side
+    sibling of benchmark decontamination)."""
+    from ..catalog import load_table
+    from ..operators.sample import leakage_free_splits
+    from .dedup_queries import BANDS, JACCARD_T, N_HASHES, NGRAM
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = leakage_free_splits(docs, val_permille=SPLIT_PERMILLE,
+                              seed=SPLIT_SEED, threshold=JACCARD_T,
+                              n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def _split_oracle() -> str:
+    from .dedup_queries import _minhash_ctes
+
+    d = D.DUCK
+    draw = D.hash_uniform_mod(d, "doc_id", SPLIT_SEED, 1000)
+    return f"""
+WITH {_minhash_ctes()}, assigned AS (
+  SELECT doc_id,
+         CASE WHEN {draw} < {SPLIT_PERMILLE} THEN 'val' ELSE 'train' END
+           AS split
+  FROM documents
+), crossed AS (
+  SELECT nd.id_a, nd.id_b, a.split AS split_a, b.split AS split_b
+  FROM nd JOIN assigned a ON a.doc_id = nd.id_a
+          JOIN assigned b ON b.doc_id = nd.id_b
+  WHERE a.split <> b.split
+), leaky AS (
+  SELECT DISTINCT CASE WHEN split_a = 'val' THEN id_a ELSE id_b END
+           AS doc_id
+  FROM crossed
+)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM leaky) THEN 'train'
+            ELSE split END AS split
+FROM assigned ORDER BY doc_id
+"""
+
+
+register(Query("leakage_free_split", leakage_free_split, _split_oracle(),
+               tags=("sampling", "dedup")), extra=True)

@@ -297,3 +297,31 @@ def test_corpus_quality_report_approx_close_to_exact(spark, sf_dir):
         assert e["avg_quality"] == a["avg_quality"]
         for k in ("p25_tokens", "p50_tokens", "p90_tokens", "p99_tokens"):
             assert abs(a[k] - e[k]) <= max(2.0, 0.05 * e[k]), (src, k, e, a)
+
+
+def test_leakage_free_split_demotes_cross_split_near_dups(spark):
+    """Planted near-dup pairs spanning the split boundary: the val-side
+    member must be demoted to train; non-leaky val docs keep their hash
+    assignment; the result is deterministic."""
+    from replibyte_spark.operators.sample import leakage_free_splits
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the woods tonight")
+    rows = [(i, base) for i in range(40)]                  # one dup cluster
+    rows += [(100 + i, f"unique text number {i} with totally distinct "
+              f"words nobody else uses {i * 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.split for r in leakage_free_splits(
+        df, val_permille=300, seed="t").collect()}
+    assert len(out) == 80
+    dup_ids = [i for i in range(40)]
+    dup_splits = {out[i] for i in dup_ids}
+    # the dup cluster spans the hash split with overwhelming probability
+    # (p(all-one-side) ~ 2 * 0.7^40); every cross-split near-dup val doc
+    # must have been demoted -> the whole cluster reads train
+    assert dup_splits == {"train"}
+    # sanity: some unique docs did land in val (hash at 30%)
+    assert any(out[100 + i] == "val" for i in range(40))
+    again = {r.doc_id: r.split for r in leakage_free_splits(
+        df, val_permille=300, seed="t").collect()}
+    assert again == out
