@@ -63,11 +63,17 @@ def split_ws(d: str, e: str) -> str:
     token — inflating token counts and shifting every chunk offset on
     real corpora (measured identical in Spark and DuckDB, so oracle
     parity could never catch it)."""
+    # EXPLICIT class, not \s: Java regex \s includes vertical tab
+    # U+000B, RE2's does not — the one whitespace char the engines
+    # disagree on.  Same class in trim and split, same chars both
+    # dialects.
+    cs = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]"   # Spark SQL string: '\\t' -> regex \t
+    cd = "[ \\t\\n\\x0B\\f\\r]"          # DuckDB strings keep backslashes
     if d == SPARK:
-        return (f"split(regexp_replace({e}, '^\\\\s+|\\\\s+$', ''), "
-                f"'\\\\s+')")
+        return (f"split(regexp_replace({e}, '^{cs}+|{cs}+$', ''), "
+                f"'{cs}+')")
     return (f"regexp_split_to_array("
-            f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g'), '\\s+')")
+            f"regexp_replace({e}, '^{cd}+|{cd}+$', '', 'g'), '{cd}+')")
 
 
 def regexp_replace(d: str, e: str, pattern: str, repl: str) -> str:

@@ -239,6 +239,12 @@ def leakage_free_splits(docs: DataFrame, id_col: str = "doc_id",
     semi-join to demote."""
     from ..operators.dedup import minhash_near_dup_pairs
 
+    if not 0 <= val_permille <= 1000:
+        # a typo'd rate would silently produce an all-val or all-train
+        # split with exit code 0 (same failure class the chunk_documents
+        # guard closes)
+        raise ValueError(
+            f"val_permille must be in [0, 1000], got {val_permille}")
     draw = D.hash_uniform_mod(D.SPARK, id_col, seed, 1000)
     assigned = docs.withColumn(
         "split", F.when(F.expr(draw) < val_permille,

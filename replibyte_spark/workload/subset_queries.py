@@ -353,4 +353,4 @@ FROM assigned ORDER BY doc_id
 
 
 register(Query("leakage_free_split", leakage_free_split, _split_oracle(),
-               tags=("sampling", "dedup")), extra=True)
+               tags=("sample", "dedup")), extra=True)

@@ -239,7 +239,7 @@ FROM keyed ORDER BY shard, pos
 
 
 register(Query("corpus_shard_shuffle", corpus_shard_shuffle,
-               _shard_shuffle_oracle(), tags=("text", "sampling")),
+               _shard_shuffle_oracle(), tags=("text", "sample")),
          extra=True)
 
 

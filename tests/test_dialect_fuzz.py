@@ -52,7 +52,10 @@ def test_split_ws_strips_all_whitespace_classes(spark, duck):
     from replibyte_spark.functions.text import token_count_sql
 
     cases = ["\nhello world\t", "\t\n  a \n", "x", "", " ", "\n\t",
-             "a\nb\tc", "  spaced  out  "]
+             "a\nb\tc", "  spaced  out  ",
+             # U+000B: Java regex \s includes it, RE2's does not — the
+             # explicit class in split_ws must keep the engines agreeing
+             "a\x0bb", "\x0b", "a \x0b b", "\x0bxy\x0b"]
     df = spark.createDataFrame(list(enumerate(cases)), "i int, t string")
     se = D.split_ws(D.SPARK, "t")
     got = {r.i: (r.a, r.c) for r in df.selectExpr(
@@ -66,3 +69,5 @@ def test_split_ws_strips_all_whitespace_classes(spark, duck):
         assert got[i] == tuple(want), (i, s, got[i], want)
     assert got[0] == (["hello", "world"], 2)      # no empty edge tokens
     assert got[6] == (["a", "b", "c"], 3)
+    assert got[8] == (["a", "b"], 2)              # vertical tab splits
+    assert got[11] == (["xy"], 1)                 # ...and trims
