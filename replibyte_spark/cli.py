@@ -335,9 +335,16 @@ def _cmd_corpus(spark, args) -> int:
         train = (spark.read.parquet(args.train) if args.train else docs)
         lm = train_unigram_lm(train, id_col=args.id_col,
                               text_col=args.text_col)
-        scored = perplexity_scores(docs, lm, id_col=args.id_col,
-                                   text_col=args.text_col)
-        scored.write.mode("overwrite").parquet(args.output)
+        try:
+            scored = perplexity_scores(docs, lm, id_col=args.id_col,
+                                       text_col=args.text_col)
+            scored.write.mode("overwrite").parquet(args.output)
+        finally:
+            # perplexity_scores persists the LM frame (keyed on the
+            # logical plan, so this reference reaches the same cache
+            # entry); without the sweep, N successive `corpus score`
+            # calls in one session pin N vocab-sized cache entries
+            lm.unpersist()
         n = spark.read.parquet(args.output).count()
         print(f"scored {n} docs -> {args.output} "
               f"(columns: {args.id_col}, n_tokens, cross_entropy, "
@@ -383,7 +390,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark("replibyte-spark-cli", cpus=args.cpus)
 
     if args.cmd == "corpus":
-        return _cmd_corpus(spark, args)
+        # operator-level validation errors (negative --overlap, empty LM
+        # vocabulary, mismatched index meta, ...) surface the same way the
+        # scrub missing-column path does: message to stderr, exit 2 — not
+        # a raw traceback
+        try:
+            return _cmd_corpus(spark, args)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
 
     if args.cmd == "transformer":
         from .introspect import transformer_list

@@ -159,19 +159,26 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
-    """(id, band, band_key) — one md5 key per band of `rows` signature rows.
+def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry, band, band_key) — one md5 key per band of `rows`
+    signature rows.
 
     All bands come from ONE explode over an inline array, so the signature
     subtree appears once in the plan (a per-band union would recompute the
-    aggregation once per band)."""
+    aggregation once per band).  `carry` forwards extra signature columns
+    through the explode — lets a consumer keep the signature values next to
+    the band keys without a second reference to the signature subtree
+    (which Spark would recompute or force the caller to persist)."""
     entries = []
     for b in range(bands):
         cols = [f"h{b * rows + r}" for r in range(rows)]
         key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
         entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    return (sig.select(F.col(id_col), F.explode(F.array(*entries)).alias("e"))
-            .select(F.col(id_col), F.col("e.band").alias("band"),
+    return (sig.select(F.col(id_col), *[F.col(c) for c in carry],
+                       F.explode(F.array(*entries)).alias("e"))
+            .select(F.col(id_col), *[F.col(c) for c in carry],
+                    F.col("e.band").alias("band"),
                     F.col("e.band_key").alias("band_key")))
 
 
@@ -887,7 +894,13 @@ def minhash_index_flagged_pairs(new_docs: DataFrame, path: str,
     corpus text (the index stores signatures, not documents; exact
     verification would re-scan the corpus and defeat the index).  Both
     stages are deterministic, so the from-scratch SQL oracle reproduces
-    the estimate bit-exactly."""
+    the estimate bit-exactly.
+
+    The batch's signature columns ride the band explode (`carry`), so the
+    signature subtree appears exactly ONCE in the plan: no persist to pin
+    blocks across repeated admit calls in a long-lived session, and no
+    second batch-side join — the candidate rows already hold the batch
+    signature for the agreement computation."""
     import os
 
     spark = new_docs.sparkSession
@@ -895,33 +908,25 @@ def minhash_index_flagged_pairs(new_docs: DataFrame, path: str,
     n_hashes, bands, n = meta["n_hashes"], meta["bands"], meta["n"]
     corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
     corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
-    # the new batch is small next to the corpus: materialize its signature
-    # frame once and feed both the band join and the agreement join.
-    # Cache-manager persist + eager noop fill, NOT localCheckpoint: the
-    # advertised workflow is one admit call per arriving batch in a
-    # long-lived session, and a checkpoint per call would pin one RDD
-    # until JVM GC (the subset-closure leak class); persisted blocks stay
-    # reclaimable via clearCache / free_persistent_rdds, and the eager
-    # fill prevents the two consumer stages racing the cache population.
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, n) \
-        .persist()
-    new_sig.write.mode("overwrite").format("noop").save()
-    new_bands = lsh_band_keys(new_sig, id_col, bands, n_hashes // bands)
-    cand = (new_bands.select(F.col(id_col).alias("id_new"),
+    hcols = [f"h{i}" for i in range(n_hashes)]
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, n)
+    new_bands = lsh_band_keys(new_sig, id_col, bands, n_hashes // bands,
+                              carry=tuple(hcols))
+    # a pair sharing several bands appears once: distinct over the pair
+    # plus the carried signature (functionally dependent on id_new, so the
+    # pair set is unchanged and the wider rows are batch-sized)
+    cand = (new_bands.select(F.col(id_col).alias("id_new"), *hcols,
                              "band", "band_key")
             .join(corpus_bands.select(F.col(id_col).alias("id_corpus"),
                                       "band", "band_key"),
                   on=["band", "band_key"])
-            .select("id_new", "id_corpus").distinct())
-    a = new_sig.select(F.col(id_col).alias("id_new"),
-                       *[F.col(f"h{i}").alias(f"a{i}")
-                         for i in range(n_hashes)])
+            .select("id_new", *hcols, "id_corpus").distinct())
     b = corpus_sigs.select(F.col(id_col).alias("id_corpus"),
                            *[F.col(f"h{i}").alias(f"b{i}")
                              for i in range(n_hashes)])
-    agree = sum(F.expr(f"CAST(a{i} = b{i} AS INT)")
+    agree = sum(F.expr(f"CAST(h{i} = b{i} AS INT)")
                 for i in range(n_hashes))
-    return (cand.join(a, "id_new").join(b, "id_corpus")
+    return (cand.join(b, "id_corpus")
             .withColumn("agreement",
                         F.round(agree / F.lit(float(n_hashes)), 6))
             .filter(F.col("agreement") >= threshold)

@@ -107,10 +107,14 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
     chunk) addressing back to the source).
 
     Output: (id, chunk_idx, tok_start, n_tokens, chunk_text), one row per
-    window; starts run 1, 1+stride, ... while <= the doc's token count
-    (stride = chunk_tokens - overlap), the final window may be short, and
-    empty docs yield no chunks.  Pure per-row explode — no shuffle, no
-    UDF; at corpus scale the cost is the scan plus the output write."""
+    window; starts run 1, 1+stride, ... (stride = chunk_tokens - overlap),
+    the final window may be short, and empty/NULL docs yield no chunks.
+    Starts are capped at max(1, n - overlap): a window starting past that
+    ends exactly where the previous one did (its tokens are a strict
+    subsequence), and a RAG index built from such windows surfaces
+    duplicate retrieval hits — so every chunk after the first introduces
+    at least one new token.  Pure per-row explode — no shuffle, no UDF;
+    at corpus scale the cost is the scan plus the output write."""
     from pyspark.sql import functions as F
 
     from .. import dialect as D
@@ -126,9 +130,16 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
             f"(chunk_tokens={chunk_tokens})")
     stride = chunk_tokens - overlap
     toks = D.split_ws(D.SPARK, text_col)
-    e = (f"CASE WHEN size(__toks) = 0 OR __toks = array('') THEN "
-         f"array() ELSE "
-         f"transform(sequence(1, size(__toks), {stride}), "
+    # NULL guard first: with ANSI off, size(NULL) = -1, so without it the
+    # sequence() below throws on NULL text and aborts the whole job.
+    # The sequence cap at greatest(1, n - overlap) suppresses trailing
+    # windows that introduce no new token (strict subsequences of their
+    # predecessor — see docstring); the cap keeps a contiguous prefix of
+    # the stride grid, so chunk_idx from posexplode stays dense.
+    e = (f"CASE WHEN __toks IS NULL OR size(__toks) = 0 "
+         f"OR __toks = array('') THEN array() ELSE "
+         f"transform(sequence(1, greatest(1, size(__toks) - {overlap}), "
+         f"{stride}), "
          f"s -> struct(s AS tok_start, "
          f"slice(__toks, s, {chunk_tokens}) AS w)) END")
     return (df.select(F.col(id_col), F.expr(toks).alias("__toks"))

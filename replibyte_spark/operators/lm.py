@@ -64,14 +64,21 @@ def perplexity_scores(docs: DataFrame, lm: DataFrame,
     Rounded to 6dp AFTER the deterministic per-doc fold so the DuckDB
     oracle reproduces the values.
 
-    The model frame is persisted here (cache-manager persist, bounded by
-    vocabulary size, reclaimable via `spark.catalog.clearCache()`): the
-    stats collect below fills the cache, so the scoring join reuses it
-    instead of re-running the training word-count a second time.  The
-    frequency table gets an explicit broadcast hint only while `vocab <=
-    broadcast_vocab_limit`; beyond that the join is left to the planner —
-    a forced broadcast of a web-scale vocabulary would fail outright
-    instead of falling back to a shuffle join."""
+    CALLER CONTRACT (persist lifecycle): the model frame is persisted
+    here (cache-manager persist, bounded by vocabulary size) — the stats
+    collect below fills the cache, so the scoring join reuses it instead
+    of re-running the training word-count a second time.  The persisted
+    blocks outlive this call because the returned lazy frame's plan
+    references them: once you have materialized the result, release them
+    with `lm.unpersist()` on the frame you passed in (persist is keyed on
+    the logical plan, so the caller's reference reaches the same entry)
+    or sweep with `spark.catalog.clearCache()`.  A long-lived session
+    scoring many batches without this accumulates one vocab-sized cache
+    entry per call (the CLI `corpus score` path does the unpersist in a
+    `finally`).  The frequency table gets an explicit broadcast hint only
+    while `vocab <= broadcast_vocab_limit`; beyond that the join is left
+    to the planner — a forced broadcast of a web-scale vocabulary would
+    fail outright instead of falling back to a shuffle join."""
     lm = lm.persist()
     stats = lm.agg(F.sum("n").alias("total"),
                    F.count(F.lit(1)).alias("vocab")).collect()[0]

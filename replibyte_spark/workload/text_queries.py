@@ -458,7 +458,10 @@ def chunk_ctes(d: str, chunk_tokens: int, overlap: int) -> str:
   SELECT doc_id, toks, len(toks) AS n FROM t
   WHERE len(toks) > 0 AND toks <> ['']
 ), starts AS (
-  SELECT doc_id, toks, n, unnest(generate_series(1, n, {stride})) AS s
+  -- cap at greatest(1, n - overlap): a start past that yields a window
+  -- that is a strict subsequence of the previous one (operator docstring)
+  SELECT doc_id, toks, n,
+         unnest(generate_series(1, greatest(1, n - {overlap}), {stride})) AS s
   FROM nz
 ), ch AS (
   SELECT doc_id, CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,

@@ -270,3 +270,47 @@ def test_cli_corpus_chunk(spark, tmp_path, capsys):
     rows = spark.read.parquet(out).orderBy("chunk_idx").collect()
     assert [r.tok_start for r in rows] == [1, 6, 11, 16]
     assert rows[0].chunk_text.startswith("w0 w1")
+
+
+def test_cli_corpus_score_persist_lifecycle(spark, tmp_path, capsys):
+    """N successive `corpus score` calls leave the persistent-RDD
+    registry flat: the CLI unpersists the LM frame in a finally
+    (perplexity_scores documents this caller contract — its persisted
+    model blocks outlive the call because the returned plan references
+    them)."""
+    train = str(tmp_path / "lc_train.parquet")
+    docs = str(tmp_path / "lc_docs.parquet")
+    spark.createDataFrame(
+        [(i, "common words repeated for the model " * 3) for i in range(4)],
+        "doc_id long, text string").write.parquet(train)
+    spark.createDataFrame(
+        [(1, "common words repeated"), (2, "zyx qwv unseen gibberish")],
+        "doc_id long, text string").write.parquet(docs)
+    # full sweep so the baseline is 0 — a nonzero baseline from earlier
+    # tests is unstable under Spark's ContextCleaner
+    from replibyte_spark.util import free_persistent_rdds
+
+    spark.catalog.clearCache()
+    free_persistent_rdds(spark)
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0
+    for i in range(3):
+        out = str(tmp_path / f"lc_scored_{i}.parquet")
+        assert main(["corpus", "score", "-i", docs, "--train", train,
+                     "-o", out], spark=spark) == 0
+        assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_cli_corpus_operator_errors_exit_2(spark, tmp_path, capsys):
+    """Operator ValueErrors from corpus subcommands print `error: ...` to
+    stderr and return 2 (same convention as the scrub missing-column
+    path) instead of escaping as raw tracebacks."""
+    src = str(tmp_path / "ce.parquet")
+    spark.createDataFrame([(1, "a b c")], "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "ce_out.parquet")
+    rc = main(["corpus", "chunk", "-i", src, "-o", out,
+               "--chunk-tokens", "4", "--overlap", "9"], spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "overlap" in err

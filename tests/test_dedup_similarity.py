@@ -728,3 +728,32 @@ def test_minhash_index_incremental_dedup(spark, tmp_path):
     scans = re.findall(r"Location: InMemoryFileIndex\(\d+ paths?\)\[([^\]]*)", plan)
     # (plan toString truncates long paths — match the directory prefix)
     assert scans and all("/mh_" in s for s in scans), scans
+
+
+def test_minhash_index_admit_persist_lifecycle(spark, tmp_path):
+    """N successive admit calls leave the persistent-RDD registry flat:
+    the batch signature subtree rides the band explode (lsh_band_keys
+    `carry`) instead of a per-call persist, so a long-lived ingest
+    session accumulates nothing (round-7 verdict What's-wrong #3)."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_lc")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    # full sweep (clearCache + checkpoint-RDD free) so the baseline is 0:
+    # a nonzero baseline from earlier tests is unstable under Spark's
+    # ContextCleaner, which reaps driver-GC'd persistent RDDs mid-test
+    from replibyte_spark.util import free_persistent_rdds
+
+    spark.catalog.clearCache()
+    free_persistent_rdds(spark)
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "novel content that shares no shingles with anything")],
+        "doc_id long, text string")
+    for _ in range(3):
+        DD.dedup_batch_against_index(batch, path, threshold=0.75).count()
+        assert jsc.getPersistentRDDs().size() == 0

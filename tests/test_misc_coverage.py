@@ -260,14 +260,17 @@ def test_chunk_documents_coverage_and_overlap(spark):
     from replibyte_spark.operators.grouped import chunk_documents
 
     text = " ".join(f"t{i}" for i in range(25))
+    # doc 4: NULL text — ANSI-off size(NULL) = -1 must not reach sequence()
     df = spark.createDataFrame(
-        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string")
+        [(1, text), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string")
     out = {}
     rows = chunk_documents(df, chunk_tokens=8, overlap=3) \
         .orderBy("doc_id", "chunk_idx").collect()
     for r in rows:
         out.setdefault(r.doc_id, []).append(r)
     assert 3 not in out                         # empty doc: no chunks
+    assert 4 not in out                         # NULL doc: no chunks, no crash
     assert [r.chunk_text for r in out[2]] == ["a b"]
     stride = 5
     chunks = out[1]
@@ -280,6 +283,16 @@ def test_chunk_documents_coverage_and_overlap(spark):
         rebuilt.extend(r.chunk_text.split()[:stride])
     rebuilt.extend(chunks[-1].chunk_text.split())
     assert rebuilt == text.split()
+    # trailing-subset suppression: n=10, chunk=8, overlap=4 (stride=4) —
+    # the raw grid is 1,5,9 but window@9 (tokens 9-10) is a strict
+    # subsequence of window@5 (tokens 5-10) and must be dropped
+    ten = spark.createDataFrame(
+        [(6, " ".join(f"x{i}" for i in range(10)))],
+        "doc_id long, text string")
+    tails = chunk_documents(ten, chunk_tokens=8, overlap=4) \
+        .orderBy("chunk_idx").collect()
+    assert [r.tok_start for r in tails] == [1, 5]
+    assert [r.n_tokens for r in tails] == [8, 6]
     import pytest as _pt
     with _pt.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)

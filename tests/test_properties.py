@@ -593,7 +593,7 @@ def test_chunk_documents_matches_python_model(spark, seed, chunk, overlap):
     rng = random.Random(seed)
     rows = [(i, " ".join(f"t{rng.randrange(5)}"
                          for _ in range(rng.randrange(0, 25))))
-            for i in range(8)]
+            for i in range(8)] + [(8, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted((r.doc_id, r.chunk_idx, r.tok_start, r.n_tokens,
                   r.chunk_text)
@@ -602,8 +602,22 @@ def test_chunk_documents_matches_python_model(spark, seed, chunk, overlap):
     stride = chunk - overlap
     want = []
     for i, text in rows:
-        toks = text.split()
-        for idx, s in enumerate(range(0, len(toks), stride)):
+        toks = text.split() if text else []
+        if not toks:
+            continue
+        # starts stop at max(1, n - overlap): later windows end exactly
+        # where their predecessor did and would add no new token
+        for idx, s in enumerate(
+                range(0, max(1, len(toks) - overlap), stride)):
             w = toks[s:s + chunk]
             want.append((i, idx, s + 1, len(w), " ".join(w)))
     assert got == sorted(want)
+    # every chunk after a doc's first extends coverage: its end index
+    # (tok_start + n_tokens) strictly exceeds the previous chunk's
+    by_doc: dict = {}
+    for doc, idx, s, n, _ in got:
+        by_doc.setdefault(doc, []).append((idx, s + n))
+    for ends in by_doc.values():
+        ends.sort()
+        for (_, a), (_, b) in zip(ends, ends[1:]):
+            assert b > a
