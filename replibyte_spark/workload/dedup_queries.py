@@ -622,10 +622,12 @@ ORDER BY id_new, id_corpus
 # bench=True: the headline number IS the story — admitting the new batch
 # probes the pre-built index (fixture built by the registered preparer,
 # outside the timing loop) instead of re-shingling the corpus; compare
-# minhash_near_dup, which recomputes the whole corpus every run
+# minhash_near_dup, which recomputes the whole corpus every run.
+# Driver-visible (round 8): the scale-amortization flagship of the r7
+# incremental-ingest layer takes the REGISTRY slot of the redundant
+# frame_samples gate (sibling of image_decode_stats, now EXTRA).
 register(Query("incremental_index_dedup", incremental_index_dedup,
-               _mhi_oracle(), tags=("dedup", "index"), bench=True),
-         extra=True)
+               _mhi_oracle(), tags=("dedup", "index"), bench=True))
 
 
 from . import register_fixture_preparer  # noqa: E402

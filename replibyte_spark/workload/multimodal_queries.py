@@ -85,8 +85,11 @@ FROM documents,
 ORDER BY doc_id, frame_idx
 """
 
+# EXTRA since round 8: still oracle-checked by pytest, but its REGISTRY
+# slot went to incremental_index_dedup (frame_samples is the low-risk
+# sibling of the driver-visible image_decode_stats gate)
 register(Query("frame_samples", frame_samples, FRAME_ORACLE,
-               tags=("multimodal",)))
+               tags=("multimodal",)), extra=True)
 
 
 def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

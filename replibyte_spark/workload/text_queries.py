@@ -483,3 +483,32 @@ FROM ch ORDER BY doc_id, chunk_idx
 
 register(Query("doc_retrieval_chunks", doc_retrieval_chunks,
                _chunks_oracle(), tags=("text", "chunking")), extra=True)
+
+
+# --- char-n-gram language identification (round 8) ---------------------------
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed language label per document (functions/lid.py — the
+    Cavnar-Trenkle char-n-gram profile classifier as one codegen
+    projection).  The fixture text is synthetic same-vocabulary prose, so
+    the gate proves cross-engine parity of the classifier; accuracy on
+    real multilingual text is asserted by tests/test_lid.py on a seeded
+    fixture."""
+    from ..functions.lid import identify_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (identify_language(docs)
+            .select("doc_id", "pred_lang", "lang_score")
+            .orderBy("doc_id"))
+
+
+def _language_id_oracle() -> str:
+    from ..functions.lid import language_id_sql
+
+    pred, score = language_id_sql(D.DUCK, "text")
+    return (f"SELECT doc_id, {pred} AS pred_lang, {score} AS lang_score "
+            f"FROM documents ORDER BY doc_id")
+
+
+register(Query("doc_language_id", doc_language_id, _language_id_oracle(),
+               tags=("text", "lid")), extra=True)

@@ -1,6 +1,9 @@
-"""bench.py is a driver artifact contract: exactly ONE JSON line on stdout
-with the schema the driver records as BENCH_r{N}.json.  A broken emit would
-surface only at round snapshot time — lock it here instead."""
+"""bench.py is a driver artifact contract: exactly ONE compact JSON line
+on stdout (the driver tail-captures ~2 KB and records it as
+BENCH_r{N}.json) plus a bench_raw.json sidecar with the bulky diagnostics
+(raw iteration times, straggler metrics, load attribution).  Round 7
+inlined raw_times into the stdout line and overflowed the tail capture —
+the artifact came back "parsed": null.  Lock both halves here."""
 
 from __future__ import annotations
 
@@ -23,6 +26,9 @@ def test_bench_emits_one_json_line_with_contract_schema():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected ONE stdout line, got {len(lines)}"
+    # the driver tail-captures ~2 KB: the summary line must fit with room
+    # to spare or the artifact comes back "parsed": null (round 7)
+    assert len(lines[0]) < 1500, f"summary line {len(lines[0])}B >= 1500B"
     rec = json.loads(lines[0])
     assert rec["metric"] == "headline_queries_total_wall_clock"
     assert rec["unit"] == "sec"
@@ -30,12 +36,22 @@ def test_bench_emits_one_json_line_with_contract_schema():
     assert isinstance(rec["value"], (int, float))
     assert rec["queries"] and all(
         isinstance(v, (int, float)) for v in rec["queries"].values())
-    # round-4 straggler metric rides along, one entry per query
-    assert set(rec["max_shuffle_task_ms"]) == set(rec["queries"])
     assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.01
-    # round-7: raw per-iteration times ride along so artifact drift is
-    # attributable post hoc; the recorded time is their minimum
-    assert set(rec["raw_times"]) == set(rec["queries"])
-    for name, rt in rec["raw_times"].items():
+    # bulky diagnostics live in the sidecar, NOT the stdout line
+    assert "raw_times" not in rec and "max_shuffle_task_ms" not in rec
+    assert rec["sidecar"] == "bench_raw.json"
+    with open(os.path.join(REPO, "bench_raw.json")) as fh:
+        raw = json.load(fh)
+    # straggler metric: one entry per query
+    assert set(raw["max_shuffle_task_ms"]) == set(rec["queries"])
+    # raw per-iteration times: recorded time is their minimum; [0] is the
+    # coldest (post-warm-up, caches swept) iteration for hot-vs-cold
+    # attribution
+    assert set(raw["raw_times"]) == set(rec["queries"])
+    for name, rt in raw["raw_times"].items():
         assert rt and all(isinstance(t, (int, float)) for t in rt)
         assert abs(min(rt) - rec["queries"][name]) < 0.01
+        assert raw["cold_times"][name] == rt[0]
+    # load-average attribution: pre/post plus per-query snapshots
+    assert len(raw["loadavg_start"]) == 3 and len(raw["loadavg_end"]) == 3
+    assert set(raw["loadavg_at_query"]) == set(rec["queries"])

@@ -1,0 +1,77 @@
+"""Char-n-gram language identification (functions/lid.py): accuracy on a
+seeded multilingual fixture, degenerate inputs, and the zero-shuffle plan
+contract."""
+
+from __future__ import annotations
+
+from replibyte_spark.functions.lid import (NGRAM_PROFILES,
+                                           identify_language)
+
+# Seeded fixture: short real sentences with the orthography the profiles
+# key on — NOT drawn from the synthetic documents fixture (whose text is
+# the same English-ish vocabulary for every lang label).
+SENTENCES = [
+    ("en", "the cat and the dog are playing in the garden of the house"),
+    ("en", "this is the kind of thing that everyone is talking about"),
+    ("de", "der hund und die katze spielen in einem schönen garten"),
+    ("de", "das ist nicht der richtige weg und die schule ist geschlossen"),
+    ("fr", "le chien et les chats jouent dans le jardin près des maisons"),
+    ("fr", "c'est une belle journée et les oiseaux chantent dans les arbres"),
+    ("es", "el perro y los gatos juegan en el jardín de la casa española"),
+    ("es", "la canción es una creación de los niños pequeños"),
+    ("zh", "我的猫和狗在花园里玩 他们不在家里 人们都有自己的生活"),
+    ("zh", "这是一个很好的地方 我们在这里住了很多年"),
+]
+
+
+def test_lid_accuracy_on_multilingual_fixture(spark):
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(SENTENCES)],
+        "doc_id long, lang string, text string")
+    rows = identify_language(df).collect()
+    wrong = [(r.lang, r.pred_lang, r.text) for r in rows
+             if r.pred_lang != r.lang]
+    assert not wrong, wrong
+    assert all(r.lang_score > 0 for r in rows)
+
+
+def test_lid_degenerate_inputs(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "zzz qqq xxx 12345")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in identify_language(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert rows[i].pred_lang == "und"
+        assert rows[i].lang_score == 0.0
+
+
+def test_lid_tie_break_is_alphabetical_first(spark):
+    # engineered exact tie: "ich" is weight-1 evidence for de, "th" is
+    # weight-1 evidence for en, no other profile gram occurs — equal
+    # weighted sums over the same denominator, so the alphabetical-first
+    # tie-break must pick de
+    df = spark.createDataFrame(
+        [(1, "ich th")], "doc_id long, text string")
+    r = identify_language(df).collect()[0]
+    assert r.pred_lang == "de"
+    assert r.lang_score > 0
+
+
+def test_lid_is_single_projection_no_shuffle(spark):
+    """The classifier must stay one codegen projection over the scan —
+    no Exchange, no Python UDF (the 100 TB contract)."""
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "der hund")], "doc_id long, text string")
+    plan = identify_language(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_lid_profiles_are_sane():
+    # alphabetical langs, positive integer weights, non-empty grams
+    assert list(NGRAM_PROFILES) == sorted(NGRAM_PROFILES)
+    for lang, prof in NGRAM_PROFILES.items():
+        assert prof
+        for g, w in prof.items():
+            assert g and isinstance(w, int) and w > 0
