@@ -144,6 +144,12 @@ def _build_parser() -> argparse.ArgumentParser:
     chk.add_argument("--overlap", type=int, default=32)
     chk.add_argument("--id-col", default="doc_id")
     chk.add_argument("--text-col", default="text")
+    lid = csub.add_parser(
+        "lid", help="char-n-gram language identification (adds "
+                    "pred_lang + lang_score columns)")
+    lid.add_argument("-i", "--input", required=True)
+    lid.add_argument("-o", "--output", required=True)
+    lid.add_argument("--text-col", default="text")
     return p
 
 
@@ -361,6 +367,21 @@ def _cmd_corpus(spark, args) -> int:
         n = spark.read.parquet(args.output).count()
         print(f"chunked -> {args.output} ({n} chunks of "
               f"<= {args.chunk_tokens} tokens, overlap {args.overlap})")
+        return 0
+    if args.corpus_cmd == "lid":
+        from .functions.lid import identify_language
+
+        df = spark.read.parquet(args.input)
+        if args.text_col not in df.columns:
+            print(f"error: column not in input: {args.text_col}",
+                  file=sys.stderr)
+            return 2
+        out = identify_language(df, text_col=args.text_col)
+        out.write.mode("overwrite").parquet(args.output)
+        langs = (spark.read.parquet(args.output).groupBy("pred_lang")
+                 .count().orderBy("pred_lang").collect())
+        dist = ", ".join(f"{r.pred_lang}={r['count']}" for r in langs)
+        print(f"labeled -> {args.output} ({dist})")
         return 0
     print(f"error: unknown corpus command {args.corpus_cmd}",
           file=sys.stderr)

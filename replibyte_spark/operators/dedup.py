@@ -860,6 +860,8 @@ def build_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     instead of silently joining disjoint hash spaces."""
     import os
 
+    from ..functions.text import fingerprint_sql
+
     spark = docs.sparkSession
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, n)
     sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
@@ -868,6 +870,14 @@ def build_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     stored = spark.read.parquet(os.path.join(path, "signatures"))
     bk = lsh_band_keys(stored, id_col, bands, n_hashes // bands)
     bk.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    # exact-fingerprint sidecar: md5 of normalized text per corpus doc —
+    # the admit path drops byte-identical recrawls with one cheap join
+    # BEFORE shingling/minhashing the batch (web recrawl batches are
+    # commonly 30-60% exact dups; hashing them 12 ways first is waste)
+    (docs.select(F.col(id_col),
+                 F.expr(fingerprint_sql(D.SPARK, text_col))
+                 .alias("fingerprint"))
+     .write.mode("overwrite").parquet(os.path.join(path, "fingerprints")))
     (spark.createDataFrame([(n_hashes, bands, n)],
                            "n_hashes int, bands int, n int")
      .coalesce(1).write.mode("overwrite")
@@ -934,14 +944,67 @@ def minhash_index_flagged_pairs(new_docs: DataFrame, path: str,
             .orderBy("id_new", "id_corpus"))
 
 
+def exact_index_flagged_ids(new_docs: DataFrame, path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Batch-doc ids whose normalized-text fingerprint (md5 of lowercased,
+    whitespace-collapsed text — functions/text.py fingerprint_sql) already
+    exists in the indexed corpus's fingerprint sidecar.
+
+    The cheap tier of incremental dedup: one md5 per batch doc + one
+    semi-join against stored parquet — no shingling, no 12-way minhash,
+    no band explode.  Byte-identical copies are also always caught by the
+    LSH tier (identical text → identical signature → identical band
+    keys); this tier additionally catches case/whitespace VARIANTS of
+    indexed docs, whose raw-text shingles diverge enough that signature
+    agreement can fall under the threshold — so it both removes cost and
+    strictly improves recall on trivially-reformatted recrawls."""
+    import os
+
+    spark = new_docs.sparkSession
+    from ..functions.text import fingerprint_sql
+
+    corpus_fp = spark.read.parquet(os.path.join(path, "fingerprints"))
+    batch_fp = new_docs.select(
+        F.col(id_col),
+        F.expr(fingerprint_sql(D.SPARK, text_col)).alias("fingerprint"))
+    return (batch_fp
+            .join(corpus_fp.select("fingerprint").distinct(),
+                  on="fingerprint", how="left_semi")
+            .select(id_col).distinct())
+
+
 def dedup_batch_against_index(new_docs: DataFrame, path: str,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               threshold: float = 0.8) -> DataFrame:
     """New-batch docs that are NOT near-dups of the indexed corpus (the
     admit step of incremental ingest; compose with minhash_near_dup_pairs
-    + keep_canonical for WITHIN-batch dedup)."""
-    flagged = (minhash_index_flagged_pairs(new_docs, path, id_col,
+    + keep_canonical for WITHIN-batch dedup).
+
+    Two tiers when the index carries the exact-fingerprint sidecar:
+    (1) drop exact-after-normalization dups with the cheap fingerprint
+    semi-join, (2) minhash ONLY the survivors and probe the band buckets.
+    The admitted set is a subset of the LSH-only result — equal on
+    byte-identical dups (those the LSH tier always catches too), smaller
+    when the batch carries case/whitespace variants of indexed docs
+    (caught by the normalized fingerprint, potentially under-estimated by
+    raw-text shingle agreement).  Indexes built before round 8 lack the
+    sidecar and get the LSH tier only."""
+    import os
+
+    spark = new_docs.sparkSession
+    survivors = new_docs
+    # Hadoop FS existence check so s3a://gs:// index paths work, not just
+    # local dirs (the datastore sinks use the same idiom)
+    fp_path = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, "fingerprints"))
+    fp_exists = fp_path.getFileSystem(
+        spark._jsc.hadoopConfiguration()).exists(fp_path)
+    if fp_exists:
+        exact = exact_index_flagged_ids(new_docs, path, id_col, text_col)
+        survivors = new_docs.join(exact, on=id_col, how="left_anti")
+    flagged = (minhash_index_flagged_pairs(survivors, path, id_col,
                                            text_col, threshold)
                .select(F.col("id_new").alias(id_col)).distinct())
-    return new_docs.join(flagged, on=id_col, how="left_anti")
+    return survivors.join(flagged, on=id_col, how="left_anti")

@@ -543,9 +543,11 @@ def _minhash_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     from .pipeline import _dataset_fingerprint
     from .similarity_queries import _build_cached_dir
 
+    # v2: the r8 index layout adds the exact-fingerprint sidecar — the
+    # version suffix invalidates r7-built cache dirs that lack it
     key = (sf_dir.strip("/").replace("/", "_") + "_"
            + _dataset_fingerprint(sf_dir, "documents")
-           + f"_h{N_HASHES}b{BANDS}n{NGRAM}m{MHI_MOD}")
+           + f"_h{N_HASHES}b{BANDS}n{NGRAM}m{MHI_MOD}v2")
     path = _MHI_PATHS.get(key)
     if path is None:
         path = os.path.join(tempfile.gettempdir(), f"rs_mh_index_{key}")
@@ -574,8 +576,9 @@ def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           threshold=MHI_THRESHOLD)
 
 
-def _sig_band_ctes(p: str, where: str) -> str:
-    """CTE chain {p}sig / {p}bands over `documents WHERE {where}`."""
+def _sig_band_ctes(p: str, where: str, src: str = "documents") -> str:
+    """CTE chain {p}sig / {p}bands over `{src} WHERE {where}` (src must
+    expose doc_id + text)."""
     d = D.DUCK
     grams = DD.word_ngrams_sql(d, "text", NGRAM)
     rows = N_HASHES // BANDS
@@ -588,7 +591,7 @@ def _sig_band_ctes(p: str, where: str) -> str:
                 D.to_str(d, f"h{b * rows + r}") for r in range(rows)))
         for b in range(BANDS))
     return f"""{p}ex AS (
-  SELECT doc_id, unnest({grams}) AS gram FROM documents WHERE {where}
+  SELECT doc_id, unnest({grams}) AS gram FROM {src} WHERE {where}
 ), {p}bh AS (
   SELECT doc_id, gram, {DD.base_hash_sql(d, 'gram')} AS bh FROM {p}ex
 ), {p}sig AS (
@@ -628,6 +631,55 @@ ORDER BY id_new, id_corpus
 # frame_samples gate (sibling of image_decode_stats, now EXTRA).
 register(Query("incremental_index_dedup", incremental_index_dedup,
                _mhi_oracle(), tags=("dedup", "index"), bench=True))
+
+
+# --- exact-fingerprint tier of the incremental index (round 8) --------------
+
+# the fixtures carry no cross-slice byte-identical docs at sf0.01, so the
+# gate synthesizes a deterministic recrawl: copies of 10 already-indexed
+# corpus docs re-arrive under shifted ids and must all be flagged
+EXACT_SHIFT = 1_000_000
+
+
+def exact_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ids flagged by the exact-fingerprint tier
+    (operators/dedup.py exact_index_flagged_ids): one md5 per batch doc +
+    one semi-join against the index's fingerprint sidecar — no shingling,
+    no minhash.  The cheap first tier of `dedup_batch_against_index`."""
+    path = _minhash_index_fixture(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (docs.filter(F.col("doc_id") % MHI_MOD == 0)
+             .select("doc_id", "text")
+             .unionByName(
+                 docs.filter((F.col("doc_id") % MHI_MOD == 1)
+                             & (F.col("doc_id") < 30))
+                 .select((F.col("doc_id") + EXACT_SHIFT).alias("doc_id"),
+                         "text")))
+    return DD.exact_index_flagged_ids(batch, path).orderBy("doc_id")
+
+
+def _exact_index_oracle() -> str:
+    from ..functions.text import fingerprint_sql
+
+    d = D.DUCK
+    return f"""
+WITH cfp AS (
+  SELECT DISTINCT {fingerprint_sql(d, 'text')} AS fingerprint
+  FROM documents WHERE doc_id % {MHI_MOD} <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {MHI_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {EXACT_SHIFT}, text FROM documents
+  WHERE doc_id % {MHI_MOD} = 1 AND doc_id < 30
+)
+SELECT DISTINCT b.doc_id FROM batch b
+JOIN cfp ON {fingerprint_sql(d, 'b.text')} = cfp.fingerprint
+ORDER BY doc_id
+"""
+
+
+register(Query("exact_index_dedup", exact_index_dedup,
+               _exact_index_oracle(), tags=("dedup", "index")), extra=True)
 
 
 from . import register_fixture_preparer  # noqa: E402

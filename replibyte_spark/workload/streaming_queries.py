@@ -258,3 +258,110 @@ GROUP BY source ORDER BY source
 register(Query("streaming_curation_quality", streaming_curation_quality,
                _streaming_curation_oracle(), tags=("streaming", "text", "pii")),
          extra=True)
+
+
+def streaming_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest as a STREAM: each arriving micro-batch is
+    admitted against the materialized MinHash index via foreachBatch —
+    the exact two-tier dedup_batch_against_index plan (fingerprint
+    semi-join, then LSH probe of the survivors) runs per micro-batch
+    against the stored corpus parquet, which is never re-shingled.
+
+    Admission is per-batch-vs-index (batches are NOT deduped against each
+    other — that is the within-batch `corpus dedup` step), so the union
+    of admitted ids over any micro-batch split equals the one-shot batch
+    result: stream ≡ batch by construction, and the from-scratch SQL
+    oracle proves it.  The batch re-uses exact_index_dedup's synthesized
+    recrawl (copies of 10 indexed docs under shifted ids) so BOTH tiers
+    fire at every scale factor."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as DD
+    from .dedup_queries import (EXACT_SHIFT, MHI_MOD, MHI_THRESHOLD,
+                                _minhash_index_fixture)
+
+    path = _minhash_index_fixture(spark, sf_dir)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    p = os.path.join(sf_dir, "documents.parquet")
+    reader = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(p)))
+    stream = reader.parquet(os.path.dirname(p))
+    batch_stream = (
+        stream.filter(F.col("doc_id") % MHI_MOD == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            stream.filter((F.col("doc_id") % MHI_MOD == 1)
+                          & (F.col("doc_id") < 30))
+            .select((F.col("doc_id") + EXACT_SHIFT).alias("doc_id"),
+                    "text")))
+    out_dir = tempfile.mkdtemp(prefix="rs_admit_out_")
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
+
+    def admit(mb_df, _epoch_id: int) -> None:
+        admitted = DD.dedup_batch_against_index(mb_df, path,
+                                                threshold=MHI_THRESHOLD)
+        admitted.select("doc_id").write.mode("append").parquet(out_dir)
+
+    q = (batch_stream.writeStream.foreachBatch(admit)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    try:
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming admit did not finish within 180s")
+        out = spark.read.parquet(out_dir)
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return snap.orderBy("doc_id")
+
+
+def _streaming_admit_oracle() -> str:
+    from ..functions.text import fingerprint_sql
+    from .dedup_queries import (BANDS, EXACT_SHIFT, MHI_MOD, MHI_THRESHOLD,
+                                N_HASHES, _sig_band_ctes)
+
+    d = D.DUCK
+    agree = " + ".join(f"CAST(a.h{i} = b.h{i} AS INT)"
+                       for i in range(N_HASHES))
+    return f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {MHI_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {EXACT_SHIFT}, text FROM documents
+  WHERE doc_id % {MHI_MOD} = 1 AND doc_id < 30
+), cfp AS (
+  SELECT DISTINCT {fingerprint_sql(d, 'text')} AS fingerprint
+  FROM documents WHERE doc_id % {MHI_MOD} <> 0
+), exact AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN cfp ON {fingerprint_sql(d, 'b.text')} = cfp.fingerprint
+), {_sig_band_ctes('c', f'doc_id % {MHI_MOD} <> 0')},
+{_sig_band_ctes('n', 'TRUE', 'batch')},
+cand AS (
+  SELECT DISTINCT nb.doc_id AS id_new, cb.doc_id AS id_corpus
+  FROM nbands nb JOIN cbands cb ON nb.band = cb.band AND nb.bk = cb.bk
+), lsh AS (
+  SELECT DISTINCT id_new AS doc_id
+  FROM cand JOIN nsig a ON a.doc_id = id_new
+            JOIN csig b ON b.doc_id = id_corpus
+  WHERE round(({agree}) / {N_HASHES}.0, 6) >= {MHI_THRESHOLD}
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+  AND doc_id NOT IN (SELECT doc_id FROM lsh)
+ORDER BY doc_id
+"""
+
+
+register(Query("streaming_incremental_admit", streaming_incremental_admit,
+               _streaming_admit_oracle(),
+               tags=("streaming", "dedup", "index")), extra=True)

@@ -272,6 +272,28 @@ def test_cli_corpus_chunk(spark, tmp_path, capsys):
     assert rows[0].chunk_text.startswith("w0 w1")
 
 
+def test_cli_corpus_lid(spark, tmp_path, capsys):
+    """`corpus lid` labels each doc with the computed language."""
+    src = str(tmp_path / "lid.parquet")
+    spark.createDataFrame(
+        [(1, "the cat and the dog are playing in the garden of the house"),
+         (2, "der hund und die katze spielen in einem schönen garten"),
+         (3, "")],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "lid_out.parquet")
+    assert main(["corpus", "lid", "-i", src, "-o", out], spark=spark) == 0
+    got = capsys.readouterr().out
+    assert "labeled ->" in got and "de=1" in got and "en=1" in got \
+        and "und=1" in got
+    rows = {r.doc_id: r.pred_lang
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "en", 2: "de", 3: "und"}
+    # missing column follows the error convention
+    assert main(["corpus", "lid", "-i", src, "-o", out,
+                 "--text-col", "nope"], spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
+
+
 def test_cli_corpus_score_persist_lifecycle(spark, tmp_path, capsys):
     """N successive `corpus score` calls leave the persistent-RDD
     registry flat: the CLI unpersists the LM frame in a finally

@@ -730,6 +730,49 @@ def test_minhash_index_incremental_dedup(spark, tmp_path):
     assert scans and all("/mh_" in s for s in scans), scans
 
 
+def test_exact_fingerprint_tier(spark, tmp_path):
+    """The r8 exact-fingerprint sidecar: exact-after-normalization batch
+    docs are flagged by one md5 + semi-join.  The two-tier admit is a
+    SUBSET of the LSH-only result (a pre-r8 index without the sidecar):
+    equal on byte-identical dups, smaller when the batch carries
+    case/whitespace variants whose raw-text shingles diverge below the
+    agreement threshold."""
+    import shutil
+
+    corpus = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_fp")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    batch = spark.createDataFrame(
+        # 10: same as 1 modulo case/whitespace (normalization canon);
+        # 11: novel; 12: near-dup of 2 but not exact (one word changed)
+        [(10, "the  quick Brown fox jumps over the lazy dog today"),
+         (11, "totally new words that never appeared in the corpus"),
+         (12, "pack my box with nine dozen liquor jugs right now")],
+        "doc_id long, text string")
+    exact = {r.doc_id
+             for r in DD.exact_index_flagged_ids(batch, path).collect()}
+    assert exact == {10}
+    two_tier = {r.doc_id for r in DD.dedup_batch_against_index(
+        batch, path, threshold=0.6).collect()}
+    # legacy index without the sidecar: same admitted set via LSH only
+    legacy = str(tmp_path / "mh_legacy")
+    shutil.copytree(path, legacy)
+    shutil.rmtree(legacy + "/fingerprints")
+    lsh_only = {r.doc_id for r in DD.dedup_batch_against_index(
+        batch, legacy, threshold=0.6).collect()}
+    # two-tier ⊆ LSH-only: the normalized fingerprint catches the
+    # case/whitespace variant (10) whose raw-text shingles diverge enough
+    # to miss every LSH band; 12 (one word changed, Jaccard ≈ 0.45) is
+    # below these params' catch rate in both paths — deterministic given
+    # the md5-derived hashes
+    assert two_tier <= lsh_only
+    assert two_tier == {11, 12}
+    assert lsh_only == {10, 11, 12}
+
+
 def test_minhash_index_admit_persist_lifecycle(spark, tmp_path):
     """N successive admit calls leave the persistent-RDD registry flat:
     the batch signature subtree rides the band explode (lsh_band_keys
