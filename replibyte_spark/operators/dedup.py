@@ -968,9 +968,14 @@ def exact_index_flagged_ids(new_docs: DataFrame, path: str,
     batch_fp = new_docs.select(
         F.col(id_col),
         F.expr(fingerprint_sql(D.SPARK, text_col)).alias("fingerprint"))
-    return (batch_fp
-            .join(corpus_fp.select("fingerprint").distinct(),
-                  on="fingerprint", how="left_semi")
+    # corpus side LEFT, batch side RIGHT: at 100 TB the fingerprint table
+    # is corpus-sized (a batch-left semi-join would shuffle it on the
+    # fingerprint key); with the small batch on the probe side AQE
+    # broadcasts it and the corpus parquet streams through unshuffled —
+    # the only shuffle is the distinct over matched batch ids (bounded by
+    # the batch)
+    return (corpus_fp.select("fingerprint")
+            .join(batch_fp, on="fingerprint")
             .select(id_col).distinct())
 
 

@@ -512,3 +512,66 @@ def _language_id_oracle() -> str:
 
 register(Query("doc_language_id", doc_language_id, _language_id_oracle(),
                tags=("text", "lid")), extra=True)
+
+
+# --- LID feeding the mixing step (round 8 composition) -----------------------
+# A real pipeline mixes on the language it COMPUTED, not a given label:
+# compute pred_lang with the char-n-gram classifier, then token-budget-mix
+# on that stratum.  On the fixture the classifier yields en/und — two
+# populated strata with different rates, so the composition (lid expression
+# → stratum key of the hash predicate + rate table) is genuinely exercised.
+
+LMIX_WEIGHTS = {"en": 3.0, "und": 1.0}
+LMIX_BUDGET = 6000
+
+
+def language_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.lid import identify_language
+    from ..operators.sample import token_budget_mix
+
+    docs = identify_language(load_table(spark, sf_dir, "documents"))
+    kept = token_budget_mix(docs, LMIX_WEIGHTS, LMIX_BUDGET,
+                            stratum_col="pred_lang", salt="lmix")
+    tok = T.token_count_sql(D.SPARK, "text")
+    return (kept.groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(f"CAST({tok} AS BIGINT)")).alias("n_tokens"))
+            .orderBy("pred_lang"))
+
+
+def _language_mix_oracle() -> str:
+    from ..functions.lid import language_id_sql
+
+    d = D.DUCK
+    pred, _ = language_id_sql(d, "text")
+    tok = T.token_count_sql(d, "text")
+    wsum = float(sum(LMIX_WEIGHTS.values()))
+    budget_case = " ".join(
+        f"WHEN {D.q(s)} THEN {LMIX_BUDGET * (w / wsum)!r}"
+        for s, w in sorted(LMIX_WEIGHTS.items()))
+    combined = (f"({D.to_str(d, 'doc_id')} || '|' || "
+                f"{D.to_str(d, 'pred_lang')})")
+    draw = D.hash_uniform_mod(d, combined, "lmix", 1_000_000)
+    return f"""
+WITH lp AS (
+  SELECT *, {pred} AS pred_lang FROM documents
+), tot AS (
+  SELECT pred_lang, sum(CAST({tok} AS BIGINT)) AS t FROM lp
+  GROUP BY pred_lang
+), thr AS (
+  SELECT pred_lang, CASE WHEN coalesce(t, 0) > 0 THEN
+    CAST(floor(least(1.0, (CASE pred_lang {budget_case} ELSE 0 END) / t)
+               * 1000000) AS BIGINT) ELSE 0 END AS thr
+  FROM tot
+), kept AS (
+  SELECT d.* FROM lp d JOIN thr USING (pred_lang) WHERE {draw} < thr
+)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST({tok} AS BIGINT)) AS BIGINT) AS n_tokens
+FROM kept GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
+register(Query("language_mix_budget", language_mix_budget,
+               _language_mix_oracle(), tags=("text", "lid", "sample")),
+         extra=True)

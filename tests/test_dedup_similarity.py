@@ -752,9 +752,20 @@ def test_exact_fingerprint_tier(spark, tmp_path):
          (11, "totally new words that never appeared in the corpus"),
          (12, "pack my box with nine dozen liquor jugs right now")],
         "doc_id long, text string")
-    exact = {r.doc_id
-             for r in DD.exact_index_flagged_ids(batch, path).collect()}
+    flagged_df = DD.exact_index_flagged_ids(batch, path)
+    exact = {r.doc_id for r in flagged_df.collect()}
     assert exact == {10}
+    # scale shape: the corpus-sized fingerprint parquet must stream
+    # through a broadcast join (batch side broadcast), never shuffle on
+    # the fingerprint key; no corpus TEXT scan appears anywhere
+    plan = flagged_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+    scans = re.findall(
+        r"Location: InMemoryFileIndex\(\d+ paths?\)\[([^\]]*)", plan)
+    # (plan toString truncates long paths — match the index dir prefix:
+    # every file scan reads from under the index, none from a corpus)
+    assert scans and all("/mh_fp" in s for s in scans), scans
     two_tier = {r.doc_id for r in DD.dedup_batch_against_index(
         batch, path, threshold=0.6).collect()}
     # legacy index without the sidecar: same admitted set via LSH only
