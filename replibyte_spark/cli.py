@@ -150,6 +150,23 @@ def _build_parser() -> argparse.ArgumentParser:
     lid.add_argument("-i", "--input", required=True)
     lid.add_argument("-o", "--output", required=True)
     lid.add_argument("--text-col", default="text")
+    eidx = csub.add_parser(
+        "eindex", help="materialize an ANN index over an embedding corpus")
+    eidx.add_argument("-i", "--input", required=True)
+    eidx.add_argument("-o", "--output", required=True, help="index directory")
+    eidx.add_argument("--id-col", default="vec_id")
+    eidx.add_argument("--vec-col", default="embedding")
+    eidx.add_argument("--bits", type=int, default=8)
+    eidx.add_argument("--dim", type=int, default=None)
+    eadm = csub.add_parser(
+        "eadmit", help="keep only batch vectors that are NOT semantic "
+                       "near-dups of an indexed embedding corpus")
+    eadm.add_argument("-i", "--input", required=True)
+    eadm.add_argument("--index", required=True, help="index directory")
+    eadm.add_argument("-o", "--output", required=True)
+    eadm.add_argument("--id-col", default="vec_id")
+    eadm.add_argument("--vec-col", default="embedding")
+    eadm.add_argument("--threshold", type=float, default=0.9)
     return p
 
 
@@ -367,6 +384,29 @@ def _cmd_corpus(spark, args) -> int:
         n = spark.read.parquet(args.output).count()
         print(f"chunked -> {args.output} ({n} chunks of "
               f"<= {args.chunk_tokens} tokens, overlap {args.overlap})")
+        return 0
+    if args.corpus_cmd == "eindex":
+        from .operators.similarity import build_ann_index
+
+        df = spark.read.parquet(args.input)
+        build_ann_index(df, args.output, bits=args.bits, id_col=args.id_col,
+                        vec_col=args.vec_col, dim=args.dim)
+        print(f"indexed {df.count()} vectors -> {args.output} "
+              f"(bits={args.bits})")
+        return 0
+    if args.corpus_cmd == "eadmit":
+        from .operators.similarity import embedding_index_admit
+
+        batch = spark.read.parquet(args.input)
+        kept = embedding_index_admit(batch, args.index, id_col=args.id_col,
+                                     vec_col=args.vec_col,
+                                     threshold=args.threshold)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in = batch.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"admitted {n_out}/{n_in} batch vectors -> {args.output} "
+              f"({n_in - n_out} semantic near-dups of the indexed corpus "
+              f"dropped at cosine >= {args.threshold})")
         return 0
     if args.corpus_cmd == "lid":
         from .functions.lid import identify_language

@@ -617,3 +617,100 @@ WHERE rank <= {RAG_K} ORDER BY query_id, rank
 
 register(Query("rag_chunk_ann_topk", rag_chunk_ann_topk, _rag_oracle(),
                tags=("similarity", "text", "pipeline")), extra=True)
+
+
+# --- semantic incremental admit against the ANN index (round 8) --------------
+# The embedding sibling of incremental_index_dedup: corpus slice indexed
+# once (build_ann_index storage layout), the arriving batch probes the
+# stored buckets (multi-probe Hamming <= 1) and verifies exact cosine off
+# the stored norm.  Batch includes copies of 10 indexed vectors under
+# shifted ids (cos 1.0, Hamming 0 — always flagged), so the gate has
+# deterministic content at every scale factor; threshold matches the
+# fixture's natural cosine range so cross-slice near-neighbors flag too.
+
+EADM_MOD, EADM_SHIFT, EADM_T = 5, 1_000_000, 0.45
+
+_EADM_PATHS: dict[str, str] = {}
+
+
+def _ann_admit_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from .pipeline import _dataset_fingerprint
+
+    key = (sf_dir.strip("/").replace("/", "_") + "_"
+           + _dataset_fingerprint(sf_dir, "embeddings")
+           + f"_b{BITS}adm{EADM_MOD}")
+    path = _EADM_PATHS.get(key)
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), f"rs_ann_adm_{key}")
+
+        def build(tmp: str) -> None:
+            corpus = (load_table(spark, sf_dir, "embeddings")
+                      .filter(F.col("vec_id") % EADM_MOD != 0))
+            S.build_ann_index(corpus, tmp, bits=BITS,
+                              n_centroids=IVF_CENTROIDS, dim=EMB_DIM)
+
+        _build_cached_dir(path, build)
+        _EADM_PATHS[key] = path
+    return path
+
+
+def _eadm_batch(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.filter(F.col("vec_id") % EADM_MOD == 0)
+            .select("vec_id", "embedding")
+            .unionByName(
+                emb.filter((F.col("vec_id") % EADM_MOD == 1)
+                           & (F.col("vec_id") < 50))
+                .select((F.col("vec_id") + EADM_SHIFT).alias("vec_id"),
+                        "embedding")))
+
+
+def embedding_index_admit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagged (batch vector, indexed corpus vector, cosine) pairs from
+    the semantic admit tier (operators/similarity.py
+    embedding_index_flagged_pairs); the oracle recomputes buckets, the
+    Hamming<=1 probe rule and cosine from the raw table."""
+    path = _ann_admit_index(spark, sf_dir)
+    return S.embedding_index_flagged_pairs(
+        _eadm_batch(spark, sf_dir), path, threshold=EADM_T, multi_probe=1)
+
+
+def _eadm_oracle() -> str:
+    d = D.DUCK
+    bucket = S.rp_bucket_sql(d, "embedding", BITS, "rp", dim=EMB_DIM)
+    probes = ", ".join(S.probe_bucket_exprs(d, "bucket", BITS, 1))
+    cos = S.cosine_sql(d, "qe", "ce")
+    return f"""
+WITH corp AS (
+  SELECT vec_id AS id_corpus, embedding, {bucket} AS bucket
+  FROM embeddings WHERE vec_id % {EADM_MOD} <> 0
+), batch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {EADM_MOD} = 0
+  UNION ALL
+  SELECT vec_id + {EADM_SHIFT}, embedding FROM embeddings
+  WHERE vec_id % {EADM_MOD} = 1 AND vec_id < 50
+), bb AS (
+  SELECT vec_id AS id_new, embedding, {bucket} AS bucket FROM batch
+), probes AS (
+  SELECT id_new, embedding, unnest([{probes}]) AS bucket FROM bb
+), cand AS (
+  SELECT p.id_new, c.id_corpus, p.embedding AS qe, c.embedding AS ce
+  FROM probes p JOIN corp c USING (bucket)
+)
+SELECT id_new, id_corpus, {cos} AS cosine
+FROM cand WHERE {cos} >= {EADM_T}
+ORDER BY id_new, id_corpus
+"""
+
+
+register(Query("embedding_index_admit", embedding_index_admit_pairs,
+               _eadm_oracle(), tags=("similarity", "index", "dedup")),
+         extra=True)
+
+
+@register_fixture_preparer
+def _prepare_ann_admit_index(spark: SparkSession, sf_dir: str) -> None:
+    _ann_admit_index(spark, sf_dir)

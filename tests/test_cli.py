@@ -294,6 +294,30 @@ def test_cli_corpus_lid(spark, tmp_path, capsys):
     assert "error:" in capsys.readouterr().err
 
 
+def test_cli_corpus_eindex_eadmit(spark, tmp_path, capsys):
+    """`corpus eindex` + `corpus eadmit`: semantic incremental ingest
+    from the shell — an exact embedding copy of an indexed vector is
+    dropped, a dissimilar vector is admitted."""
+    corp = str(tmp_path / "evecs.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0]), (2, [0.0, 1.0, 0.0, 0.4])],
+        "vec_id long, embedding array<double>").write.parquet(corp)
+    idx = str(tmp_path / "eidx")
+    assert main(["corpus", "eindex", "-i", corp, "-o", idx,
+                 "--bits", "6", "--dim", "4"], spark=spark) == 0
+    assert "indexed 2 vectors" in capsys.readouterr().out
+    batch = str(tmp_path / "ebatch.parquet")
+    spark.createDataFrame(
+        [(10, [1.0, 0.2, 0.1, 0.0]),          # copy of 1
+         (11, [-0.5, 0.1, -1.0, 0.2])],       # far from both
+        "vec_id long, embedding array<double>").write.parquet(batch)
+    out = str(tmp_path / "eadmitted.parquet")
+    assert main(["corpus", "eadmit", "-i", batch, "--index", idx,
+                 "-o", out], spark=spark) == 0
+    assert "admitted 1/2" in capsys.readouterr().out
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {11}
+
+
 def test_cli_corpus_score_persist_lifecycle(spark, tmp_path, capsys):
     """N successive `corpus score` calls leave the persistent-RDD
     registry flat: the CLI unpersists the LM frame in a finally

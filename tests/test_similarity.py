@@ -24,3 +24,97 @@ def test_fixture_embedding_dim_matches_constant(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     assert len(emb.first().embedding) == EMB_DIM
+
+
+def test_embedding_index_admit(spark, tmp_path):
+    """Semantic incremental admit (r8): an exact embedding copy of an
+    indexed vector always flags at cosine 1.0 (Hamming-0 bucket hit); an
+    orthogonal vector survives; the batch-time plan reads only the stored
+    index layout, and N successive admits leave the persistent-RDD
+    registry flat."""
+    import re
+
+    from replibyte_spark.operators import similarity as S
+    from replibyte_spark.util import free_persistent_rdds
+
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0, 0.3, 0.1, 0.0, 0.2]),
+         (2, [0.0, 1.0, 0.0, 0.4, 0.0, 0.2, 0.1, 0.0]),
+         (3, [0.1, 0.0, 1.0, 0.0, 0.2, 0.0, 0.3, 0.1])],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_adm")
+    S.build_ann_index(corpus, path, bits=6, n_centroids=2, dim=dim)
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.2, 0.1, 0.0, 0.3, 0.1, 0.0, 0.2]),   # copy of 1
+         (11, [-1.0, 0.1, -0.5, 0.0, -0.2, 0.0, -0.1, 0.0])],  # far from all
+        "vec_id long, embedding array<double>")
+    flagged = S.embedding_index_flagged_pairs(batch, path, threshold=0.9)
+    rows = {(r.id_new, r.id_corpus): r.cosine for r in flagged.collect()}
+    assert rows[(10, 1)] == 1.0
+    assert all(k[0] != 11 for k in rows)
+    # batch-time file scans touch only the index layout
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(
+        r"Location: InMemoryFileIndex\(\d+ paths?\)\[([^\]]*)", plan)
+    assert scans and all("/ann_adm" in s for s in scans), scans
+    # admit drops the copy, keeps the novel vector; registry stays flat
+    spark.catalog.clearCache()
+    free_persistent_rdds(spark)
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0
+    for _ in range(2):
+        surv = {r.vec_id for r in
+                S.embedding_index_admit(batch, path, threshold=0.9).collect()}
+        assert surv == {11}
+        assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_embedding_index_admit_multiprobe_recall(spark, tmp_path):
+    """multi_probe=1 flags a near-copy whose bucket differs by ONE plane
+    sign (the flip probe finds it); multi_probe=0 misses that bucket —
+    the recall/cost dial is real and its semantics match the docstring."""
+    from replibyte_spark.operators import similarity as S
+
+    dim = 8
+    base = [0.8, 0.6, 0.1, 0.3, 0.5, 0.2, 0.4, 0.7]
+    corpus = spark.createDataFrame(
+        [(1, base)], "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_mp")
+    S.build_ann_index(corpus, path, bits=6, n_centroids=1, dim=dim)
+    # find a perturbation whose bucket is at Hamming distance exactly 1
+    # from the base bucket while cosine stays >= 0.9 (deterministic
+    # search over small scaled tweaks of single components)
+    from replibyte_spark import dialect as D2
+    got = None
+    for j in range(dim):
+        for delta in (0.45, -0.45, 0.9, -0.9):
+            v = list(base)
+            v[j] = v[j] + delta
+            probe = spark.createDataFrame(
+                [(20, v)], "vec_id long, embedding array<double>")
+            b0 = spark.sql(
+                "SELECT " + S.rp_bucket_sql(D2.SPARK, "embedding", 6, "rp", dim)
+                + " AS b FROM {v}", v=corpus).collect()[0].b
+            b1 = spark.sql(
+                "SELECT " + S.rp_bucket_sql(D2.SPARK, "embedding", 6, "rp", dim)
+                + " AS b FROM {v}", v=probe).collect()[0].b
+            ham = sum(x != y for x, y in zip(b0, b1))
+            cos = spark.sql(
+                "SELECT " + S.cosine_sql(D2.SPARK, "a.embedding", "b.embedding")
+                + " AS c FROM {a} a CROSS JOIN {b} b",
+                a=corpus, b=probe).collect()[0].c
+            if ham == 1 and cos >= 0.9:
+                got = (v, cos)
+                break
+        if got:
+            break
+    assert got, "no Hamming-1 high-cosine perturbation found"
+    batch = spark.createDataFrame(
+        [(20, got[0])], "vec_id long, embedding array<double>")
+    with_probe = S.embedding_index_flagged_pairs(
+        batch, path, threshold=0.9, multi_probe=1).collect()
+    without = S.embedding_index_flagged_pairs(
+        batch, path, threshold=0.9, multi_probe=0).collect()
+    assert [(r.id_new, r.id_corpus) for r in with_probe] == [(20, 1)]
+    assert without == []
