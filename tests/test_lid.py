@@ -75,3 +75,26 @@ def test_lid_profiles_are_sane():
         assert prof
         for g, w in prof.items():
             assert g and isinstance(w, int) and w > 0
+
+
+def test_lid_whitespace_and_case_invariance_duckdb():
+    """Normalization contract, checked property-style on the DuckDB
+    rendering (same builder as the Spark plan): collapsing whitespace
+    runs and changing case never change the prediction or score."""
+    import duckdb
+
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions.lid import language_id_sql
+
+    pred, score = language_id_sql(D.DUCK, "text")
+    con = duckdb.connect()
+    texts = [t for _, t in SENTENCES]
+    for t in texts:
+        variants = [t, t.upper(), t.replace(" ", "   "),
+                    "  " + t + "\t\n", t.title()]
+        rows = []
+        for v in variants:
+            con.execute("CREATE OR REPLACE TABLE d AS SELECT ? AS text", [v])
+            rows.append(con.execute(
+                f"SELECT {pred} AS p, {score} AS s FROM d").fetchone())
+        assert len({r for r in rows}) == 1, (t, rows)
