@@ -841,6 +841,60 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# LSH parameter selection (the banding S-curve, driver-side pure math)
+# ---------------------------------------------------------------------------
+
+def lsh_recall(jaccard: float, n_hashes: int, bands: int) -> float:
+    """P(a pair at this Jaccard similarity becomes an LSH candidate)
+    under banded MinHash: 1 - (1 - s^r)^b with r = n_hashes/bands rows
+    per band — the standard S-curve (Leskovec/Rajaraman/Ullman, Mining
+    of Massive Datasets §3.4).  Each band matches iff all r minhash
+    components agree (probability s^r); a pair is a candidate iff ANY of
+    the b bands match."""
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    rows = n_hashes // bands
+    return 1.0 - (1.0 - jaccard ** rows) ** bands
+
+
+def pick_lsh_params(threshold: float, target_recall: float = 0.9,
+                    reject_at: float | None = None,
+                    max_false_rate: float = 0.05,
+                    max_hashes: int = 128) -> "tuple[int, int]":
+    """Smallest (n_hashes, bands) whose S-curve meets the contract:
+    recall >= target_recall for pairs AT the dedup threshold, and (when
+    `reject_at` is given) candidate rate <= max_false_rate for clearly
+    dissimilar pairs at that lower similarity.
+
+    Tuning (n_hashes, bands) is THE cost/recall decision of the MinHash
+    family: more hashes sharpen the S-curve but every signature column is
+    computed for every document at 100 TB, so the smallest satisfying
+    configuration is the right one.  Deterministic exhaustive search over
+    rows-per-band × bands (both small by construction); ties prefer more
+    bands (sharper low-end rejection at equal hash count).  Raises when
+    no configuration within max_hashes satisfies the contract — loud,
+    not a silent recall shortfall."""
+    best = None
+    for rows in range(1, 33):
+        for bands in range(1, max_hashes // rows + 1):
+            n = rows * bands
+            if lsh_recall(threshold, n, bands) < target_recall:
+                continue
+            if reject_at is not None and \
+                    lsh_recall(reject_at, n, bands) > max_false_rate:
+                continue
+            if best is None or (n, -bands) < (best[0], -best[1]):
+                best = (n, bands)
+    if best is None:
+        raise ValueError(
+            f"no (n_hashes <= {max_hashes}, bands) reaches recall "
+            f">= {target_recall} at jaccard {threshold}"
+            + (f" while rejecting >= {1 - max_false_rate:.0%} at "
+               f"{reject_at}" if reject_at is not None else ""))
+    return best
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup against a materialized MinHash index
 # ---------------------------------------------------------------------------
 
@@ -857,7 +911,11 @@ def build_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     corpus-side cost is a bucket-key join against parquet written once at
     curation time.  A one-row meta sidecar records (n_hashes, bands, n)
     so a batch hashed with different parameters fails loudly at plan time
-    instead of silently joining disjoint hash spaces."""
+    instead of silently joining disjoint hash spaces.  Choose
+    (n_hashes, bands) with :func:`pick_lsh_params` — the banding S-curve
+    decides recall at the dedup threshold AND the candidate rate on
+    dissimilar pairs, and every extra hash is a per-document cost at
+    100 TB."""
     import os
 
     from ..functions.text import fingerprint_sql

@@ -811,3 +811,36 @@ def test_minhash_index_admit_persist_lifecycle(spark, tmp_path):
     for _ in range(3):
         DD.dedup_batch_against_index(batch, path, threshold=0.75).count()
         assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_lsh_scurve_and_param_picker():
+    """The banding S-curve math and the parameter picker's contract."""
+    import pytest
+
+    # classic MMDS example: r=3, b=4 at s=0.75 -> 1-(1-0.421875)^4
+    assert abs(DD.lsh_recall(0.75, 12, 4)
+               - (1 - (1 - 0.75 ** 3) ** 4)) < 1e-12
+    # monotone in similarity
+    rs = [DD.lsh_recall(s / 10, 12, 4) for s in range(1, 10)]
+    assert all(a < b for a, b in zip(rs, rs[1:]))
+    with pytest.raises(ValueError, match="divide"):
+        DD.lsh_recall(0.5, 12, 5)
+    # picker meets its own contract
+    n, b = DD.pick_lsh_params(0.8, target_recall=0.95,
+                              reject_at=0.3, max_false_rate=0.05)
+    assert n % b == 0 and n <= 128
+    assert DD.lsh_recall(0.8, n, b) >= 0.95
+    assert DD.lsh_recall(0.3, n, b) <= 0.05
+    # minimality: no smaller hash count satisfies both constraints
+    for n2 in range(1, n):
+        ok = any(
+            n2 % b2 == 0
+            and DD.lsh_recall(0.8, n2, b2) >= 0.95
+            and DD.lsh_recall(0.3, n2, b2) <= 0.05
+            for b2 in range(1, n2 + 1))
+        assert not ok, (n2,)
+    # impossible contract fails loudly
+    with pytest.raises(ValueError, match="no \\(n_hashes"):
+        DD.pick_lsh_params(0.5, target_recall=0.999,
+                           reject_at=0.49, max_false_rate=0.001,
+                           max_hashes=32)
