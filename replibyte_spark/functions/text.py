@@ -48,6 +48,33 @@ def char_count_sql(d: str, text: str) -> str:
     return f"length({text})"
 
 
+def subword_token_count_sql(d: str, text: str) -> str:
+    """BPE-ish subword token count: the GPT-2-style pre-tokenization
+    restated without lookahead so ONE pattern means the same thing in
+    Java regex (Spark) and RE2 (DuckDB) — contraction suffixes ('s 't
+    're 've 'm 'll 'd), unicode letter runs, digit runs, and punctuation
+    runs each count as one token ("don't stop!" → don / 't / stop / ! =
+    4; "3.14" → 3 / . / 14 = 3).  A deterministic stand-in for a real
+    BPE vocabulary's token count — the budget/packing operators need a
+    tokens-per-doc number whose ORDER matches what a trained tokenizer
+    would produce, not its exact ids.
+
+    The whitespace class is explicit ([ \\t\\n\\x0B\\f\\r]) for the same
+    reason split_ws's is: Java's \\s includes vertical tab, RE2's does
+    not — the one char the engines disagree on.  NULL → NULL, empty/
+    blank → 0 (token_count_sql's contract)."""
+    if d == D.SPARK:
+        pat = ("''(s|t|re|ve|m|ll|d)|\\\\p{L}+|\\\\p{N}+"
+               "|[^ \\\\t\\\\n\\\\x0B\\\\f\\\\r\\\\p{L}\\\\p{N}]+")
+        n = f"size(regexp_extract_all({text}, '{pat}', 0))"
+    else:
+        pat = ("''(s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+"
+               "|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+")
+        n = f"len(regexp_extract_all({text}, '{pat}'))"
+    return (f"CASE WHEN {text} IS NULL THEN NULL "
+            f"ELSE {D.to_long(d, n)} END")
+
+
 def punct_ratio_sql(d: str, text: str) -> str:
     """Fraction of characters that are punctuation."""
     # translate() deletes chars with no replacement in both dialects

@@ -514,6 +514,43 @@ register(Query("doc_language_id", doc_language_id, _language_id_oracle(),
                tags=("text", "lid")), extra=True)
 
 
+# --- subword (BPE-ish) token counting (round 8) ------------------------------
+
+def doc_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs subword token counts per document plus their ratio —
+    the number a token-budget pipeline actually needs (budgets are
+    tokenizer tokens, not whitespace words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = D.SPARK
+    return (docs.selectExpr(
+        "doc_id",
+        f"{T.token_count_sql(d, 'text')} AS n_ws_tokens",
+        f"{T.subword_token_count_sql(d, 'text')} AS n_subword_tokens",
+        f"CASE WHEN {T.token_count_sql(d, 'text')} > 0 THEN "
+        f"round(CAST({T.subword_token_count_sql(d, 'text')} AS DOUBLE) / "
+        f"{T.token_count_sql(d, 'text')}, 6) ELSE CAST(0.0 AS DOUBLE) END "
+        f"AS subword_ratio")
+        .orderBy("doc_id"))
+
+
+def _subword_oracle() -> str:
+    d = D.DUCK
+    return f"""
+SELECT doc_id,
+       {T.token_count_sql(d, 'text')} AS n_ws_tokens,
+       {T.subword_token_count_sql(d, 'text')} AS n_subword_tokens,
+       CASE WHEN {T.token_count_sql(d, 'text')} > 0 THEN
+         round(CAST({T.subword_token_count_sql(d, 'text')} AS DOUBLE) /
+               {T.token_count_sql(d, 'text')}, 6)
+       ELSE CAST(0.0 AS DOUBLE) END AS subword_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+register(Query("doc_subword_tokens", doc_subword_tokens, _subword_oracle(),
+               tags=("text",)), extra=True)
+
+
 # --- LID feeding the mixing step (round 8 composition) -----------------------
 # A real pipeline mixes on the language it COMPUTED, not a given label:
 # compute pred_lang with the char-n-gram classifier, then token-budget-mix

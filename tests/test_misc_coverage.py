@@ -296,3 +296,21 @@ def test_chunk_documents_coverage_and_overlap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_subword_token_count_semantics(spark):
+    """BPE-ish pre-tokenization: contractions, digit runs, punctuation
+    runs, unicode letters; NULL/empty contract matches token_count_sql."""
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions.text import subword_token_count_sql
+
+    df = spark.createDataFrame(
+        [(1, "don't stop me now!"), (2, "3.14 is pi"), (3, "naïve café"),
+         (4, ""), (5, None), (6, "   ")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.n for r in df.selectExpr(
+        "doc_id",
+        f"{subword_token_count_sql(D.SPARK, 'text')} AS n").collect()}
+    # don / 't / stop / me / now / !   |   3 / . / 14 / is / pi
+    assert rows[1] == 6 and rows[2] == 5 and rows[3] == 2
+    assert rows[4] == 0 and rows[5] is None and rows[6] == 0
