@@ -119,6 +119,10 @@ def _build_parser() -> argparse.ArgumentParser:
     idx.add_argument("-o", "--output", required=True, help="index directory")
     idx.add_argument("--id-col", default="doc_id")
     idx.add_argument("--text-col", default="text")
+    idx.add_argument("--threshold", type=float, default=None,
+                     help="pick (n_hashes, bands) from the banding S-curve "
+                          "for this dedup threshold instead of the defaults")
+    idx.add_argument("--target-recall", type=float, default=0.9)
     adm = csub.add_parser(
         "admit", help="keep only batch docs that are NOT near-dups of an "
                       "indexed corpus (incremental ingest)")
@@ -330,11 +334,19 @@ def _cmd_corpus(spark, args) -> int:
               f"jaccard >= {args.threshold})")
         return 0
     if args.corpus_cmd == "index":
-        from .operators.dedup import build_minhash_index
+        from .operators.dedup import build_minhash_index, pick_lsh_params
 
         df = spark.read.parquet(args.input)
+        kw = {}
+        if args.threshold is not None:
+            n_hashes, bands = pick_lsh_params(
+                args.threshold, target_recall=args.target_recall)
+            kw = {"n_hashes": n_hashes, "bands": bands}
+            print(f"picked n_hashes={n_hashes} bands={bands} "
+                  f"(recall >= {args.target_recall} at jaccard "
+                  f"{args.threshold})")
         build_minhash_index(df, args.output, id_col=args.id_col,
-                            text_col=args.text_col)
+                            text_col=args.text_col, **kw)
         print(f"indexed {df.count()} docs -> {args.output}")
         return 0
     if args.corpus_cmd == "admit":

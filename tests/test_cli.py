@@ -294,6 +294,34 @@ def test_cli_corpus_lid(spark, tmp_path, capsys):
     assert "error:" in capsys.readouterr().err
 
 
+def test_cli_corpus_index_auto_params(spark, tmp_path, capsys):
+    """`corpus index --threshold` picks (n_hashes, bands) from the
+    banding S-curve; the admit path then reads those params back from the
+    meta sidecar, so the whole loop runs on the picked configuration."""
+    corp = str(tmp_path / "apc.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string").write.parquet(corp)
+    idx = str(tmp_path / "ap_idx")
+    assert main(["corpus", "index", "-i", corp, "-o", idx,
+                 "--threshold", "0.8"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "picked n_hashes=" in out and "indexed 2 docs" in out
+    from replibyte_spark.operators.dedup import (load_minhash_index_meta,
+                                                 lsh_recall)
+    meta = load_minhash_index_meta(spark, idx)
+    assert lsh_recall(0.8, meta["n_hashes"], meta["bands"]) >= 0.9
+    batch = str(tmp_path / "ap_batch.parquet")
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string").write.parquet(batch)
+    outp = str(tmp_path / "ap_adm.parquet")
+    assert main(["corpus", "admit", "-i", batch, "--index", idx,
+                 "-o", outp], spark=spark) == 0
+    assert "admitted 0/1" in capsys.readouterr().out
+
+
 def test_cli_corpus_eindex_eadmit(spark, tmp_path, capsys):
     """`corpus eindex` + `corpus eadmit`: semantic incremental ingest
     from the shell — an exact embedding copy of an indexed vector is
