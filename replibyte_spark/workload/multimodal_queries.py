@@ -119,5 +119,8 @@ SELECT doc_id, 'audio/fake' AS codec,
 FROM f ORDER BY doc_id
 """
 
+# EXTRA since round 8 (still oracle-checked by pytest): its REGISTRY
+# slot went to embedding_index_admit — this gate is the low-risk sibling
+# of the driver-visible image_decode_stats (same mapInPandas plumbing)
 register(Query("audio_decode_stats", audio_decode_stats, AUDIO_DECODE_ORACLE,
-               tags=("multimodal",)))
+               tags=("multimodal",)), extra=True)

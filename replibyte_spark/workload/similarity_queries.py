@@ -706,9 +706,10 @@ ORDER BY id_new, id_corpus
 """
 
 
+# driver-visible since round 8 (took audio_decode_stats' slot): the
+# semantic third of the incremental-ingest modality trio
 register(Query("embedding_index_admit", embedding_index_admit_pairs,
-               _eadm_oracle(), tags=("similarity", "index", "dedup")),
-         extra=True)
+               _eadm_oracle(), tags=("similarity", "index", "dedup")))
 
 
 @register_fixture_preparer

@@ -238,8 +238,11 @@ SELECT doc_id, source FROM (
 """
 
 
+# EXTRA since round 8 (still oracle-checked by pytest): its REGISTRY
+# slot went to doc_language_id — this gate is the low-risk sibling of
+# the driver-visible stratified_doc_sample (same sampling family)
 register(Query("stratified_topn_docs", stratified_topn_docs,
-               _topn_oracle(), tags=("sample",)))
+               _topn_oracle(), tags=("sample",)), extra=True)
 
 
 # --- token-budget corpus mixing ---------------------------------------------

@@ -510,8 +510,10 @@ def _language_id_oracle() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+# driver-visible since round 8 (took stratified_topn_docs' slot): the
+# one first-class text-analysis operator the layer had been missing
 register(Query("doc_language_id", doc_language_id, _language_id_oracle(),
-               tags=("text", "lid")), extra=True)
+               tags=("text", "lid")))
 
 
 # --- subword (BPE-ish) token counting (round 8) ------------------------------

@@ -30,7 +30,8 @@ def test_high_risk_gates_are_driver_visible():
     for must in ("subset_parent_closure", "subset_full_closure",
                  "stratified_doc_sample", "doc_text_metrics",
                  "minhash_near_dup", "simhash_near_dup",
-                 "curation_pipeline_v2", "incremental_index_dedup"):
+                 "curation_pipeline_v2", "incremental_index_dedup",
+                 "doc_language_id", "embedding_index_admit"):
         assert must in names[:50], f"{must} fell outside the driver window"
 
 
