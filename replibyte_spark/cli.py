@@ -132,6 +132,9 @@ def _build_parser() -> argparse.ArgumentParser:
     adm.add_argument("--id-col", default="doc_id")
     adm.add_argument("--text-col", default="text")
     adm.add_argument("--threshold", type=float, default=0.8)
+    adm.add_argument("--update-index", action="store_true",
+                     help="append the admitted docs into the index "
+                          "(the next batch dedups against them)")
     sc = csub.add_parser(
         "score", help="unigram-LM perplexity scores (statistical quality)")
     sc.add_argument("-i", "--input", required=True, help="docs to score")
@@ -171,6 +174,8 @@ def _build_parser() -> argparse.ArgumentParser:
     eadm.add_argument("--id-col", default="vec_id")
     eadm.add_argument("--vec-col", default="embedding")
     eadm.add_argument("--threshold", type=float, default=0.9)
+    eadm.add_argument("--update-index", action="store_true",
+                      help="append the admitted vectors into the index")
     return p
 
 
@@ -350,7 +355,8 @@ def _cmd_corpus(spark, args) -> int:
         print(f"indexed {df.count()} docs -> {args.output}")
         return 0
     if args.corpus_cmd == "admit":
-        from .operators.dedup import dedup_batch_against_index
+        from .operators.dedup import (append_minhash_index,
+                                      dedup_batch_against_index)
 
         batch = spark.read.parquet(args.input)
         kept = dedup_batch_against_index(batch, args.index,
@@ -359,9 +365,17 @@ def _cmd_corpus(spark, args) -> int:
                                          threshold=args.threshold)
         kept.write.mode("overwrite").parquet(args.output)
         n_in = batch.count()
-        n_out = spark.read.parquet(args.output).count()
+        admitted = spark.read.parquet(args.output)
+        n_out = admitted.count()
         print(f"admitted {n_out}/{n_in} batch docs -> {args.output} "
               f"({n_in - n_out} near-dups of the indexed corpus dropped)")
+        if args.update_index:
+            # append from the WRITTEN output, not the lazy plan — the
+            # admitted set must be the exact rows the caller received
+            append_minhash_index(admitted, args.index,
+                                 id_col=args.id_col,
+                                 text_col=args.text_col)
+            print(f"index extended with {n_out} docs -> {args.index}")
         return 0
     if args.corpus_cmd == "score":
         from .operators.lm import perplexity_scores, train_unigram_lm
@@ -407,7 +421,8 @@ def _cmd_corpus(spark, args) -> int:
               f"(bits={args.bits})")
         return 0
     if args.corpus_cmd == "eadmit":
-        from .operators.similarity import embedding_index_admit
+        from .operators.similarity import (append_ann_index,
+                                           embedding_index_admit)
 
         batch = spark.read.parquet(args.input)
         kept = embedding_index_admit(batch, args.index, id_col=args.id_col,
@@ -415,10 +430,15 @@ def _cmd_corpus(spark, args) -> int:
                                      threshold=args.threshold)
         kept.write.mode("overwrite").parquet(args.output)
         n_in = batch.count()
-        n_out = spark.read.parquet(args.output).count()
+        admitted = spark.read.parquet(args.output)
+        n_out = admitted.count()
         print(f"admitted {n_out}/{n_in} batch vectors -> {args.output} "
               f"({n_in - n_out} semantic near-dups of the indexed corpus "
               f"dropped at cosine >= {args.threshold})")
+        if args.update_index:
+            append_ann_index(admitted, args.index, id_col=args.id_col,
+                             vec_col=args.vec_col)
+            print(f"index extended with {n_out} vectors -> {args.index}")
         return 0
     if args.corpus_cmd == "lid":
         from .functions.lid import identify_language

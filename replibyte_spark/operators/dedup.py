@@ -942,6 +942,44 @@ def build_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
      .parquet(os.path.join(path, "meta")))
 
 
+def append_minhash_index(new_docs: DataFrame, path: str,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+    """Extend a materialized MinHash index with an ADMITTED batch — the
+    step after :func:`dedup_batch_against_index` that closes the ingest
+    loop (admit → extend → next batch dedups against the grown corpus).
+
+    Appends signatures, band keys and fingerprints computed with the
+    parameters recorded in the meta sidecar (the same plan-time contract
+    the admit path enforces); parquet append touches only new files, the
+    existing corpus-side files are never rewritten — at 100 TB the index
+    grows by the batch, not by a rebuild.  Caller contract: append only
+    docs that PASSED admission (appending unfiltered batches would store
+    duplicate signatures; ids are not checked here because the index
+    stores no global id set to check against without a scan)."""
+    import os
+
+    spark = new_docs.sparkSession
+    meta = load_minhash_index_meta(spark, path)
+    n_hashes, bands, n = meta["n_hashes"], meta["bands"], meta["n"]
+    from ..functions.text import fingerprint_sql
+
+    sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, n)
+    sig.write.mode("append").parquet(os.path.join(path, "signatures"))
+    # band keys recomputed from the batch subtree, NOT read back from the
+    # grown signatures dir: signatures are deterministic md5 derivations,
+    # so recomputation is bit-identical to the written copy, and a
+    # batch-sized second shingle pass beats a corpus-sized scan of the
+    # appended parquet (the build path's read-back amortizes differently:
+    # there the whole corpus would otherwise shingle twice)
+    lsh_band_keys(sig, id_col, bands, n_hashes // bands) \
+        .write.mode("append").parquet(os.path.join(path, "bands"))
+    (new_docs.select(F.col(id_col),
+                     F.expr(fingerprint_sql(D.SPARK, text_col))
+                     .alias("fingerprint"))
+     .write.mode("append").parquet(os.path.join(path, "fingerprints")))
+
+
 def load_minhash_index_meta(spark, path: str) -> dict:
     import os
 

@@ -862,3 +862,45 @@ def embedding_index_admit(new_vecs: DataFrame, path: str,
                                              id_col, vec_col, multi_probe)
                .select(F.col("id_new").alias(id_col)).distinct())
     return new_vecs.join(flagged, on=id_col, how="left_anti")
+
+
+def append_ann_index(new_vecs: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Extend a materialized ANN index with an ADMITTED batch — the
+    embedding sibling of dedup.append_minhash_index, closing the
+    semantic ingest loop (embedding_index_admit → extend → next batch).
+
+    The batch's bucket / norm / centroid assignment are computed with
+    the parameters and centroid set recorded at build time (read from
+    the sidecars, the same plan-time contract queries enforce), then
+    parquet-APPENDED under corpus/ — existing files never rewritten.
+    Centroids are NOT refit here: assignment against the frozen build
+    set keeps every stored row's cell valid; periodic re-build (with
+    refine_iterations) is the compaction story, not per-batch work.
+    Caller contract: append only vectors that passed admission."""
+    import os
+
+    spark = new_vecs.sparkSession
+    meta = load_ann_index_meta(spark, path)
+    bits, seed, dim = meta["bits"], meta["seed"], meta["dim"]
+    cents = _collect_centroids(
+        spark.read.parquet(os.path.join(path, "centroids")))
+    indexed = (rp_lsh_buckets(new_vecs, bits, seed, vec_col, dim)
+               .withColumn("norm", F.expr(norm_sql(D.SPARK, vec_col))))
+    if cents:
+        indexed = indexed.withColumn(
+            "centroid_id", F.expr(_assign_expr(vec_col, cents)))
+    else:
+        indexed = indexed.withColumn(
+            "centroid_id", F.lit(None).cast("string"))
+    corpus_dir = os.path.join(path, "corpus")
+    # honor a partitioned build: the corpus schema decides the layout
+    existing = spark.read.parquet(corpus_dir)
+    if "bucket_part" in existing.columns:
+        (indexed.withColumn("bucket_part",
+                            F.concat(F.lit("b"), F.col("bucket")))
+         .write.mode("append").partitionBy("bucket_part")
+         .parquet(corpus_dir))
+    else:
+        indexed.write.mode("append").parquet(corpus_dir)

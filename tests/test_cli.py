@@ -346,6 +346,32 @@ def test_cli_corpus_eindex_eadmit(spark, tmp_path, capsys):
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == {11}
 
 
+def test_cli_corpus_admit_update_index(spark, tmp_path, capsys):
+    """`corpus admit --update-index` appends the admitted docs; the SAME
+    batch re-presented afterwards admits nothing."""
+    corp = str(tmp_path / "ui_corp.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string").write.parquet(corp)
+    idx = str(tmp_path / "ui_idx")
+    assert main(["corpus", "index", "-i", corp, "-o", idx],
+                spark=spark) == 0
+    batch = str(tmp_path / "ui_batch.parquet")
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "entirely novel words that never appeared anywhere")],
+        "doc_id long, text string").write.parquet(batch)
+    out1 = str(tmp_path / "ui_out1.parquet")
+    assert main(["corpus", "admit", "-i", batch, "--index", idx,
+                 "-o", out1, "--update-index"], spark=spark) == 0
+    got = capsys.readouterr().out
+    assert "admitted 1/2" in got and "index extended with 1 docs" in got
+    out2 = str(tmp_path / "ui_out2.parquet")
+    assert main(["corpus", "admit", "-i", batch, "--index", idx,
+                 "-o", out2], spark=spark) == 0
+    assert "admitted 0/2" in capsys.readouterr().out
+
+
 def test_cli_corpus_score_persist_lifecycle(spark, tmp_path, capsys):
     """N successive `corpus score` calls leave the persistent-RDD
     registry flat: the CLI unpersists the LM frame in a finally

@@ -844,3 +844,66 @@ def test_lsh_scurve_and_param_picker():
         DD.pick_lsh_params(0.5, target_recall=0.999,
                            reject_at=0.49, max_false_rate=0.001,
                            max_hashes=32)
+
+
+def test_append_minhash_index_closes_ingest_loop(spark, tmp_path):
+    """admit → append → re-admit: after extending the index with the
+    admitted batch, re-presenting the same batch admits nothing (both
+    the original copy and the newly indexed novel doc are now dups)."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_app")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "completely novel words that never appeared anywhere")],
+        "doc_id long, text string")
+    admitted = DD.dedup_batch_against_index(batch, path, threshold=0.75)
+    assert {r.doc_id for r in admitted.collect()} == {11}
+    DD.append_minhash_index(admitted, path)
+    again = DD.dedup_batch_against_index(batch, path, threshold=0.75)
+    assert again.count() == 0
+    # meta untouched; all three sidecars grew consistently
+    meta = DD.load_minhash_index_meta(spark, path)
+    assert (meta["n_hashes"], meta["bands"], meta["n"]) == (12, 4, 3)
+    import os
+    sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    fps = spark.read.parquet(os.path.join(path, "fingerprints"))
+    assert sigs.count() == 2 and fps.count() == 2
+    assert bands.count() == 2 * 4
+    # appended band keys match what a fresh full build would store
+    rebuilt = str(tmp_path / "mh_rebuild")
+    DD.build_minhash_index(corpus.unionByName(
+        admitted.select("doc_id", "text")), rebuilt,
+        n_hashes=12, bands=4, n=3)
+    a = {tuple(r) for r in bands.collect()}
+    b = {tuple(r) for r in spark.read.parquet(
+        os.path.join(rebuilt, "bands")).collect()}
+    assert a == b
+
+
+def test_append_ann_index_closes_ingest_loop(spark, tmp_path):
+    """Semantic twin: admit → append → re-admit yields nothing, and the
+    appended rows carry valid bucket/norm/centroid columns."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0]), (2, [0.0, 1.0, 0.0, 0.4])],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_app")
+    S.build_ann_index(corpus, path, bits=6, n_centroids=2, dim=4)
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.2, 0.1, 0.0]),          # copy of 1
+         (11, [-0.5, 0.1, -1.0, 0.2])],       # novel
+        "vec_id long, embedding array<double>")
+    admitted = S.embedding_index_admit(batch, path, threshold=0.9)
+    assert {r.vec_id for r in admitted.collect()} == {11}
+    S.append_ann_index(admitted, path)
+    assert S.embedding_index_admit(batch, path, threshold=0.9).count() == 0
+    import os
+    corpus_now = spark.read.parquet(os.path.join(path, "corpus"))
+    rows = {r.vec_id: r for r in corpus_now.collect()}
+    assert set(rows) == {1, 2, 11}
+    r11 = rows[11]
+    assert len(r11.bucket) == 6 and set(r11.bucket) <= {"0", "1"}
+    assert r11.norm > 0 and r11.centroid_id is not None
