@@ -983,8 +983,16 @@ def append_minhash_index(new_docs: DataFrame, path: str,
 def load_minhash_index_meta(spark, path: str) -> dict:
     import os
 
-    return spark.read.parquet(os.path.join(path, "meta")) \
-        .collect()[0].asDict()
+    try:
+        return spark.read.parquet(os.path.join(path, "meta")) \
+            .collect()[0].asDict()
+    except Exception as exc:
+        # surface a plan-time contract error, not a raw path traceback:
+        # the CLI convention maps ValueError -> `error: ...`, exit 2
+        raise ValueError(
+            f"no MinHash index at {path} (missing/unreadable meta sidecar "
+            f"— build one with `corpus index` / build_minhash_index): "
+            f"{type(exc).__name__}") from exc
 
 
 def minhash_index_flagged_pairs(new_docs: DataFrame, path: str,

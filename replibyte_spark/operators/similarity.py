@@ -656,8 +656,16 @@ def load_ann_index_meta(spark, path: str, use_cache: bool = True) -> dict:
 
     if use_cache and path in _META_CACHE:
         return _META_CACHE[path]
-    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0] \
-        .asDict()
+    try:
+        meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0] \
+            .asDict()
+    except Exception as exc:
+        # plan-time contract error, not a raw path traceback (the CLI
+        # convention maps ValueError -> `error: ...`, exit 2)
+        raise ValueError(
+            f"no ANN index at {path} (missing/unreadable meta sidecar — "
+            f"build one with `corpus eindex` / build_ann_index): "
+            f"{type(exc).__name__}") from exc
     _META_CACHE[path] = meta
     return meta
 

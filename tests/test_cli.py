@@ -346,6 +346,31 @@ def test_cli_corpus_eindex_eadmit(spark, tmp_path, capsys):
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == {11}
 
 
+def test_cli_corpus_admit_missing_index_exits_2(spark, tmp_path, capsys):
+    """Admitting against a nonexistent index is a clean contract error
+    (`error: ...`, exit 2), not a raw AnalysisException traceback."""
+    batch = str(tmp_path / "mi_batch.parquet")
+    spark.createDataFrame([(1, "some text")], "doc_id long, text string") \
+        .write.parquet(batch)
+    out = str(tmp_path / "mi_out.parquet")
+    rc = main(["corpus", "admit", "-i", batch,
+               "--index", str(tmp_path / "nope_idx"), "-o", out],
+              spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "no MinHash index" in err
+    vecs = str(tmp_path / "mi_vecs.parquet")
+    spark.createDataFrame([(1, [1.0, 0.0])],
+                          "vec_id long, embedding array<double>") \
+        .write.parquet(vecs)
+    rc = main(["corpus", "eadmit", "-i", vecs,
+               "--index", str(tmp_path / "nope_eidx"), "-o", out],
+              spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "no ANN index" in err
+
+
 def test_cli_corpus_admit_update_index(spark, tmp_path, capsys):
     """`corpus admit --update-index` appends the admitted docs; the SAME
     batch re-presented afterwards admits nothing."""
