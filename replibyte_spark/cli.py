@@ -176,6 +176,11 @@ def _build_parser() -> argparse.ArgumentParser:
     eadm.add_argument("--threshold", type=float, default=0.9)
     eadm.add_argument("--update-index", action="store_true",
                       help="append the admitted vectors into the index")
+    cpt = csub.add_parser(
+        "compact", help="consolidate an append-grown index's file layout "
+                        "(MinHash or ANN, auto-detected)")
+    cpt.add_argument("--index", required=True, help="index directory")
+    cpt.add_argument("--max-records-per-file", type=int, default=2_000_000)
     return p
 
 
@@ -439,6 +444,28 @@ def _cmd_corpus(spark, args) -> int:
             append_ann_index(admitted, args.index, id_col=args.id_col,
                              vec_col=args.vec_col)
             print(f"index extended with {n_out} vectors -> {args.index}")
+        return 0
+    if args.corpus_cmd == "compact":
+        import os
+
+        if os.path.isdir(os.path.join(args.index, "signatures")):
+            from .operators.dedup import compact_minhash_index
+
+            stats = compact_minhash_index(
+                spark, args.index,
+                max_records_per_file=args.max_records_per_file)
+        elif os.path.isdir(os.path.join(args.index, "corpus")):
+            from .operators.similarity import compact_ann_index
+
+            stats = compact_ann_index(
+                spark, args.index,
+                max_records_per_file=args.max_records_per_file)
+        else:
+            print(f"error: no MinHash or ANN index layout at {args.index}",
+                  file=sys.stderr)
+            return 2
+        for sub, (nb, na) in stats.items():
+            print(f"compacted {sub}: {nb} -> {na} files")
         return 0
     if args.corpus_cmd == "lid":
         from .functions.lid import identify_language

@@ -1117,3 +1117,23 @@ def dedup_batch_against_index(new_docs: DataFrame, path: str,
                                            text_col, threshold)
                .select(F.col("id_new").alias(id_col)).distinct())
     return survivors.join(flagged, on=id_col, how="left_anti")
+
+
+def compact_minhash_index(spark, path: str,
+                          max_records_per_file: int = 2_000_000) -> dict:
+    """Consolidate an append-grown MinHash index's file layout
+    (signatures / bands / fingerprints each gain >= 1 file per admitted
+    batch; after thousands of batches, file listing and footer reads
+    dominate every probe).  Content is byte-equivalent — only the
+    file-level layout changes; the meta sidecar is untouched.  Returns
+    {subdir: (files_before, files_after)}.  Maintenance-cadence work:
+    one scan + one write per subdir, swapped in with the datastore's
+    tmp/bak dance (util.swap_directory), so concurrent readers never see
+    a missing directory."""
+    import os
+
+    from ..util import compact_parquet_dir
+
+    return {sub: compact_parquet_dir(spark, os.path.join(path, sub),
+                                     max_records_per_file)
+            for sub in ("signatures", "bands", "fingerprints")}

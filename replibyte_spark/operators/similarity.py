@@ -912,3 +912,22 @@ def append_ann_index(new_vecs: DataFrame, path: str,
          .parquet(corpus_dir))
     else:
         indexed.write.mode("append").parquet(corpus_dir)
+
+
+def compact_ann_index(spark, path: str,
+                      max_records_per_file: int = 2_000_000) -> dict:
+    """Consolidate an append-grown ANN index's corpus/ layout (the
+    dedup-index compaction story applied to the embedding side);
+    preserves a bucket-partitioned build's partitioning column.
+    Centroids/meta sidecars are single-file and untouched."""
+    import os
+
+    from ..util import compact_parquet_dir
+
+    corpus_dir = os.path.join(path, "corpus")
+    part = ("bucket_part"
+            if "bucket_part" in spark.read.parquet(corpus_dir).columns
+            else None)
+    return {"corpus": compact_parquet_dir(spark, corpus_dir,
+                                          max_records_per_file,
+                                          partition_by=part)}

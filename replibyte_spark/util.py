@@ -50,3 +50,71 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def swap_directory(spark: SparkSession, final: str, write_fn) -> None:
+    """Replace directory `final` with freshly-written content, single
+    writer assumed: `write_fn(tmp_path)` builds the replacement beside
+    it, then final → .bak, tmp → final, delete .bak — the same
+    tmp/bak/rollback dance the datastore manifest writer uses
+    (sinks/datastore.py _write_bytes), so there is never a moment with
+    NO directory in place and a failed rename rolls back.  Hadoop FS
+    throughout: works for file://, hdfs:// and (with rename = copy
+    semantics) s3a:// paths."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(final).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, bak = final + ".tmp", final + ".bak"
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+    write_fn(tmp)
+    had_old = fs.exists(P(final))
+    if had_old:
+        if fs.exists(P(bak)):
+            fs.delete(P(bak), True)
+        if not fs.rename(P(final), P(bak)):
+            raise IOError(f"rename {final} -> {bak} failed")
+    if not fs.rename(P(tmp), P(final)):
+        if had_old:
+            fs.rename(P(bak), P(final))
+        raise IOError(f"rename {tmp} -> {final} failed")
+    fs.delete(P(bak), True)
+
+
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        max_records_per_file: int = 2_000_000,
+                        partition_by: "str | None" = None) -> "tuple[int, int]":
+    """Rewrite a parquet directory into right-sized files — the
+    small-files remedy for append-grown layouts (every appended batch
+    adds at least one file per subdirectory; thousands of tiny files
+    make listing + footer reads dominate scan time).  Reads the current
+    content, writes a consolidated copy beside it, swaps.  Returns
+    (files_before, files_after).  O(one scan + one write); run it on the
+    maintenance cadence, not per batch."""
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    target = max(1, math.ceil(n / max_records_per_file))
+
+    def write(tmp: str) -> None:
+        w = df.repartition(target).write
+        if partition_by and partition_by in df.columns:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
+
+    def count_files(p: str) -> int:
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(p).getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(P(p), True)
+        c = 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                c += 1
+        return c
+
+    before = count_files(path)
+    swap_directory(spark, path, write)
+    return before, count_files(path)

@@ -397,6 +397,29 @@ def test_cli_corpus_admit_update_index(spark, tmp_path, capsys):
     assert "admitted 0/2" in capsys.readouterr().out
 
 
+def test_cli_corpus_compact(spark, tmp_path, capsys):
+    """`corpus compact` auto-detects the index kind and consolidates."""
+    corp = str(tmp_path / "cc_corp.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string").write.parquet(corp)
+    idx = str(tmp_path / "cc_idx")
+    assert main(["corpus", "index", "-i", corp, "-o", idx],
+                spark=spark) == 0
+    capsys.readouterr()
+    from replibyte_spark.operators.dedup import append_minhash_index
+    for i in range(2):
+        append_minhash_index(spark.createDataFrame(
+            [(100 + i, f"batch {i} words unlike anything else {i}")],
+            "doc_id long, text string"), idx)
+    assert main(["corpus", "compact", "--index", idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "compacted signatures:" in out and "files" in out
+    assert main(["corpus", "compact",
+                 "--index", str(tmp_path / "cc_nope")], spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
+
+
 def test_cli_corpus_score_persist_lifecycle(spark, tmp_path, capsys):
     """N successive `corpus score` calls leave the persistent-RDD
     registry flat: the CLI unpersists the LM frame in a finally

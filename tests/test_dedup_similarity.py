@@ -907,3 +907,64 @@ def test_append_ann_index_closes_ingest_loop(spark, tmp_path):
     r11 = rows[11]
     assert len(r11.bucket) == 6 and set(r11.bucket) <= {"0", "1"}
     assert r11.norm > 0 and r11.centroid_id is not None
+
+
+def test_compact_minhash_index(spark, tmp_path):
+    """Appending N batches leaves >= N files per subdir; compaction
+    consolidates them and changes NOTHING about results (same flagged
+    set before/after) — and a .bak/.tmp never survives a clean run."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_cp")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(100 + i, f"novel batch number {i} with distinct words "
+                       f"appearing nowhere else {i}")],
+            "doc_id long, text string")
+        DD.append_minhash_index(b, path)
+    probe = spark.createDataFrame(
+        [(500, "the quick brown fox jumps over the lazy dog today"),
+         (501, "novel batch number 1 with distinct words appearing "
+               "nowhere else 1")],
+        "doc_id long, text string")
+    before = {(r.id_new, r.id_corpus, r.agreement) for r in
+              DD.minhash_index_flagged_pairs(probe, path,
+                                             threshold=0.75).collect()}
+    stats = DD.compact_minhash_index(spark, path)
+    for sub, (nb, na) in stats.items():
+        assert nb >= 4 and na < nb, (sub, nb, na)
+        assert not os.path.exists(os.path.join(path, sub + ".bak"))
+        assert not os.path.exists(os.path.join(path, sub + ".tmp"))
+    after = {(r.id_new, r.id_corpus, r.agreement) for r in
+             DD.minhash_index_flagged_pairs(probe, path,
+                                            threshold=0.75).collect()}
+    assert before == after and (500, 1, 1.0) in after
+
+
+def test_compact_ann_index(spark, tmp_path):
+    """Same for the embedding side: appended corpus files consolidate,
+    admit results unchanged."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0])], "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_cp")
+    S.build_ann_index(corpus, path, bits=6, n_centroids=1, dim=4)
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(100 + i, [0.1 * i - 0.9, 1.0, 0.3 * i, -0.5])],
+            "vec_id long, embedding array<double>")
+        S.append_ann_index(b, path)
+    probe = spark.createDataFrame(
+        [(500, [1.0, 0.2, 0.1, 0.0]), (501, [0.5, -0.5, 0.9, 0.9])],
+        "vec_id long, embedding array<double>")
+    before = {r.vec_id for r in
+              S.embedding_index_admit(probe, path, threshold=0.9).collect()}
+    stats = S.compact_ann_index(spark, path)
+    nb, na = stats["corpus"]
+    assert nb >= 4 and na < nb
+    after = {r.vec_id for r in
+             S.embedding_index_admit(probe, path, threshold=0.9).collect()}
+    assert before == after and 500 not in after
