@@ -149,3 +149,24 @@ def test_binary_metadata_prunes_scan_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema and "doc_id" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_index_admit_single_signature_subtree(spark, tmp_path):
+    """r8 restructure lock: the flagged-pairs plan computes the batch
+    signature aggregation ONCE (carried through the band explode), with
+    no persist.  Exactly 2 parquet scans (stored bands + signatures),
+    zero InMemoryTableScan, and 4 HashAggregates — partial+final for the
+    one batch minhash groupBy plus partial+final for the candidate
+    distinct; a duplicated signature subtree (the pre-r8 shape without
+    its persist) would show 6+."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_plan")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    batch = spark.createDataFrame([(10, "some probe text here")],
+                                  "doc_id long, text string")
+    plan = _plan(DD.minhash_index_flagged_pairs(batch, path))
+    assert plan.count("Scan parquet") == 2, plan
+    assert "InMemoryTableScan" not in plan
+    assert plan.count("HashAggregate") == 4, plan
