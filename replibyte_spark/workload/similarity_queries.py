@@ -708,8 +708,11 @@ ORDER BY id_new, id_corpus
 
 # driver-visible since round 8 (took audio_decode_stats' slot): the
 # semantic third of the incremental-ingest modality trio
+# bench=True: the semantic sibling of incremental_index_dedup's headline —
+# batch probes the stored layout, corpus never re-hashed
 register(Query("embedding_index_admit", embedding_index_admit_pairs,
-               _eadm_oracle(), tags=("similarity", "index", "dedup")))
+               _eadm_oracle(), tags=("similarity", "index", "dedup"),
+               bench=True))
 
 
 @register_fixture_preparer

@@ -512,8 +512,10 @@ def _language_id_oracle() -> str:
 
 # driver-visible since round 8 (took stratified_topn_docs' slot): the
 # one first-class text-analysis operator the layer had been missing
+# bench=True: a pure whole-stage-codegen scan over the corpus — the
+# classifier's cost model IS the scan, and the bench row proves it
 register(Query("doc_language_id", doc_language_id, _language_id_oracle(),
-               tags=("text", "lid")))
+               tags=("text", "lid"), bench=True))
 
 
 # --- subword (BPE-ish) token counting (round 8) ------------------------------
