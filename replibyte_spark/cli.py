@@ -349,12 +349,20 @@ def _cmd_corpus(spark, args) -> int:
         df = spark.read.parquet(args.input)
         kw = {}
         if args.threshold is not None:
+            from .operators.dedup import flagged_recall
+
+            # default rejection constraint (reject_at="auto" → threshold/2)
+            # keeps the degenerate 1-2 hash configs out: rows-per-band=1
+            # makes every single-minhash collision a candidate
             n_hashes, bands = pick_lsh_params(
                 args.threshold, target_recall=args.target_recall)
             kw = {"n_hashes": n_hashes, "bands": bands}
+            at = (1 + args.threshold) / 2
+            e2e = flagged_recall(at, n_hashes, bands, args.threshold)
             print(f"picked n_hashes={n_hashes} bands={bands} "
-                  f"(recall >= {args.target_recall} at jaccard "
-                  f"{args.threshold})")
+                  f"(end-to-end recall {e2e:.3f} >= {args.target_recall} "
+                  f"at jaccard {at}, verify at {args.threshold}, "
+                  f"candidate rate <= 0.05 at {args.threshold / 2})")
         build_minhash_index(df, args.output, id_col=args.id_col,
                             text_col=args.text_col, **kw)
         print(f"indexed {df.count()} docs -> {args.output}")
@@ -448,13 +456,17 @@ def _cmd_corpus(spark, args) -> int:
     if args.corpus_cmd == "compact":
         import os
 
-        if os.path.isdir(os.path.join(args.index, "signatures")):
+        from .util import hadoop_exists
+
+        # layout detection via Hadoop FS (os.path.isdir is always False
+        # for s3a://hdfs:// index paths — the admit path's idiom)
+        if hadoop_exists(spark, os.path.join(args.index, "signatures")):
             from .operators.dedup import compact_minhash_index
 
             stats = compact_minhash_index(
                 spark, args.index,
                 max_records_per_file=args.max_records_per_file)
-        elif os.path.isdir(os.path.join(args.index, "corpus")):
+        elif hadoop_exists(spark, os.path.join(args.index, "corpus")):
             from .operators.similarity import compact_ann_index
 
             stats = compact_ann_index(

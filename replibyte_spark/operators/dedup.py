@@ -857,14 +857,75 @@ def lsh_recall(jaccard: float, n_hashes: int, bands: int) -> float:
     return 1.0 - (1.0 - jaccard ** rows) ** bands
 
 
+def _conv(a: "list[int]", b: "list[int]") -> "list[int]":
+    out = [0] * (len(a) + len(b) - 1)
+    for i, x in enumerate(a):
+        for j, y in enumerate(b):
+            out[i + j] += x * y
+    return out
+
+
+def flagged_recall(jaccard: float, n_hashes: int, bands: int,
+                   verify_threshold: float) -> float:
+    """END-TO-END P(a pair at this Jaccard gets flagged) through BOTH
+    stages of the index admit path (minhash_index_flagged_pairs): some
+    band fully agrees (candidate) AND the signature-agreement estimate
+    clears `verify_threshold`.
+
+    Model: each of the n signature components agrees independently with
+    probability J (the MinHash property).  Conditioned on exactly k
+    agreeing components, the agreeing set is a uniform k-subset, so
+    P(no band fully agrees | k) is a counting problem: the number of
+    k-subsets leaving every band incomplete is [x^k]((1+x)^r - x^r)^b
+    over C(n, k).  Summing over k >= ceil(n·t):
+
+        recall = Σ_k C(n,k) J^k (1-J)^(n-k) · P(any band complete | k)
+
+    This is what the plain S-curve (:func:`lsh_recall`) over-states: at
+    small n the verify stage is coarsely quantized (n=2, t=0.8 needs BOTH
+    components equal → recall J², not the curve's 1-(1-J)²), which is how
+    degenerate (1,1)/(2,2) configurations previously slipped through the
+    picker."""
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    import math
+
+    rows = n_hashes // bands
+    base = [math.comb(rows, j) for j in range(rows + 1)]
+    base[rows] -= 1                      # exclude the fully-agreeing band
+    poly = [1]
+    for _ in range(bands):
+        poly = _conv(poly, base)
+    k_min = math.ceil(n_hashes * verify_threshold - 1e-9)
+    total = 0.0
+    for k in range(k_min, n_hashes + 1):
+        p_k = (math.comb(n_hashes, k) * jaccard ** k
+               * (1.0 - jaccard) ** (n_hashes - k))
+        p_no_band = poly[k] / math.comb(n_hashes, k)
+        total += p_k * (1.0 - p_no_band)
+    return total
+
+
 def pick_lsh_params(threshold: float, target_recall: float = 0.9,
-                    reject_at: float | None = None,
+                    reject_at: "float | str | None" = "auto",
                     max_false_rate: float = 0.05,
-                    max_hashes: int = 128) -> "tuple[int, int]":
-    """Smallest (n_hashes, bands) whose S-curve meets the contract:
-    recall >= target_recall for pairs AT the dedup threshold, and (when
-    `reject_at` is given) candidate rate <= max_false_rate for clearly
-    dissimilar pairs at that lower similarity.
+                    max_hashes: int = 128,
+                    recall_at: float | None = None) -> "tuple[int, int]":
+    """Smallest (n_hashes, bands) meeting the END-TO-END contract:
+    :func:`flagged_recall` (candidate ∧ agreement >= `threshold`) reaches
+    `target_recall` for pairs at Jaccard `recall_at`, while the CANDIDATE
+    rate (the cost stage — every candidate pays a signature join) stays
+    <= `max_false_rate` for dissimilar pairs at `reject_at`.
+
+    `recall_at` defaults to (1+threshold)/2 — comfortably above the
+    decision boundary.  AT the boundary no finite signature can promise
+    high recall: agreement is an unbiased estimator of J, so a pair at
+    exactly J = threshold clears `agreement >= threshold` only ~half the
+    time, by construction, for any n.  `reject_at` defaults to
+    threshold/2 ("auto"); pass None to drop the rejection constraint
+    (not recommended — without it the degenerate small-n configurations
+    whose bands are single rows satisfy any recall target while making
+    EVERY colliding pair a candidate).
 
     Tuning (n_hashes, bands) is THE cost/recall decision of the MinHash
     family: more hashes sharpen the S-curve but every signature column is
@@ -874,11 +935,16 @@ def pick_lsh_params(threshold: float, target_recall: float = 0.9,
     bands (sharper low-end rejection at equal hash count).  Raises when
     no configuration within max_hashes satisfies the contract — loud,
     not a silent recall shortfall."""
+    if reject_at == "auto":
+        reject_at = threshold / 2.0
+    if recall_at is None:
+        recall_at = (1.0 + threshold) / 2.0
     best = None
     for rows in range(1, 33):
         for bands in range(1, max_hashes // rows + 1):
             n = rows * bands
-            if lsh_recall(threshold, n, bands) < target_recall:
+            if flagged_recall(recall_at, n, bands, threshold) \
+                    < target_recall:
                 continue
             if reject_at is not None and \
                     lsh_recall(reject_at, n, bands) > max_false_rate:
@@ -887,9 +953,10 @@ def pick_lsh_params(threshold: float, target_recall: float = 0.9,
                 best = (n, bands)
     if best is None:
         raise ValueError(
-            f"no (n_hashes <= {max_hashes}, bands) reaches recall "
-            f">= {target_recall} at jaccard {threshold}"
-            + (f" while rejecting >= {1 - max_false_rate:.0%} at "
+            f"no (n_hashes <= {max_hashes}, bands) reaches end-to-end "
+            f"recall >= {target_recall} at jaccard {recall_at} (verify at "
+            f"{threshold})"
+            + (f" while holding candidate rate <= {max_false_rate} at "
                f"{reject_at}" if reject_at is not None else ""))
     return best
 
@@ -956,7 +1023,12 @@ def append_minhash_index(new_docs: DataFrame, path: str,
     grows by the batch, not by a rebuild.  Caller contract: append only
     docs that PASSED admission (appending unfiltered batches would store
     duplicate signatures; ids are not checked here because the index
-    stores no global id set to check against without a scan)."""
+    stores no global id set to check against without a scan).  Note for
+    pre-r8 indexes (no fingerprints sidecar): appending CREATES the
+    sidecar covering only appended batches — the exact tier then catches
+    recrawls of appended docs but not of the original build set (those
+    still flag through the LSH tier); rebuild the index to get full
+    exact-tier coverage."""
     import os
 
     spark = new_docs.sparkSession
@@ -1126,14 +1198,23 @@ def compact_minhash_index(spark, path: str,
     batch; after thousands of batches, file listing and footer reads
     dominate every probe).  Content is byte-equivalent — only the
     file-level layout changes; the meta sidecar is untouched.  Returns
-    {subdir: (files_before, files_after)}.  Maintenance-cadence work:
-    one scan + one write per subdir, swapped in with the datastore's
-    tmp/bak dance (util.swap_directory), so concurrent readers never see
-    a missing directory."""
+    {subdir: (files_before, files_after)}.  Maintenance-cadence work with
+    probes quiesced: one scan + one write per subdir, swapped in with the
+    datastore's tmp/bak dance (util.swap_directory — a reader racing the
+    swap can observe a briefly-missing directory; see its docstring).
+    Pre-r8 indexes without the fingerprints sidecar are supported the
+    same way the admit path supports them: the absent subdir is skipped
+    (Hadoop FS existence check, so remote index paths work), and an index
+    with no signatures at all fails loudly as a contract error."""
     import os
 
-    from ..util import compact_parquet_dir
+    from ..util import compact_parquet_dir, hadoop_exists
 
+    if not hadoop_exists(spark, os.path.join(path, "signatures")):
+        raise ValueError(
+            f"no MinHash index at {path} (missing signatures/ — build one "
+            f"with `corpus index` / build_minhash_index)")
     return {sub: compact_parquet_dir(spark, os.path.join(path, sub),
                                      max_records_per_file)
-            for sub in ("signatures", "bands", "fingerprints")}
+            for sub in ("signatures", "bands", "fingerprints")
+            if hadoop_exists(spark, os.path.join(path, sub))}

@@ -52,15 +52,29 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check — the shared idiom for anything that must
+    work on s3a:// / gs:// / hdfs:// paths, where os.path.isdir is always
+    False (the datastore sinks and dedup_batch_against_index use the same
+    pattern)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def swap_directory(spark: SparkSession, final: str, write_fn) -> None:
     """Replace directory `final` with freshly-written content, single
     writer assumed: `write_fn(tmp_path)` builds the replacement beside
     it, then final → .bak, tmp → final, delete .bak — the same
     tmp/bak/rollback dance the datastore manifest writer uses
-    (sinks/datastore.py _write_bytes), so there is never a moment with
-    NO directory in place and a failed rename rolls back.  Hadoop FS
-    throughout: works for file://, hdfs:// and (with rename = copy
-    semantics) s3a:// paths."""
+    (sinks/datastore.py _write_bytes).  A failed rename rolls the old
+    directory back, and a crash mid-swap leaves either the .bak or the
+    .tmp recoverable — content is never lost.  NOT seamless for readers:
+    between rename(final → .bak) and rename(.tmp → final) the final path
+    briefly does not exist (on s3a, where rename is copy+delete, the
+    window is as long as the copy) — run compaction on a maintenance
+    cadence with probes quiesced, or retry a reader that hits a
+    missing-path error during the swap.  Hadoop FS throughout: works for
+    file://, hdfs:// and s3a:// paths."""
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(final).getFileSystem(spark._jsc.hadoopConfiguration())

@@ -308,10 +308,14 @@ def test_cli_corpus_index_auto_params(spark, tmp_path, capsys):
                  "--threshold", "0.8"], spark=spark) == 0
     out = capsys.readouterr().out
     assert "picked n_hashes=" in out and "indexed 2 docs" in out
-    from replibyte_spark.operators.dedup import (load_minhash_index_meta,
-                                                 lsh_recall)
+    from replibyte_spark.operators.dedup import (flagged_recall,
+                                                 load_minhash_index_meta)
     meta = load_minhash_index_meta(spark, idx)
-    assert lsh_recall(0.8, meta["n_hashes"], meta["bands"]) >= 0.9
+    # end-to-end contract (candidate ∧ agreement-verify), evaluated where
+    # the picker promises it: jaccard (1+t)/2 with verify at t — and the
+    # degenerate small-n configs the r8 advisor flagged stay excluded
+    assert flagged_recall(0.9, meta["n_hashes"], meta["bands"], 0.8) >= 0.9
+    assert meta["n_hashes"] // meta["bands"] >= 2
     batch = str(tmp_path / "ap_batch.parquet")
     spark.createDataFrame(
         [(10, "the quick brown fox jumps over the lazy dog today")],

@@ -825,20 +825,33 @@ def test_lsh_scurve_and_param_picker():
     assert all(a < b for a, b in zip(rs, rs[1:]))
     with pytest.raises(ValueError, match="divide"):
         DD.lsh_recall(0.5, 12, 5)
-    # picker meets its own contract
+    # end-to-end model: closed forms at small n (the r8 advisor's worked
+    # examples — the quantized verify stage the plain S-curve overstates)
+    assert abs(DD.flagged_recall(0.9, 1, 1, 0.9) - 0.9) < 1e-12
+    assert abs(DD.flagged_recall(0.8, 2, 2, 0.8) - 0.8 ** 2) < 1e-12
+    # flagged recall never exceeds candidate recall, and the verify stage
+    # actually bites (strictly below at a mid similarity)
+    assert DD.flagged_recall(0.75, 12, 4, 0.75) < DD.lsh_recall(0.75, 12, 4)
+    # picker meets its own contract (recall_at defaults to (1+t)/2 = 0.9)
     n, b = DD.pick_lsh_params(0.8, target_recall=0.95,
                               reject_at=0.3, max_false_rate=0.05)
     assert n % b == 0 and n <= 128
-    assert DD.lsh_recall(0.8, n, b) >= 0.95
+    assert DD.flagged_recall(0.9, n, b, 0.8) >= 0.95
     assert DD.lsh_recall(0.3, n, b) <= 0.05
     # minimality: no smaller hash count satisfies both constraints
     for n2 in range(1, n):
         ok = any(
             n2 % b2 == 0
-            and DD.lsh_recall(0.8, n2, b2) >= 0.95
+            and DD.flagged_recall(0.9, n2, b2, 0.8) >= 0.95
             and DD.lsh_recall(0.3, n2, b2) <= 0.05
             for b2 in range(1, n2 + 1))
         assert not ok, (n2,)
+    # the default "auto" rejection constraint (threshold/2) rules out the
+    # degenerate rows-per-band=1 configs that satisfy recall alone
+    for t in (0.7, 0.75, 0.8, 0.9):
+        na, ba = DD.pick_lsh_params(t)
+        assert na >= 4 and na // ba >= 2, (t, na, ba)
+        assert DD.lsh_recall(t / 2, na, ba) <= 0.05
     # impossible contract fails loudly
     with pytest.raises(ValueError, match="no \\(n_hashes"):
         DD.pick_lsh_params(0.5, target_recall=0.999,
@@ -968,3 +981,38 @@ def test_compact_ann_index(spark, tmp_path):
     after = {r.vec_id for r in
              S.embedding_index_admit(probe, path, threshold=0.9).collect()}
     assert before == after and 500 not in after
+
+
+def test_compact_minhash_index_pre_r8_layout(spark, tmp_path):
+    """r9 (advisor): a pre-r8 index WITHOUT the fingerprints sidecar —
+    explicitly supported by dedup_batch_against_index — compacts cleanly
+    (absent subdir skipped via Hadoop FS existence check), and a
+    non-index path fails as a ValueError (the CLI's exit-2 convention),
+    never a raw AnalysisException after a partial rewrite."""
+    import shutil
+
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_old")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    for i in range(2):
+        b = spark.createDataFrame(
+            [(100 + i, f"novel batch number {i} with distinct words")],
+            "doc_id long, text string")
+        DD.append_minhash_index(b, path)
+    shutil.rmtree(path + "/fingerprints")          # simulate a pre-r8 index
+    stats = DD.compact_minhash_index(spark, path)
+    assert set(stats) == {"signatures", "bands"}
+    assert all(na < nb for nb, na in stats.values())
+    probe = spark.createDataFrame(
+        [(500, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    assert {(r.id_new, r.id_corpus) for r in
+            DD.minhash_index_flagged_pairs(probe, path,
+                                           threshold=0.75).collect()} \
+        == {(500, 1)}
+    with pytest.raises(ValueError, match="no MinHash index"):
+        DD.compact_minhash_index(spark, str(tmp_path / "nowhere"))
