@@ -467,11 +467,25 @@ def _cmd_corpus(spark, args) -> int:
                 spark, args.index,
                 max_records_per_file=args.max_records_per_file)
         elif hadoop_exists(spark, os.path.join(args.index, "corpus")):
-            from .operators.similarity import compact_ann_index
+            from .operators.similarity import (DRIFT_REBUILD_THRESHOLD,
+                                               ann_index_drift,
+                                               compact_ann_index)
 
             stats = compact_ann_index(
                 spark, args.index,
                 max_records_per_file=args.max_records_per_file)
+            dr = ann_index_drift(spark, args.index)
+            if dr["drift"] is not None:
+                print(f"centroid drift: mean assignment cosine "
+                      f"{dr['current_mean_assign_cos']} vs "
+                      f"{dr['build_mean_assign_cos']} at build "
+                      f"(drift {dr['drift']})")
+                if dr["rebuild_recommended"]:
+                    print(f"warning: drift exceeds "
+                          f"{DRIFT_REBUILD_THRESHOLD} — frozen build "
+                          f"centroids no longer describe the corpus; "
+                          f"rebuild the index (corpus eindex) instead of "
+                          f"appending further", file=sys.stderr)
         else:
             print(f"error: no MinHash or ANN index layout at {args.index}",
                   file=sys.stderr)

@@ -594,10 +594,22 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     (spark.createDataFrame(cents, "centroid_id string, cv array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
+    # build-time mean assignment cosine — the reference point for the
+    # centroid-drift metric (:func:`ann_index_drift`): append batches are
+    # assigned against the FROZEN build centroids forever, so a drifted
+    # corpus degrades IVF recall silently unless this is watched.  One
+    # extra scan of the just-written corpus at build time, never touched
+    # again on the query path.
+    mean_cos = None
+    if cents:
+        mean_cos = (spark.read.parquet(os.path.join(path, "corpus"))
+                    .agg(F.avg(F.expr(_assign_cos_expr(vec_col, cents)))
+                         .alias("m")).collect()[0]["m"])
+        mean_cos = None if mean_cos is None else float(mean_cos)
     (spark.createDataFrame(
-        [(bits, seed, n_centroids, dim, refine_iterations)],
+        [(bits, seed, n_centroids, dim, refine_iterations, mean_cos)],
         "bits int, seed string, n_centroids int, dim int, "
-        "refine_iterations int")
+        "refine_iterations int, mean_assign_cos double")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "meta")))
     # write-through: a rebuild at the same path in one process must not
@@ -606,8 +618,29 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     # worse, admit a same-width/different-seed query against stale metadata.
     _META_CACHE[path] = {"bits": bits, "seed": seed,
                          "n_centroids": n_centroids, "dim": dim,
-                         "refine_iterations": refine_iterations}
+                         "refine_iterations": refine_iterations,
+                         "mean_assign_cos": mean_cos}
     return cents
+
+
+def _assign_cos_expr(vec_col: str, cents) -> str:
+    """Cosine between a row's vector and its ASSIGNED centroid (the
+    stored `centroid_id`), as one CASE expression over the inlined
+    centroid set — centroid norms are driver-precomputed literals, the
+    row norm reuses the stored `norm` column."""
+    import math
+
+    branches = " ".join(
+        f"WHEN centroid_id = {D.q(cid)} THEN "
+        f"({_lit_dot_sql(vec_col, cv)}) / "
+        f"(norm * {math.sqrt(sum(x * x for x in cv))!r}D)"
+        for cid, cv in cents
+        if any(x != 0 for x in cv))
+    if not branches:
+        return "CAST(NULL AS DOUBLE)"
+    # zero-norm rows (and zero centroids) yield NULL, which avg() skips —
+    # a cosine against nothing is undefined, not 0
+    return f"CASE WHEN norm > 0 THEN (CASE {branches} END) END"
 
 
 def load_ann_index(spark, path: str,
@@ -810,6 +843,62 @@ def probe_bucket_exprs(d: str, bucket: str, bits: int,
     return probes
 
 
+def rp_collision_prob(cosine: float) -> float:
+    """P(one random hyperplane leaves a pair at this cosine on the same
+    side) = 1 - θ/π (Goemans-Williamson / Charikar's SimHash bound) — the
+    hyperplane analogue of the MinHash property P(h_a = h_b) = J."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+
+
+def rp_flag_prob(cosine: float, bits: int, multi_probe: int = 0) -> float:
+    """P(a pair at this cosine becomes a candidate) under `bits` planes
+    with Hamming <= `multi_probe` probing: Σ_{j<=m} C(b,j) p^(b-j)(1-p)^j
+    where p = :func:`rp_collision_prob` (independent-plane model — the
+    same approximation the MinHash S-curve makes)."""
+    import math
+
+    p = rp_collision_prob(cosine)
+    return sum(math.comb(bits, j) * p ** (bits - j) * (1.0 - p) ** j
+               for j in range(multi_probe + 1))
+
+
+def pick_rp_params(target_cosine: float, target_recall: float = 0.8,
+                   reject_cosine: float = 0.0, max_bits: int = 16,
+                   max_probe: int = 1) -> "tuple[int, int]":
+    """(bits, multi_probe) for the hyperplane-LSH family — the embedding
+    sibling of dedup.pick_lsh_params, closing the r8 gap where the
+    MinHash side had an S-curve picker but (bits, multi_probe) were
+    hand-set.
+
+    Among configurations whose :func:`rp_flag_prob` reaches
+    `target_recall` at `target_cosine`, picks the one MINIMIZING the
+    candidate rate for dissimilar pairs at `reject_cosine` — the cost
+    that scales with the corpus (every candidate pays an exact-cosine
+    verify; for a random far pair the flag probability IS the expected
+    fraction of a balanced corpus each probe touches).  Ties prefer
+    fewer probes (each probe key multiplies the batch explode), then
+    fewer bits (shorter bucket ids, fewer partitions).  `max_probe`
+    defaults to 1 because :func:`probe_bucket_exprs` implements Hamming
+    <= 1 probing; raise it only alongside that operator.  Raises when no
+    configuration reaches the recall target — loud, not a silent recall
+    shortfall."""
+    best = None
+    for bits in range(1, max_bits + 1):
+        for m in range(0, min(max_probe, bits) + 1):
+            if rp_flag_prob(target_cosine, bits, m) < target_recall:
+                continue
+            key = (rp_flag_prob(reject_cosine, bits, m), m, bits)
+            if best is None or key < best[0]:
+                best = (key, (bits, m))
+    if best is None:
+        raise ValueError(
+            f"no (bits <= {max_bits}, multi_probe <= {max_probe}) reaches "
+            f"recall >= {target_recall} at cosine {target_cosine}")
+    return best[1]
+
+
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for a frame's optimized plan —
     COUNT-FREE (no job runs): parquet sources report file-size statistics,
@@ -853,10 +942,13 @@ def embedding_index_flagged_pairs(new_vecs: DataFrame, path: str,
 
     Recall is the LSH approximation and is stated, not hidden: an exact
     embedding copy always flags (identical bucket, Hamming 0); for
-    cosine ≈ 0.9 at 8 bits with 1-flip probing the independent-plane
-    estimate is ~0.8.  The candidate rule (shared original-or-flipped
-    bucket ⇔ Hamming ≤ 1) is deterministic, so the SQL oracle reproduces
-    the flagged set bit-exactly."""
+    near-but-not-identical pairs the flag probability is
+    :func:`rp_flag_prob` (e.g. ~0.85 at cosine 0.9 with the
+    picker-chosen 5 bits + 1-flip probing) — choose (bits, multi_probe)
+    with :func:`pick_rp_params` against a target recall at a target
+    cosine.  The candidate rule (shared original-or-flipped bucket ⇔
+    Hamming ≤ 1) is deterministic, so the SQL oracle reproduces the
+    flagged set bit-exactly."""
     spark = new_vecs.sparkSession
     meta = load_ann_index_meta(spark, path)
     bits, seed, dim = meta["bits"], meta["seed"], meta["dim"]
@@ -941,12 +1033,62 @@ def append_ann_index(new_vecs: DataFrame, path: str,
         indexed.write.mode("append").parquet(corpus_dir)
 
 
+# mean assignment cosine this far below the build-time mean ⇒ the frozen
+# build centroids no longer describe the corpus: rebuild the index (with
+# refine_iterations) instead of appending further.  0.05 is the documented
+# maintenance default — at that gap a vector's "nearest" build centroid is
+# routinely not its true nearest, so IVF n_probe recall decays.
+DRIFT_REBUILD_THRESHOLD = 0.05
+
+
+def ann_index_drift(spark, path: str) -> dict:
+    """Centroid-drift visibility for the frozen-centroid append path:
+    appended batches are assigned to BUILD-TIME centroids forever
+    (append_ann_index), so a corpus whose distribution shifts degrades
+    IVF recall silently.  Compares the corpus-wide mean assignment cosine
+    NOW (one scan over the stored layout — embedding, centroid_id and
+    norm are all in the index, nothing recomputed) against the build-time
+    mean recorded in the meta sidecar.
+
+    Returns {build_mean_assign_cos, current_mean_assign_cos, drift,
+    rebuild_recommended} — drift = build − current (positive = corpus
+    moved away from the centroids), rebuild recommended at
+    :data:`DRIFT_REBUILD_THRESHOLD`.  Pre-r9 indexes (no recorded build
+    mean) and centroid-less builds report all-None: unknown, not 0."""
+    import os
+
+    meta = load_ann_index_meta(spark, path)
+    build_mean = meta.get("mean_assign_cos")
+    cents = _collect_centroids(
+        spark.read.parquet(os.path.join(path, "centroids")))
+    if build_mean is None or not cents:
+        return {"build_mean_assign_cos": None,
+                "current_mean_assign_cos": None,
+                "drift": None, "rebuild_recommended": None}
+    vec_col = "embedding"
+    cur = (spark.read.parquet(os.path.join(path, "corpus"))
+           .agg(F.avg(F.expr(_assign_cos_expr(vec_col, cents)))
+                .alias("m")).collect()[0]["m"])
+    if cur is None:
+        return {"build_mean_assign_cos": float(build_mean),
+                "current_mean_assign_cos": None,
+                "drift": None, "rebuild_recommended": None}
+    drift = float(build_mean) - float(cur)
+    return {"build_mean_assign_cos": round(float(build_mean), 6),
+            "current_mean_assign_cos": round(float(cur), 6),
+            "drift": round(drift, 6),
+            "rebuild_recommended": drift > DRIFT_REBUILD_THRESHOLD}
+
+
 def compact_ann_index(spark, path: str,
                       max_records_per_file: int = 2_000_000) -> dict:
     """Consolidate an append-grown ANN index's corpus/ layout (the
     dedup-index compaction story applied to the embedding side);
     preserves a bucket-partitioned build's partitioning column.
-    Centroids/meta sidecars are single-file and untouched."""
+    Centroids/meta sidecars are single-file and untouched.  Compaction is
+    the maintenance cadence, so this is also where centroid drift gets
+    measured (:func:`ann_index_drift`) — the CLI surfaces the rebuild
+    recommendation alongside the file counts."""
     import os
 
     from ..util import compact_parquet_dir

@@ -629,6 +629,14 @@ register(Query("rag_chunk_ann_topk", rag_chunk_ann_topk, _rag_oracle(),
 # fixture's natural cosine range so cross-slice near-neighbors flag too.
 
 EADM_MOD, EADM_SHIFT, EADM_T = 5, 1_000_000, 0.45
+# (bits, multi_probe) via the hyperplane collision-probability picker (r9)
+# instead of hand-set values: among configs reaching 0.8 recall for pairs
+# at cosine 0.9, the minimum-candidate-rate one for orthogonal pairs.
+# The picker's model is plan-time pure math, so the oracle reproduces the
+# exact same bucket/probe rule from the same constants.
+EADM_TARGET_COS, EADM_TARGET_RECALL = 0.9, 0.8
+EADM_BITS, EADM_PROBE = S.pick_rp_params(EADM_TARGET_COS,
+                                         EADM_TARGET_RECALL)
 
 _EADM_PATHS: dict[str, str] = {}
 
@@ -641,7 +649,7 @@ def _ann_admit_index(spark: SparkSession, sf_dir: str) -> str:
 
     key = (sf_dir.strip("/").replace("/", "_") + "_"
            + _dataset_fingerprint(sf_dir, "embeddings")
-           + f"_b{BITS}adm{EADM_MOD}")
+           + f"_b{EADM_BITS}adm{EADM_MOD}")
     path = _EADM_PATHS.get(key)
     if path is None:
         path = os.path.join(tempfile.gettempdir(), f"rs_ann_adm_{key}")
@@ -649,7 +657,7 @@ def _ann_admit_index(spark: SparkSession, sf_dir: str) -> str:
         def build(tmp: str) -> None:
             corpus = (load_table(spark, sf_dir, "embeddings")
                       .filter(F.col("vec_id") % EADM_MOD != 0))
-            S.build_ann_index(corpus, tmp, bits=BITS,
+            S.build_ann_index(corpus, tmp, bits=EADM_BITS,
                               n_centroids=IVF_CENTROIDS, dim=EMB_DIM)
 
         _build_cached_dir(path, build)
@@ -675,13 +683,15 @@ def embedding_index_admit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming<=1 probe rule and cosine from the raw table."""
     path = _ann_admit_index(spark, sf_dir)
     return S.embedding_index_flagged_pairs(
-        _eadm_batch(spark, sf_dir), path, threshold=EADM_T, multi_probe=1)
+        _eadm_batch(spark, sf_dir), path, threshold=EADM_T,
+        multi_probe=EADM_PROBE)
 
 
 def _eadm_oracle() -> str:
     d = D.DUCK
-    bucket = S.rp_bucket_sql(d, "embedding", BITS, "rp", dim=EMB_DIM)
-    probes = ", ".join(S.probe_bucket_exprs(d, "bucket", BITS, 1))
+    bucket = S.rp_bucket_sql(d, "embedding", EADM_BITS, "rp", dim=EMB_DIM)
+    probes = ", ".join(S.probe_bucket_exprs(d, "bucket", EADM_BITS,
+                                            EADM_PROBE))
     cos = S.cosine_sql(d, "qe", "ce")
     return f"""
 WITH corp AS (

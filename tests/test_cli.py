@@ -422,6 +422,19 @@ def test_cli_corpus_compact(spark, tmp_path, capsys):
     assert main(["corpus", "compact",
                  "--index", str(tmp_path / "cc_nope")], spark=spark) == 2
     assert "error:" in capsys.readouterr().err
+    # ANN layout: compaction also surfaces centroid drift (r9)
+    vecs = str(tmp_path / "cc_vecs.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0, 0.2]), (2, [0.0, 1.0, 0.2, 0.0])],
+        "vec_id long, embedding array<double>").write.parquet(vecs)
+    eidx = str(tmp_path / "cc_eidx")
+    assert main(["corpus", "eindex", "-i", vecs, "-o", eidx,
+                 "--bits", "4"], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["corpus", "compact", "--index", eidx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "compacted corpus:" in out
+    assert "centroid drift: mean assignment cosine" in out
 
 
 def test_cli_corpus_score_persist_lifecycle(spark, tmp_path, capsys):

@@ -118,3 +118,100 @@ def test_embedding_index_admit_multiprobe_recall(spark, tmp_path):
         batch, path, threshold=0.9, multi_probe=0).collect()
     assert [(r.id_new, r.id_corpus) for r in with_probe] == [(20, 1)]
     assert without == []
+
+
+def test_rp_param_picker_curve_and_contract():
+    """Hyperplane collision-probability math and the (bits, multi_probe)
+    picker's contract — the embedding sibling of pick_lsh_params (r9)."""
+    import math
+
+    import pytest
+
+    from replibyte_spark.operators import similarity as S
+
+    # closed forms: p = 1 - theta/pi
+    assert abs(S.rp_collision_prob(1.0) - 1.0) < 1e-12
+    assert abs(S.rp_collision_prob(0.0) - 0.5) < 1e-12
+    assert abs(S.rp_collision_prob(-1.0)) < 1e-12
+    p9 = 1.0 - math.acos(0.9) / math.pi
+    assert abs(S.rp_collision_prob(0.9) - p9) < 1e-12
+    # flag prob: exact binomial tail at small bits
+    assert abs(S.rp_flag_prob(0.9, 2, 0) - p9 ** 2) < 1e-12
+    assert abs(S.rp_flag_prob(0.9, 2, 1)
+               - (p9 ** 2 + 2 * p9 * (1 - p9))) < 1e-12
+    # monotone in cosine at fixed config
+    probs = [S.rp_flag_prob(c / 10, 6, 1) for c in range(0, 10)]
+    assert all(a < b for a, b in zip(probs, probs[1:]))
+    # picker meets recall and minimizes the far-pair candidate rate
+    bits, m = S.pick_rp_params(0.9, 0.8)
+    assert S.rp_flag_prob(0.9, bits, m) >= 0.8
+    rate = S.rp_flag_prob(0.0, bits, m)
+    for b2 in range(1, 17):
+        for m2 in range(0, min(1, b2) + 1):
+            if S.rp_flag_prob(0.9, b2, m2) >= 0.8:
+                assert S.rp_flag_prob(0.0, b2, m2) >= rate - 1e-12
+    # multi_probe stays within what probe_bucket_exprs implements
+    assert m <= 1
+    # impossible contract fails loudly
+    with pytest.raises(ValueError, match="no \\(bits"):
+        S.pick_rp_params(0.5, 0.999, max_bits=4, max_probe=0)
+
+
+def test_ann_index_centroid_drift(spark, tmp_path):
+    """r9: the frozen-centroid append path reports drift — a deliberately
+    shifted appended batch pushes the corpus mean assignment cosine below
+    the build-time mean past the rebuild threshold; an in-distribution
+    append does not."""
+    from replibyte_spark.operators import similarity as S
+
+    # clustered build corpus: two tight clusters around e1 and e2
+    rows = [(i, [1.0, 0.05 * (i % 3), 0.0, 0.0]) for i in range(8)]
+    rows += [(10 + i, [0.0, 1.0, 0.05 * (i % 3), 0.0]) for i in range(8)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_drift")
+    S.build_ann_index(corpus, path, bits=4, n_centroids=2, dim=4)
+    base = S.ann_index_drift(spark, path)
+    assert base["drift"] is not None and abs(base["drift"]) < 1e-9
+    assert base["rebuild_recommended"] is False
+    # in-distribution append: drift stays small
+    near = spark.createDataFrame(
+        [(100 + i, [1.0, 0.02 * i, 0.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    S.append_ann_index(near, path)
+    mid = S.ann_index_drift(spark, path)
+    assert mid["rebuild_recommended"] is False
+    # shifted batch: a new cluster far from every build centroid
+    far = spark.createDataFrame(
+        [(200 + i, [0.0, 0.0, 0.1 * (i % 2), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    S.append_ann_index(far, path)
+    out = S.ann_index_drift(spark, path)
+    assert out["drift"] > S.DRIFT_REBUILD_THRESHOLD
+    assert out["rebuild_recommended"] is True
+    assert out["current_mean_assign_cos"] < out["build_mean_assign_cos"]
+
+
+def test_ann_index_drift_pre_r9_meta(spark, tmp_path):
+    """An index whose meta sidecar predates the recorded build mean
+    reports unknown (all-None), never a fabricated 0 drift."""
+    from replibyte_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ann_old_meta")
+    S.build_ann_index(corpus, path, bits=2, n_centroids=2, dim=2)
+    # rewrite meta WITHOUT the mean_assign_cos column (pre-r9 layout)
+    import os
+    meta = spark.read.parquet(os.path.join(path, "meta")) \
+        .drop("mean_assign_cos")
+    meta.write.mode("overwrite").parquet(os.path.join(path, "meta_tmp"))
+    import shutil
+    shutil.rmtree(os.path.join(path, "meta"))
+    shutil.move(os.path.join(path, "meta_tmp"), os.path.join(path, "meta"))
+    S._META_CACHE.pop(path, None)
+    out = S.ann_index_drift(spark, path)
+    assert out == {"build_mean_assign_cos": None,
+                   "current_mean_assign_cos": None,
+                   "drift": None, "rebuild_recommended": None}
