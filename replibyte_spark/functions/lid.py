@@ -52,6 +52,22 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            " y ": 2, "ción": 3, "ñ": 3, " una ": 2, "os ": 1},
     "fr": {" le ": 3, " les ": 3, " des ": 3, " est ": 2, " une ": 2,
            " et ": 2, "eau": 2, "é": 2, "è": 2, " dans ": 3},
+    # r9 additions.  Collision notes (why these weights): " de " is also
+    # a high-frequency Spanish/Portuguese/French preposition → weight 1
+    # in nl (het/een/van carry the decision); " è " also scores fr via
+    # its bare "è" gram → it anchors on " è " at 3 plus per/gli/zione;
+    # pt avoids the shared " os "-heavy route and anchors on its unique
+    # orthography (ão/ções/não) and do/da contractions es lacks.
+    "it": {" il ": 3, " di ": 3, " che ": 2, " è ": 3, " per ": 2,
+           "zione": 3, "gli": 2, " non ": 2, " con ": 1, " sono ": 2},
+    "nl": {" het ": 3, " een ": 3, " van ": 3, " niet ": 2, " de ": 1,
+           "ij": 2, " en ": 1, " op ": 1, " dat ": 1, "aa": 1},
+    "pt": {" não ": 3, "ção": 3, " do ": 2, " da ": 2, " uma ": 2,
+           " em ": 2, " para ": 2, "ão ": 2, "õe": 3, " os ": 1},
+    # Cyrillic grams collide with nothing Latin — no transliteration
+    # involved; the profile is the standard top function words
+    "ru": {" и ": 3, " не ": 3, " что ": 3, " на ": 2, " в ": 2,
+           "ть ": 2, "ый": 2, "ого": 2, " это ": 2, " он ": 1},
     "zh": {"的": 3, "是": 2, "了": 2, "我": 2, "不": 2,
            "在": 2, "人": 1, "有": 1, "他": 1, "们": 2},
 }
@@ -147,7 +163,7 @@ def identify_language(df: DataFrame, text_col: str = "text",
     text (its whitespace-collapse regexp is referenced by every
     occurrence count) and the scores array (referenced by every argmax
     branch) each land in their own column; pred/score derive from the
-    cheap 5-element array.  Spark's CollapseProject declines to
+    cheap per-language array.  Spark's CollapseProject declines to
     re-inline a non-cheap alias referenced more than once, so the
     staging survives optimization (measured 2.3 s → 1.4 s on the sf0.1
     gate; the remainder is the honest cost of ~50 replace() scans over

@@ -688,3 +688,189 @@ from . import register_fixture_preparer  # noqa: E402
 @register_fixture_preparer
 def _prepare_minhash_index_fixture(spark: SparkSession, sf_dir: str) -> None:
     _minhash_index_fixture(spark, sf_dir)
+
+
+# --- composed three-tier incremental admit (round 9) -------------------------
+# The actual 100 TB ingest path a user runs per arriving batch: exact
+# fingerprint -> MinHash band probe -> embedding admit, chained against all
+# three sidecars (operators/ingest.py).  The r8 pieces were gated
+# separately; this gates the COMPOSITION, including the tier precedence
+# (a doc rejected by a cheap tier never reaches an expensive one).
+#
+# Batch construction pairs documents with embeddings by id (the fixture's
+# vec_id range equals the doc_id range) and engineers one slice per tier:
+#   +1M: byte-identical recrawls of indexed docs        -> 'exact'
+#   +2M: novel text carrying an INDEXED doc's embedding -> 'semantic'
+#   +3M: indexed text with one appended word (fingerprint differs, most
+#        shingles shared) -> 'lexical' for most docs (agreement is
+#        deterministic per doc; the few below 0.75 fall through and flag
+#        'semantic' via their unchanged embedding — the oracle reproduces
+#        whichever tier catches each doc)
+FA_EXACT_SHIFT, FA_SEM_SHIFT, FA_LEX_SHIFT = 1_000_000, 2_000_000, 3_000_000
+FA_SEM_T = 0.45        # matches the fixture's natural cosine range
+# embeddings fixture width — asserted equal to similarity_queries.EMB_DIM
+# in tests (module-level import there would reorder query registration)
+FA_DIM = 64
+
+from ..operators import similarity as S  # noqa: E402
+
+# (bits, multi_probe) from the r9 hyperplane picker — same contract as the
+# embedding_index_admit gate: 0.8 recall at cosine 0.9, min candidate rate
+FA_BITS, FA_PROBE = S.pick_rp_params(0.9, 0.8)
+
+_FA_ANN_PATHS: dict[str, str] = {}
+
+
+def _fa_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """ANN index over the corpus slice's embeddings, keyed by doc id (the
+    composed gate's semantic sidecar; built once per dataset+params)."""
+    import os
+    import tempfile
+
+    from .pipeline import _dataset_fingerprint
+    from .similarity_queries import _build_cached_dir
+
+    key = (sf_dir.strip("/").replace("/", "_") + "_"
+           + _dataset_fingerprint(sf_dir, "embeddings")
+           + f"_fa{FA_BITS}m{MHI_MOD}")
+    path = _FA_ANN_PATHS.get(key)
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), f"rs_fa_ann_{key}")
+
+        def build(tmp: str) -> None:
+            corpus = (load_table(spark, sf_dir, "embeddings")
+                      .filter(F.col("vec_id") % MHI_MOD != 0)
+                      .select(F.col("vec_id").alias("doc_id"), "embedding"))
+            S.build_ann_index(corpus, tmp, bits=FA_BITS, id_col="doc_id",
+                              dim=FA_DIM)
+
+        _build_cached_dir(path, build)
+        _FA_ANN_PATHS[key] = path
+    return path
+
+
+def _fa_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").alias("doc_id"), "embedding"))
+    base = docs.join(emb, "doc_id")
+    m = F.col("doc_id") % MHI_MOD
+    nat = base.filter(m == 0)
+    ex = (base.filter((m == 1) & (F.col("doc_id") < 30))
+          .select((F.col("doc_id") + FA_EXACT_SHIFT).alias("doc_id"),
+                  "text", "embedding"))
+    sem = (base.filter((m == 1) & (F.col("doc_id") >= 30)
+                       & (F.col("doc_id") < 60))
+           .select((F.col("doc_id") + FA_SEM_SHIFT).alias("doc_id"),
+                   F.expr("concat('qzv novel document ', "
+                          "CAST(doc_id AS STRING), ' wvu xost')")
+                   .alias("text"),
+                   "embedding"))
+    lex = (base.filter((m == 1) & (F.col("doc_id") >= 60)
+                       & (F.col("doc_id") < 90))
+           .select((F.col("doc_id") + FA_LEX_SHIFT).alias("doc_id"),
+                   F.expr("concat(text, ' zzqx')").alias("text"),
+                   "embedding"))
+    return nat.unionByName(ex).unionByName(sem).unionByName(lex)
+
+
+def full_incremental_admit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-doc disposition through the composed admit pipeline
+    (operators/ingest.py full_incremental_admit_decisions): which tier
+    rejected it, or 'admitted'.  The oracle recomputes every tier AND the
+    tier precedence from the raw tables."""
+    from ..operators.ingest import full_incremental_admit_decisions
+
+    mh = _minhash_index_fixture(spark, sf_dir)
+    ann = _fa_ann_index(spark, sf_dir)
+    return (full_incremental_admit_decisions(
+        _fa_batch(spark, sf_dir), mh, ann,
+        lexical_threshold=MHI_THRESHOLD, semantic_threshold=FA_SEM_T,
+        multi_probe=FA_PROBE)
+        .orderBy("doc_id"))
+
+
+def _fa_oracle() -> str:
+    from ..functions.text import fingerprint_sql
+
+    d = D.DUCK
+    agree = " + ".join(f"CAST(a.h{i} = b2.h{i} AS INT)"
+                       for i in range(N_HASHES))
+    bucket = S.rp_bucket_sql(d, "embedding", FA_BITS, "rp", dim=FA_DIM)
+    probes = ", ".join(S.probe_bucket_exprs(d, "bucket", FA_BITS, FA_PROBE))
+    cos = S.cosine_sql(d, "p.embedding", "c.embedding")
+    join = "JOIN embeddings e ON e.vec_id = d.doc_id"
+    return f"""
+WITH batch AS (
+  SELECT d.doc_id, d.text, e.embedding FROM documents d {join}
+  WHERE d.doc_id % {MHI_MOD} = 0
+  UNION ALL
+  SELECT d.doc_id + {FA_EXACT_SHIFT}, d.text, e.embedding
+  FROM documents d {join}
+  WHERE d.doc_id % {MHI_MOD} = 1 AND d.doc_id < 30
+  UNION ALL
+  SELECT d.doc_id + {FA_SEM_SHIFT},
+         'qzv novel document ' || CAST(d.doc_id AS VARCHAR) || ' wvu xost',
+         e.embedding
+  FROM documents d {join}
+  WHERE d.doc_id % {MHI_MOD} = 1 AND d.doc_id >= 30 AND d.doc_id < 60
+  UNION ALL
+  SELECT d.doc_id + {FA_LEX_SHIFT}, d.text || ' zzqx', e.embedding
+  FROM documents d {join}
+  WHERE d.doc_id % {MHI_MOD} = 1 AND d.doc_id >= 60 AND d.doc_id < 90
+), cfp AS (
+  SELECT DISTINCT {fingerprint_sql(d, 'text')} AS fingerprint
+  FROM documents WHERE doc_id % {MHI_MOD} <> 0
+), exact_f AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN cfp ON {fingerprint_sql(d, 'b.text')} = cfp.fingerprint
+), surv1 AS (
+  SELECT * FROM batch
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_f)
+), {_sig_band_ctes('c', f'doc_id % {MHI_MOD} <> 0')},
+{_sig_band_ctes('n', 'TRUE', src='surv1')},
+lexcand AS (
+  SELECT DISTINCT nb.doc_id AS id_new, cb.doc_id AS id_corpus
+  FROM nbands nb JOIN cbands cb ON nb.band = cb.band AND nb.bk = cb.bk
+), lex_f AS (
+  SELECT DISTINCT id_new AS doc_id
+  FROM lexcand JOIN nsig a ON a.doc_id = id_new
+               JOIN csig b2 ON b2.doc_id = id_corpus
+  WHERE round(({agree}) / {N_HASHES}.0, 6) >= {MHI_THRESHOLD}
+), surv2 AS (
+  SELECT * FROM surv1
+  WHERE doc_id NOT IN (SELECT doc_id FROM lex_f)
+), ecorp AS (
+  SELECT vec_id AS id_corpus, embedding, {bucket} AS bucket
+  FROM embeddings WHERE vec_id % {MHI_MOD} <> 0
+), bb AS (
+  SELECT doc_id AS id_new, embedding, {bucket} AS bucket FROM surv2
+), eprobes AS (
+  SELECT id_new, embedding, unnest([{probes}]) AS bucket FROM bb
+), sem_f AS (
+  SELECT DISTINCT p.id_new AS doc_id
+  FROM eprobes p JOIN ecorp c USING (bucket)
+  WHERE {cos} >= {FA_SEM_T}
+)
+SELECT doc_id, decision FROM (
+  SELECT doc_id, 'exact' AS decision FROM exact_f
+  UNION ALL SELECT doc_id, 'lexical' FROM lex_f
+  UNION ALL SELECT doc_id, 'semantic' FROM sem_f
+  UNION ALL SELECT doc_id, 'admitted' FROM surv2
+  WHERE doc_id NOT IN (SELECT doc_id FROM sem_f)
+) ORDER BY doc_id
+"""
+
+
+# driver-visible (r9): the capstone composition takes the REGISTRY slot of
+# the redundant insert_parallel_roundtrip (third of three parser-path
+# roundtrips, now EXTRA).  bench=True: the headline ingest number — one
+# batch admitted against both prebuilt sidecars, cold-time attributed.
+register(Query("full_incremental_admit", full_incremental_admit_q,
+               _fa_oracle(), tags=("dedup", "similarity", "index",
+                                   "pipeline"), bench=True))
+
+
+@register_fixture_preparer
+def _prepare_fa_ann_index(spark: SparkSession, sf_dir: str) -> None:
+    _fa_ann_index(spark, sf_dir)

@@ -223,10 +223,14 @@ def insert_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey")
 
 
+# EXTRA since r9 (slot went to full_incremental_admit): third of three
+# parser-path roundtrips — sqldump_roundtrip gates INSERT parsing and
+# copy_parallel_roundtrip gates the parallel reader; still oracle-checked
+# by pytest
 register(Query("insert_parallel_roundtrip", insert_parallel_roundtrip,
                "SELECT s_suppkey, s_name, s_nationkey, s_acctbal "
                "FROM supplier ORDER BY s_suppkey",
-               tags=("pipeline", "parser")))
+               tags=("pipeline", "parser")), extra=True)
 
 
 def _dataset_fingerprint(sf_dir: str, table: str) -> str:

@@ -1016,3 +1016,61 @@ def test_compact_minhash_index_pre_r8_layout(spark, tmp_path):
         == {(500, 1)}
     with pytest.raises(ValueError, match="no MinHash index"):
         DD.compact_minhash_index(spark, str(tmp_path / "nowhere"))
+
+
+def test_full_incremental_admit_tiers_and_precedence(spark, tmp_path):
+    """r9 composed ingest: each tier catches its engineered doc, tier
+    precedence holds (a doc that BOTH fingerprint-matches and
+    embedding-matches is 'exact', never 'semantic'), the admitted frame
+    equals the 'admitted' decisions, and every batch doc gets exactly one
+    decision."""
+    from replibyte_spark.operators import ingest as I
+    from replibyte_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    emb = {1: [1.0, 0.2, 0.1, 0.0], 2: [0.0, 1.0, 0.0, 0.4]}
+    mh = str(tmp_path / "fa_mh")
+    ann = str(tmp_path / "fa_ann")
+    DD.build_minhash_index(corpus, mh, n_hashes=12, bands=4, n=3)
+    S.build_ann_index(
+        spark.createDataFrame([(k, v) for k, v in emb.items()],
+                              "doc_id long, embedding array<double>"),
+        ann, bits=4, id_col="doc_id", dim=4)
+    batch = spark.createDataFrame(
+        [  # exact copy of 1 AND carries 1's embedding: precedence → exact
+         (10, "The QUICK brown fox jumps over the lazy dog today", emb[1]),
+         # one appended word: fingerprint differs, shingles shared → lexical
+         (11, "pack my box with five dozen liquor jugs right now please",
+          [0.9, -0.1, 0.3, 0.2]),
+         # novel text, corpus embedding → semantic
+         (12, "entirely novel words appearing nowhere in the corpus",
+          emb[2]),
+         # novel text, novel embedding → admitted
+         (13, "qq ww ee rr tt yy uu ii oo pp aa ss dd",
+          [-1.0, -0.2, -0.8, -0.1])],
+        "doc_id long, text string, embedding array<double>")
+    dec = {r.doc_id: r.decision for r in
+           I.full_incremental_admit_decisions(
+               batch, mh, ann, lexical_threshold=0.75,
+               semantic_threshold=0.9).collect()}
+    assert dec == {10: "exact", 11: "lexical", 12: "semantic",
+                   13: "admitted"}, dec
+    admitted = I.full_incremental_admit(batch, mh, ann,
+                                        lexical_threshold=0.75,
+                                        semantic_threshold=0.9)
+    assert {r.doc_id for r in admitted.collect()} == {13}
+    assert admitted.columns == batch.columns
+
+
+def test_full_admit_gate_constants_match_similarity_fixture():
+    """The composed gate duplicates EMB_DIM locally (a module-level
+    import would reorder query registration) — lock the two constants
+    together, and its picker params to the admit gate's."""
+    from replibyte_spark.workload import dedup_queries as DQ
+    from replibyte_spark.workload import similarity_queries as SQ
+
+    assert DQ.FA_DIM == SQ.EMB_DIM
+    assert (DQ.FA_BITS, DQ.FA_PROBE) == (SQ.EADM_BITS, SQ.EADM_PROBE)
