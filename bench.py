@@ -23,9 +23,38 @@ import sys
 import time
 
 
+def load_gate(cpus: int) -> "tuple[float, bool]":
+    """Refuse to measure on a busy box: back off while the 1-min load
+    average exceeds the limit (default 0.25×cpus, env-overridable); if it
+    never settles, flag the run as load-polluted instead of silently
+    recording contended numbers (the r8 artifact was recorded at loadavg
+    6-8.9 and carried 1.3-3× pollution into the round-over-round
+    comparison).  Returns (load_limit, load_polluted)."""
+    load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT",
+                                      str(0.25 * cpus)))
+    load_retries = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "4"))
+    load_backoff = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF",
+                                        "30"))
+    for _ in range(load_retries):
+        if os.getloadavg()[0] <= load_limit:
+            break
+        print(f"# loadavg {os.getloadavg()[0]:.2f} > limit "
+              f"{load_limit:.2f}: backing off {load_backoff:.0f}s",
+              file=sys.stderr)
+        time.sleep(load_backoff)
+    load_polluted = os.getloadavg()[0] > load_limit
+    if load_polluted:
+        print(f"# WARNING: loadavg {os.getloadavg()[0]:.2f} still > "
+              f"{load_limit:.2f} after {load_retries} backoffs — recording "
+              f"anyway, flagged load_polluted", file=sys.stderr)
+    return load_limit, load_polluted
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    load_limit, load_polluted = load_gate(cpus)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # adaptive extension: when the first `runs` iterations of a query
@@ -154,8 +183,17 @@ def main() -> None:
               f"max shuffle task {straggler_ms[name]}ms", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_raw.json")
+    # the sidecar name is env-overridable so developer/judge reruns write
+    # a DIFFERENT file (e.g. bench_raw.local.json, gitignored) — the
+    # committed bench_raw.json must always describe the same run as the
+    # recorded BENCH artifact (the r8 verdict's artifact/sidecar skew)
+    sidecar_name = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
+                                  "bench_raw.json")
+    sidecar_path = (sidecar_name if os.path.isabs(sidecar_name)
+                    else os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        sidecar_name))
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     with open(sidecar_path, "w") as fh:
         json.dump({
             "raw_times": raw_times,
@@ -163,7 +201,9 @@ def main() -> None:
             "max_shuffle_task_ms": straggler_ms,
             "loadavg_start": loadavg_start,
             "loadavg_at_query": loadavg_at,
-            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "loadavg_end": loadavg_end,
+            "load_limit": round(load_limit, 2),
+            "load_polluted": load_polluted,
             "runs": runs, "extra_runs": extra_runs,
             "spread_limit": spread_limit, "cpus": cpus, "sf_dir": sf_dir,
         }, fh, indent=1)
@@ -171,15 +211,20 @@ def main() -> None:
           file=sys.stderr)
 
     # the compact summary is the FINAL stdout line (driver tail-captures
-    # ~2 KB; test_bench_contract locks the size)
-    print(json.dumps({
+    # ~2 KB; test_bench_contract locks the size).  load = [1-min loadavg
+    # at start, at end]: a clean artifact shows start under the limit.
+    summary = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "sidecar": "bench_raw.json",
-    }))
+        "load": [loadavg_start[0], loadavg_end[0]],
+        "sidecar": sidecar_name,
+    }
+    if load_polluted:
+        summary["load_polluted"] = True
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

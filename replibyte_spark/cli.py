@@ -135,6 +135,9 @@ def _build_parser() -> argparse.ArgumentParser:
     adm.add_argument("--update-index", action="store_true",
                      help="append the admitted docs into the index "
                           "(the next batch dedups against them)")
+    adm.add_argument("--verify-append", action="store_true",
+                     help="guard --update-index with an already-indexed "
+                          "id check (one probe) before writing")
     sc = csub.add_parser(
         "score", help="unigram-LM perplexity scores (statistical quality)")
     sc.add_argument("-i", "--input", required=True, help="docs to score")
@@ -176,6 +179,9 @@ def _build_parser() -> argparse.ArgumentParser:
     eadm.add_argument("--threshold", type=float, default=0.9)
     eadm.add_argument("--update-index", action="store_true",
                       help="append the admitted vectors into the index")
+    eadm.add_argument("--verify-append", action="store_true",
+                      help="guard --update-index with an already-indexed "
+                           "id check (one probe) before writing")
     cpt = csub.add_parser(
         "compact", help="consolidate an append-grown index's file layout "
                         "(MinHash or ANN, auto-detected)")
@@ -387,7 +393,8 @@ def _cmd_corpus(spark, args) -> int:
             # admitted set must be the exact rows the caller received
             append_minhash_index(admitted, args.index,
                                  id_col=args.id_col,
-                                 text_col=args.text_col)
+                                 text_col=args.text_col,
+                                 verify=args.verify_append)
             print(f"index extended with {n_out} docs -> {args.index}")
         return 0
     if args.corpus_cmd == "score":
@@ -450,7 +457,8 @@ def _cmd_corpus(spark, args) -> int:
               f"dropped at cosine >= {args.threshold})")
         if args.update_index:
             append_ann_index(admitted, args.index, id_col=args.id_col,
-                             vec_col=args.vec_col)
+                             vec_col=args.vec_col,
+                             verify=args.verify_append)
             print(f"index extended with {n_out} vectors -> {args.index}")
         return 0
     if args.corpus_cmd == "compact":

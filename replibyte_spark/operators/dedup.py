@@ -1011,7 +1011,8 @@ def build_minhash_index(docs: DataFrame, path: str, id_col: str = "doc_id",
 
 def append_minhash_index(new_docs: DataFrame, path: str,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> None:
+                         text_col: str = "text",
+                         verify: bool = False) -> None:
     """Extend a materialized MinHash index with an ADMITTED batch — the
     step after :func:`dedup_batch_against_index` that closes the ingest
     loop (admit → extend → next batch dedups against the grown corpus).
@@ -1022,8 +1023,12 @@ def append_minhash_index(new_docs: DataFrame, path: str,
     existing corpus-side files are never rewritten — at 100 TB the index
     grows by the batch, not by a rebuild.  Caller contract: append only
     docs that PASSED admission (appending unfiltered batches would store
-    duplicate signatures; ids are not checked here because the index
-    stores no global id set to check against without a scan).  Note for
+    duplicate signatures).  Ids are not checked BY DEFAULT because the
+    check costs a probe against the stored layout; `verify=True` buys
+    the operator-misuse guard — one semi-join of the batch ids against
+    the signature sidecar, raising before anything is written if any id
+    is already indexed (a re-appended batch after a crashed driver, or
+    an unfiltered batch whose dups happen to share ids).  Note for
     pre-r8 indexes (no fingerprints sidecar): appending CREATES the
     sidecar covering only appended batches — the exact tier then catches
     recrawls of appended docs but not of the original build set (those
@@ -1035,6 +1040,18 @@ def append_minhash_index(new_docs: DataFrame, path: str,
     meta = load_minhash_index_meta(spark, path)
     n_hashes, bands, n = meta["n_hashes"], meta["bands"], meta["n"]
     from ..functions.text import fingerprint_sql
+
+    if verify:
+        stored = spark.read.parquet(os.path.join(path, "signatures")) \
+            .select(id_col)
+        clash = (stored.join(new_docs.select(id_col), on=id_col,
+                             how="left_semi").limit(5).collect())
+        if clash:
+            raise ValueError(
+                f"append_minhash_index(verify=True): batch ids already "
+                f"indexed at {path} (e.g. "
+                f"{sorted(r[0] for r in clash)}) — re-appended batch or "
+                f"unfiltered admit output?")
 
     sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, n)
     sig.write.mode("append").parquet(os.path.join(path, "signatures"))

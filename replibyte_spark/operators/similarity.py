@@ -993,7 +993,8 @@ def embedding_index_admit(new_vecs: DataFrame, path: str,
 
 def append_ann_index(new_vecs: DataFrame, path: str,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> None:
+                     vec_col: str = "embedding",
+                     verify: bool = False) -> None:
     """Extend a materialized ANN index with an ADMITTED batch — the
     embedding sibling of dedup.append_minhash_index, closing the
     semantic ingest loop (embedding_index_admit → extend → next batch).
@@ -1003,14 +1004,29 @@ def append_ann_index(new_vecs: DataFrame, path: str,
     the sidecars, the same plan-time contract queries enforce), then
     parquet-APPENDED under corpus/ — existing files never rewritten.
     Centroids are NOT refit here: assignment against the frozen build
-    set keeps every stored row's cell valid; periodic re-build (with
-    refine_iterations) is the compaction story, not per-batch work.
-    Caller contract: append only vectors that passed admission."""
+    set keeps every stored row's cell valid (watch
+    :func:`ann_index_drift` for when that stops being a good idea);
+    periodic re-build (with refine_iterations) is the compaction story,
+    not per-batch work.  Caller contract: append only vectors that
+    passed admission; `verify=True` adds the operator-misuse guard — a
+    semi-join of batch ids against the stored corpus, raising before
+    anything is written if any id is already indexed."""
     import os
 
     spark = new_vecs.sparkSession
     meta = load_ann_index_meta(spark, path)
     bits, seed, dim = meta["bits"], meta["seed"], meta["dim"]
+    if verify:
+        stored = spark.read.parquet(os.path.join(path, "corpus")) \
+            .select(id_col)
+        clash = (stored.join(new_vecs.select(id_col), on=id_col,
+                             how="left_semi").limit(5).collect())
+        if clash:
+            raise ValueError(
+                f"append_ann_index(verify=True): batch ids already "
+                f"indexed at {path} (e.g. "
+                f"{sorted(r[0] for r in clash)}) — re-appended batch or "
+                f"unfiltered admit output?")
     cents = _collect_centroids(
         spark.read.parquet(os.path.join(path, "centroids")))
     indexed = (rp_lsh_buckets(new_vecs, bits, seed, vec_col, dim)

@@ -783,8 +783,13 @@ def full_incremental_admit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mh = _minhash_index_fixture(spark, sf_dir)
     ann = _fa_ann_index(spark, sf_dir)
+    # the batch lineage (documents ⋈ embeddings, 4 union branches) is
+    # exactly the "expensive batch lineage — checkpoint it yourself"
+    # case the operator documents: unpinned it re-evaluates once per
+    # tier (measured 3.3 s → 2.0 s at sf0.1)
+    batch = _fa_batch(spark, sf_dir).localCheckpoint(eager=True)
     return (full_incremental_admit_decisions(
-        _fa_batch(spark, sf_dir), mh, ann,
+        batch, mh, ann,
         lexical_threshold=MHI_THRESHOLD, semantic_threshold=FA_SEM_T,
         multi_probe=FA_PROBE)
         .orderBy("doc_id"))

@@ -1074,3 +1074,36 @@ def test_full_admit_gate_constants_match_similarity_fixture():
 
     assert DQ.FA_DIM == SQ.EMB_DIM
     assert (DQ.FA_BITS, DQ.FA_PROBE) == (SQ.EADM_BITS, SQ.EADM_PROBE)
+
+
+def test_append_verify_guards_double_append(spark, tmp_path):
+    """r9: verify=True turns the silent caller contract into a loud
+    pre-write guard — re-appending an already-indexed id raises BEFORE
+    anything is written; a fresh id appends fine on both index kinds."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    mh = str(tmp_path / "vg_mh")
+    DD.build_minhash_index(corpus, mh, n_hashes=12, bands=4, n=3)
+    fresh = spark.createDataFrame([(2, "completely new words here")],
+                                  "doc_id long, text string")
+    DD.append_minhash_index(fresh, mh, verify=True)
+    import os
+    n_sig_files = len([f for f in os.listdir(mh + "/signatures")
+                       if f.endswith(".parquet")])
+    with pytest.raises(ValueError, match="already indexed"):
+        DD.append_minhash_index(fresh, mh, verify=True)
+    # nothing was written by the refused append
+    assert len([f for f in os.listdir(mh + "/signatures")
+                if f.endswith(".parquet")]) == n_sig_files
+    ann = str(tmp_path / "vg_ann")
+    S.build_ann_index(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.2, 0.1])], "vec_id long, embedding array<double>"),
+        ann, bits=4, n_centroids=1, dim=4)
+    vfresh = spark.createDataFrame(
+        [(2, [0.0, 1.0, 0.0, 0.3])], "vec_id long, embedding array<double>")
+    S.append_ann_index(vfresh, ann, verify=True)
+    with pytest.raises(ValueError, match="already indexed"):
+        S.append_ann_index(vfresh, ann, verify=True)
