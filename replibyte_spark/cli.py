@@ -187,6 +187,31 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(MinHash or ANN, auto-detected)")
     cpt.add_argument("--index", required=True, help="index directory")
     cpt.add_argument("--max-records-per-file", type=int, default=2_000_000)
+    fadm = csub.add_parser(
+        "fulladmit",
+        help="three-tier incremental admit: exact fingerprint -> MinHash "
+             "band -> embedding, against both indexes (the per-batch "
+             "ingest path)")
+    fadm.add_argument("-i", "--input", required=True,
+                      help="batch parquet carrying id, text AND embedding")
+    fadm.add_argument("--mh-index", required=True,
+                      help="MinHash index directory (corpus index)")
+    fadm.add_argument("--ann-index", required=True,
+                      help="ANN index directory (corpus eindex)")
+    fadm.add_argument("-o", "--output", required=True,
+                      help="admitted rows parquet")
+    fadm.add_argument("--decisions", default=None,
+                      help="also write (id, decision) per batch doc here")
+    fadm.add_argument("--id-col", default="doc_id")
+    fadm.add_argument("--text-col", default="text")
+    fadm.add_argument("--vec-col", default="embedding")
+    fadm.add_argument("--lexical-threshold", type=float, default=0.8)
+    fadm.add_argument("--semantic-threshold", type=float, default=0.9)
+    fadm.add_argument("--update-index", action="store_true",
+                      help="append the admitted docs into BOTH indexes")
+    fadm.add_argument("--verify-append", action="store_true",
+                      help="guard --update-index with an already-indexed "
+                           "id check before writing")
     return p
 
 
@@ -460,6 +485,56 @@ def _cmd_corpus(spark, args) -> int:
                              vec_col=args.vec_col,
                              verify=args.verify_append)
             print(f"index extended with {n_out} vectors -> {args.index}")
+        return 0
+    if args.corpus_cmd == "fulladmit":
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import append_minhash_index
+        from .operators.ingest import full_incremental_admit_decisions
+        from .operators.similarity import append_ann_index
+
+        batch = spark.read.parquet(args.input)
+        missing = [c for c in (args.id_col, args.text_col, args.vec_col)
+                   if c not in batch.columns]
+        if missing:
+            print(f"error: column(s) not in input: {', '.join(missing)}",
+                  file=sys.stderr)
+            return 2
+        dec = full_incremental_admit_decisions(
+            batch, args.mh_index, args.ann_index, id_col=args.id_col,
+            text_col=args.text_col, vec_col=args.vec_col,
+            lexical_threshold=args.lexical_threshold,
+            semantic_threshold=args.semantic_threshold)
+        if args.decisions:
+            dec.write.mode("overwrite").parquet(args.decisions)
+            dec = spark.read.parquet(args.decisions)
+        counts = {r["decision"]: r["n"] for r in
+                  dec.groupBy("decision")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        kept = batch.join(
+            dec.filter(F.col("decision") == "admitted")
+            .select(args.id_col), on=args.id_col, how="left_semi")
+        kept.write.mode("overwrite").parquet(args.output)
+        admitted = spark.read.parquet(args.output)
+        n_out = admitted.count()
+        total = sum(counts.values())
+        tiers = ", ".join(f"{t}={counts.get(t, 0)}"
+                          for t in ("exact", "lexical", "semantic"))
+        print(f"admitted {n_out}/{total} batch docs -> {args.output} "
+              f"(rejected: {tiers})")
+        if args.decisions:
+            print(f"decisions -> {args.decisions}")
+        if args.update_index:
+            # append from the WRITTEN output (same rule as `corpus admit`)
+            append_minhash_index(admitted, args.mh_index,
+                                 id_col=args.id_col,
+                                 text_col=args.text_col,
+                                 verify=args.verify_append)
+            append_ann_index(admitted.select(args.id_col, args.vec_col),
+                             args.ann_index, id_col=args.id_col,
+                             vec_col=args.vec_col,
+                             verify=args.verify_append)
+            print(f"both indexes extended with {n_out} docs")
         return 0
     if args.corpus_cmd == "compact":
         import os

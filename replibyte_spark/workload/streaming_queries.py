@@ -365,3 +365,98 @@ ORDER BY doc_id
 register(Query("streaming_incremental_admit", streaming_incremental_admit,
                _streaming_admit_oracle(),
                tags=("streaming", "dedup", "index")), extra=True)
+
+
+def streaming_full_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 COMPOSED ingest path as a stream: each arriving micro-batch
+    flows through all three admit tiers (operators/ingest.py
+    full_incremental_admit — exact fingerprint → MinHash band →
+    embedding) against the stored MinHash + ANN sidecars via
+    foreachBatch; embeddings arrive by a stream-static join keyed on the
+    original doc id.  Admission is per-batch-vs-index, so the admitted
+    union over any micro-batch split equals the one-shot result —
+    stream ≡ batch by construction, proven by the from-scratch SQL
+    oracle (the composed gate's oracle filtered to 'admitted')."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.ingest import full_incremental_admit
+    from .dedup_queries import (FA_EXACT_SHIFT, FA_LEX_SHIFT, FA_PROBE,
+                                FA_SEM_SHIFT, FA_SEM_T, MHI_MOD,
+                                MHI_THRESHOLD, _fa_ann_index,
+                                _minhash_index_fixture)
+
+    mh = _minhash_index_fixture(spark, sf_dir)
+    ann = _fa_ann_index(spark, sf_dir)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    p = os.path.join(sf_dir, "documents.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(p))
+              .parquet(os.path.dirname(p)))
+    m = F.col("doc_id") % MHI_MOD
+    batch_stream = (
+        stream.filter(m == 0).select("doc_id", "text")
+        .unionByName(
+            stream.filter((m == 1) & (F.col("doc_id") < 30))
+            .select((F.col("doc_id") + FA_EXACT_SHIFT).alias("doc_id"),
+                    "text"))
+        .unionByName(
+            stream.filter((m == 1) & (F.col("doc_id") >= 30)
+                          & (F.col("doc_id") < 60))
+            .select((F.col("doc_id") + FA_SEM_SHIFT).alias("doc_id"),
+                    F.expr("concat('qzv novel document ', "
+                           "CAST(doc_id AS STRING), ' wvu xost')")
+                    .alias("text")))
+        .unionByName(
+            stream.filter((m == 1) & (F.col("doc_id") >= 60)
+                          & (F.col("doc_id") < 90))
+            .select((F.col("doc_id") + FA_LEX_SHIFT).alias("doc_id"),
+                    F.expr("concat(text, ' zzqx')").alias("text"))))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").alias("__orig"), "embedding"))
+    out_dir = tempfile.mkdtemp(prefix="rs_fadmit_out_")
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
+
+    def admit(mb_df, _epoch_id: int) -> None:
+        # the engineered shifts are all >= 1M and original ids < 1M, so
+        # the original id (the embedding key) is doc_id % 1M
+        joined = (mb_df.withColumn("__orig", F.col("doc_id") % 1_000_000)
+                  .join(emb, "__orig").drop("__orig"))
+        (full_incremental_admit(joined, mh, ann,
+                                lexical_threshold=MHI_THRESHOLD,
+                                semantic_threshold=FA_SEM_T,
+                                multi_probe=FA_PROBE)
+         .select("doc_id").write.mode("append").parquet(out_dir))
+
+    q = (batch_stream.writeStream.foreachBatch(admit)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    try:
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming full admit did not finish within 180s")
+        out = spark.read.parquet(out_dir)
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return snap.orderBy("doc_id")
+
+
+def _streaming_full_admit_oracle() -> str:
+    from .dedup_queries import _fa_oracle
+
+    return (f"SELECT doc_id FROM ({_fa_oracle()}) "
+            f"WHERE decision = 'admitted' ORDER BY doc_id")
+
+
+register(Query("streaming_full_admit", streaming_full_admit,
+               _streaming_full_admit_oracle(),
+               tags=("streaming", "dedup", "similarity", "index")),
+         extra=True)

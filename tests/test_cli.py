@@ -479,3 +479,67 @@ def test_cli_corpus_operator_errors_exit_2(spark, tmp_path, capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert err.startswith("error:") and "overlap" in err
+
+
+def test_cli_corpus_fulladmit(spark, tmp_path, capsys):
+    """r9: `corpus fulladmit` runs the composed three-tier admit against
+    both indexes, writes admitted rows + optional decisions, reports
+    per-tier rejection counts, and --update-index extends BOTH indexes
+    so an immediate re-admit of the same batch drops everything."""
+    from replibyte_spark.operators.dedup import build_minhash_index
+    from replibyte_spark.operators.similarity import build_ann_index
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    mh, ann = str(tmp_path / "fa_mh"), str(tmp_path / "fa_ann")
+    build_minhash_index(corpus, mh, n_hashes=12, bands=4, n=3)
+    build_ann_index(spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0]), (2, [0.0, 1.0, 0.0, 0.4])],
+        "doc_id long, embedding array<double>"),
+        ann, bits=4, id_col="doc_id", dim=4)
+    batch = str(tmp_path / "fa_batch.parquet")
+    spark.createDataFrame(
+        [(10, "THE quick  brown fox jumps over the lazy dog today",
+          [0.7, 0.1, -0.2, 0.3]),                       # exact (normalized)
+         (11, "pack my box with five dozen liquor jugs right now please",
+          [0.3, -0.4, 0.8, 0.1]),                        # lexical
+         (12, "entirely novel words appearing nowhere else",
+          [0.0, 1.0, 0.0, 0.4]),                         # semantic (copy of 2)
+         (13, "qq ww ee rr tt yy uu ii oo pp",
+          [-1.0, -0.2, -0.8, -0.1])],                    # admitted
+        "doc_id long, text string, embedding array<double>") \
+        .write.parquet(batch)
+    outp = str(tmp_path / "fa_admitted.parquet")
+    decp = str(tmp_path / "fa_decisions.parquet")
+    assert main(["corpus", "fulladmit", "-i", batch,
+                 "--mh-index", mh, "--ann-index", ann,
+                 "-o", outp, "--decisions", decp,
+                 "--lexical-threshold", "0.75",
+                 "--update-index"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "admitted 1/4 batch docs" in out
+    assert "exact=1, lexical=1, semantic=1" in out
+    assert "both indexes extended with 1 docs" in out
+    dec = {r.doc_id: r.decision
+           for r in spark.read.parquet(decp).collect()}
+    assert dec == {10: "exact", 11: "lexical", 12: "semantic",
+                   13: "admitted"}
+    assert {r.doc_id for r in spark.read.parquet(outp).collect()} == {13}
+    # the loop is closed: re-admitting the same batch drops everything
+    # (13 is now byte-identical-indexed -> exact tier)
+    outp2 = str(tmp_path / "fa_admitted2.parquet")
+    assert main(["corpus", "fulladmit", "-i", batch,
+                 "--mh-index", mh, "--ann-index", ann,
+                 "-o", outp2, "--lexical-threshold", "0.75"],
+                spark=spark) == 0
+    assert "admitted 0/4 batch docs" in capsys.readouterr().out
+    # a batch missing the embedding column errors cleanly
+    nobatch = str(tmp_path / "fa_noemb.parquet")
+    corpus.write.parquet(nobatch)
+    assert main(["corpus", "fulladmit", "-i", nobatch,
+                 "--mh-index", mh, "--ann-index", ann,
+                 "-o", str(tmp_path / "x.parquet")], spark=spark) == 2
+    assert "error: column(s) not in input: embedding" in \
+        capsys.readouterr().err

@@ -209,3 +209,59 @@ def test_embedding_admit_broadcast_is_guarded(spark, tmp_path):
     assert "BroadcastHashJoin" in hinted, hinted
     assert "BroadcastExchange" not in unhinted, unhinted
     assert ("SortMergeJoin" in unhinted) or ("ShuffledHashJoin" in unhinted)
+
+
+def test_full_admit_pins_tiers_and_scans_only_indexes(spark, tmp_path):
+    """r9 composed-admit lock, two halves.  (1) The tier flag frames are
+    eagerly pinned: the FINAL decisions plan contains ZERO parquet scans
+    — each tier's probe ran exactly once at construction time, and
+    nothing corpus-sized recomputes per downstream branch (the unpinned
+    shape re-ran every tier once per branch: 13.9 s → 3.5 s at sf0.1).
+    (2) While the tiers ran, the only parquet they read was the two
+    index layouts — the corpus tables appear in no file scan (checked
+    via the Spark UI's executed-plan history is unavailable here, so we
+    assert it on the UNPINNED composition of the same tier functions,
+    which shares every scan subtree with what the checkpoints ran)."""
+    import re
+
+    from replibyte_spark.operators import dedup as DDo
+    from replibyte_spark.operators import ingest as I
+    from replibyte_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string")
+    mh = str(tmp_path / "ps_mh")
+    ann = str(tmp_path / "ps_ann")
+    DD.build_minhash_index(corpus, mh, n_hashes=12, bands=4, n=3)
+    S.build_ann_index(
+        spark.createDataFrame(
+            [(1, [1.0, 0.2, 0.1, 0.0]), (2, [0.0, 1.0, 0.0, 0.4])],
+            "doc_id long, embedding array<double>"),
+        ann, bits=4, id_col="doc_id", dim=4)
+    batch = spark.createDataFrame(
+        [(10, "novel words here", [0.5, -0.5, 0.2, 0.9])],
+        "doc_id long, text string, embedding array<double>")
+    dec = I.full_incremental_admit_decisions(batch, mh, ann,
+                                             lexical_threshold=0.75,
+                                             semantic_threshold=0.9)
+    final = _plan(dec)
+    assert "Scan parquet" not in final, final      # tiers pre-materialized
+
+    def scan_paths(df):
+        return re.findall(
+            r"Location: InMemoryFileIndex\(\d+ paths?\)\[([^\]]*)",
+            _plan(df))
+
+    tier_scans = (
+        scan_paths(DDo.exact_index_flagged_ids(batch, mh))
+        + scan_paths(DDo.minhash_index_flagged_pairs(batch, mh,
+                                                     threshold=0.75))
+        + scan_paths(S.embedding_index_flagged_pairs(
+            batch.select("doc_id", "embedding"), ann, threshold=0.9,
+            id_col="doc_id")))
+    assert tier_scans
+    # plan toString truncates long paths — match the shared index-dir
+    # prefix: every file scan reads under an index, none from a corpus
+    assert all("/ps_" in s for s in tier_scans), tier_scans
