@@ -1107,3 +1107,67 @@ def test_append_verify_guards_double_append(spark, tmp_path):
     S.append_ann_index(vfresh, ann, verify=True)
     with pytest.raises(ValueError, match="already indexed"):
         S.append_ann_index(vfresh, ann, verify=True)
+
+
+def test_flagged_recall_matches_monte_carlo():
+    """The closed-form end-to-end recall (binomial x band-completion
+    subset counting) against a seeded simulation of the actual admit
+    rule: n iid component agreements at probability J, flagged iff some
+    band fully agrees AND agree_count/n >= threshold."""
+    import random
+
+    rng = random.Random(42)
+    for j, n, b, t in [(0.85, 12, 4, 0.75), (0.9, 15, 3, 0.8),
+                       (0.7, 20, 5, 0.6), (0.95, 10, 2, 0.9)]:
+        rows = n // b
+        hits = 0
+        trials = 20_000
+        for _ in range(trials):
+            agree = [rng.random() < j for _ in range(n)]
+            band_hit = any(all(agree[k * rows:(k + 1) * rows])
+                           for k in range(b))
+            if band_hit and sum(agree) / n >= t:
+                hits += 1
+        got = DD.flagged_recall(j, n, b, t)
+        assert abs(hits / trials - got) < 0.01, (j, n, b, t,
+                                                hits / trials, got)
+
+
+def test_rp_flag_prob_matches_monte_carlo():
+    """The hyperplane candidate-probability model (1 - theta/pi per
+    plane, binomial over Hamming <= m) against a seeded geometric
+    simulation: Gaussian hyperplanes vs vector pairs constructed at an
+    exact cosine."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 24
+
+    def unit(v):
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    def gauss_vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    for cos_t, bits, m in [(0.9, 5, 1), (0.7, 4, 0), (0.5, 6, 1)]:
+        hits = 0
+        trials = 4_000
+        for _ in range(trials):
+            a = unit(gauss_vec())
+            u = gauss_vec()
+            proj = sum(x * y for x, y in zip(u, a))
+            perp = unit([x - proj * y for x, y in zip(u, a)])
+            bvec = [cos_t * x + math.sqrt(1 - cos_t ** 2) * y
+                    for x, y in zip(a, perp)]
+            ham = 0
+            for _p in range(bits):
+                h = gauss_vec()
+                sa = sum(x * y for x, y in zip(h, a)) > 0
+                sb = sum(x * y for x, y in zip(h, bvec)) > 0
+                ham += sa != sb
+            hits += ham <= m
+        got = S.rp_flag_prob(cos_t, bits, m)
+        assert abs(hits / trials - got) < 0.025, (cos_t, bits, m,
+                                                 hits / trials, got)
