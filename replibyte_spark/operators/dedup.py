@@ -1225,8 +1225,13 @@ def compact_minhash_index(spark, path: str,
     with no signatures at all fails loudly as a contract error."""
     import os
 
-    from ..util import compact_parquet_dir, hadoop_exists
+    from ..util import compact_parquet_dir, hadoop_exists, recover_directory
 
+    # a previous compaction crashed mid-swap leaves a subdir missing with
+    # its .bak beside it — repair BEFORE the layout check, so re-running
+    # compaction is the recovery procedure
+    for sub in ("signatures", "bands", "fingerprints"):
+        recover_directory(spark, os.path.join(path, sub))
     if not hadoop_exists(spark, os.path.join(path, "signatures")):
         raise ValueError(
             f"no MinHash index at {path} (missing signatures/ — build one "

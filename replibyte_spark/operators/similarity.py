@@ -1107,9 +1107,10 @@ def compact_ann_index(spark, path: str,
     recommendation alongside the file counts."""
     import os
 
-    from ..util import compact_parquet_dir
+    from ..util import compact_parquet_dir, recover_directory
 
     corpus_dir = os.path.join(path, "corpus")
+    recover_directory(spark, corpus_dir)  # crashed previous compaction
     part = ("bucket_part"
             if "bucket_part" in spark.read.parquet(corpus_dir).columns
             else None)

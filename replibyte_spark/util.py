@@ -95,6 +95,29 @@ def swap_directory(spark: SparkSession, final: str, write_fn) -> None:
     fs.delete(P(bak), True)
 
 
+def recover_directory(spark: SparkSession, final: str) -> bool:
+    """Repair a crashed :func:`swap_directory`: a crash between
+    rename(final → .bak) and rename(.tmp → final) leaves the final path
+    missing with the .bak (old content, complete) and possibly .tmp
+    (new content, possibly partial) beside it.  Restore the .bak —
+    the old content is the only copy KNOWN complete — and drop the
+    orphan .tmp.  Returns True if a recovery was performed.  No-op when
+    the final path exists (the .bak/.tmp cleanup then belongs to the
+    next successful swap)."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(final).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, bak = final + ".tmp", final + ".bak"
+    if fs.exists(P(final)) or not fs.exists(P(bak)):
+        return False
+    if not fs.rename(P(bak), P(final)):
+        raise IOError(f"crashed-swap recovery: rename {bak} -> {final} "
+                      f"failed")
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+    return True
+
+
 def compact_parquet_dir(spark: SparkSession, path: str,
                         max_records_per_file: int = 2_000_000,
                         partition_by: "str | None" = None) -> "tuple[int, int]":
@@ -104,9 +127,13 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     make listing + footer reads dominate scan time).  Reads the current
     content, writes a consolidated copy beside it, swaps.  Returns
     (files_before, files_after).  O(one scan + one write); run it on the
-    maintenance cadence, not per batch."""
+    maintenance cadence, not per batch.  A swap crashed by a previous
+    compaction run (final missing, .bak holding the old content) is
+    repaired first (:func:`recover_directory`), so re-running compaction
+    after a crash is the recovery procedure."""
     import math
 
+    recover_directory(spark, path)
     df = spark.read.parquet(path)
     n = df.count()
     target = max(1, math.ceil(n / max_records_per_file))

@@ -1171,3 +1171,42 @@ def test_rp_flag_prob_matches_monte_carlo():
         got = S.rp_flag_prob(cos_t, bits, m)
         assert abs(hits / trials - got) < 0.025, (cos_t, bits, m,
                                                  hits / trials, got)
+
+
+def test_compact_recovers_crashed_swap(spark, tmp_path):
+    """r9: a compaction crash between the two renames (final gone, .bak
+    holding the complete old content, .tmp possibly partial) is repaired
+    by simply re-running compaction — the .bak is restored first, the
+    orphan .tmp dropped, results identical to never having crashed."""
+    import os
+    import shutil
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_crash")
+    DD.build_minhash_index(corpus, path, n_hashes=12, bands=4, n=3)
+    for i in range(2):
+        DD.append_minhash_index(spark.createDataFrame(
+            [(100 + i, f"novel batch {i} words unlike others {i}")],
+            "doc_id long, text string"), path)
+    probe = spark.createDataFrame(
+        [(500, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    before = {(r.id_new, r.id_corpus) for r in
+              DD.minhash_index_flagged_pairs(probe, path,
+                                             threshold=0.75).collect()}
+    # simulate the crash window: signatures/ renamed away to .bak, plus a
+    # half-written .tmp orphan
+    sig = os.path.join(path, "signatures")
+    shutil.move(sig, sig + ".bak")
+    os.makedirs(sig + ".tmp")
+    open(os.path.join(sig + ".tmp", "part-partial.parquet"), "wb").close()
+    stats = DD.compact_minhash_index(spark, path)
+    assert set(stats) == {"signatures", "bands", "fingerprints"}
+    assert not os.path.exists(sig + ".bak")
+    assert not os.path.exists(sig + ".tmp")
+    after = {(r.id_new, r.id_corpus) for r in
+             DD.minhash_index_flagged_pairs(probe, path,
+                                            threshold=0.75).collect()}
+    assert after == before and (500, 1) in after
