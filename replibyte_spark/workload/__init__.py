@@ -78,6 +78,7 @@ def _load_all() -> None:
         text_queries,
         dedup_queries,
         similarity_queries,
+        clustering_queries,
         skew_queries,
         analytics,
         pipeline,

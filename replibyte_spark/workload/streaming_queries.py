@@ -50,8 +50,12 @@ FROM (
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# EXTRA since round 9: still oracle-checked by pytest, but its REGISTRY
+# slot went to semantic_cluster_dedup (sliding windows are the low-risk
+# sibling of the still-gated tumbling/dedup/session/stateful streaming
+# gates — same windowed-agg family as tumbling_window_counts)
 register(Query("sliding_window_counts", sliding_window_counts_query,
-               SLIDING_ORACLE, tags=("streaming",)))
+               SLIDING_ORACLE, tags=("streaming",)), extra=True)
 
 
 def _drain_memory_sink(spark: SparkSession, q, name: str,
