@@ -182,6 +182,23 @@ def _build_parser() -> argparse.ArgumentParser:
     eadm.add_argument("--verify-append", action="store_true",
                       help="guard --update-index with an already-indexed "
                            "id check (one probe) before writing")
+    clu = csub.add_parser(
+        "cluster", help="semantic clustering over an embedding corpus: "
+                        "SemDeDup within-cluster dedup, cluster-balanced "
+                        "sampling, or a per-cluster profile")
+    clu.add_argument("--mode", choices=("semdedup", "sample", "profile"),
+                     required=True)
+    clu.add_argument("-i", "--input", required=True,
+                     help="parquet carrying id + embedding columns")
+    clu.add_argument("-o", "--output", default=None,
+                     help="survivors/sample parquet (unused for profile)")
+    clu.add_argument("--id-col", default="vec_id")
+    clu.add_argument("--vec-col", default="embedding")
+    clu.add_argument("--clusters", type=int, default=16)
+    clu.add_argument("--threshold", type=float, default=0.9,
+                     help="semdedup: within-cluster cosine dup threshold")
+    clu.add_argument("--cap", type=int, default=1000,
+                     help="sample: max rows kept per cluster")
     cpt = csub.add_parser(
         "compact", help="consolidate an append-grown index's file layout "
                         "(MinHash or ANN, auto-detected)")
@@ -590,6 +607,41 @@ def _cmd_corpus(spark, args) -> int:
                  .count().orderBy("pred_lang").collect())
         dist = ", ".join(f"{r.pred_lang}={r['count']}" for r in langs)
         print(f"labeled -> {args.output} ({dist})")
+        return 0
+    if args.corpus_cmd == "cluster":
+        from .operators import clustering as CL
+
+        df = spark.read.parquet(args.input)
+        for c in (args.id_col, args.vec_col):
+            if c not in df.columns:
+                print(f"error: column not in input: {c}", file=sys.stderr)
+                return 2
+        if args.mode == "profile":
+            _show(CL.cluster_profile(df, args.clusters,
+                                     args.id_col, args.vec_col))
+            return 0
+        if args.output is None:
+            print("error: --output required for semdedup/sample",
+                  file=sys.stderr)
+            return 2
+        if args.mode == "semdedup":
+            out = CL.semantic_cluster_dedup(df, args.threshold,
+                                            args.clusters,
+                                            args.id_col, args.vec_col)
+            out.write.mode("overwrite").parquet(args.output)
+            n_in = df.count()
+            n_out = spark.read.parquet(args.output).count()
+            print(f"kept {n_out}/{n_in} vectors -> {args.output} "
+                  f"({n_in - n_out} semantic dups removed at cosine >= "
+                  f"{args.threshold} within {args.clusters} clusters)")
+            return 0
+        out = CL.cluster_balanced_sample(df, args.cap, args.clusters,
+                                         args.id_col, args.vec_col)
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = df.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"sampled {n_out}/{n_in} vectors -> {args.output} "
+              f"(cap {args.cap} per cluster, {args.clusters} clusters)")
         return 0
     print(f"error: unknown corpus command {args.corpus_cmd}",
           file=sys.stderr)

@@ -543,3 +543,51 @@ def test_cli_corpus_fulladmit(spark, tmp_path, capsys):
                  "-o", str(tmp_path / "x.parquet")], spark=spark) == 2
     assert "error: column(s) not in input: embedding" in \
         capsys.readouterr().err
+
+
+def test_cli_corpus_cluster(spark, tmp_path, capsys):
+    """`corpus cluster --mode semdedup/sample/profile`: the semantic-
+    clustering curation trio from the shell.  Two near-identical vectors
+    land in the same cell and one is removed; the sample respects the
+    per-cluster cap; profile prints per-cell size/coherence."""
+    src = str(tmp_path / "emb.parquet")
+    base = [float(i % 7 - 3) for i in range(8)]
+    near = list(base)
+    near[0] += 0.01
+    rows = [(0, base), (1, near)] + [
+        (i, [(((i * 2654435761 + j * 40503 + i * j * 97) % 1009) / 1009.0)
+             - 0.5 for j in range(8)])
+        for i in range(2, 12)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "survivors.parquet")
+    assert main(["corpus", "cluster", "--mode", "semdedup", "-i", src,
+                 "-o", out, "--clusters", "3", "--threshold", "0.95"],
+                spark=spark) == 0
+    assert "semantic dups removed" in capsys.readouterr().out
+    ids = {r.vec_id for r in spark.read.parquet(out).collect()}
+    # exactly one of the near-identical pair survives; everyone else stays
+    assert len(ids & {0, 1}) == 1 and set(range(2, 12)) <= ids
+
+    samp = str(tmp_path / "sample.parquet")
+    assert main(["corpus", "cluster", "--mode", "sample", "-i", src,
+                 "-o", samp, "--clusters", "3", "--cap", "2"],
+                spark=spark) == 0
+    assert "cap 2 per cluster" in capsys.readouterr().out
+    got = spark.read.parquet(samp).collect()
+    per_cell: dict[str, int] = {}
+    for r in got:
+        per_cell[r.centroid_id] = per_cell.get(r.centroid_id, 0) + 1
+    assert per_cell and all(v <= 2 for v in per_cell.values())
+
+    assert main(["corpus", "cluster", "--mode", "profile", "-i", src,
+                 "--clusters", "3"], spark=spark) == 0
+    out_txt = capsys.readouterr().out
+    assert "n_members" in out_txt and "mean_cosine" in out_txt
+
+    # missing output for a writing mode and bad column fail loudly
+    assert main(["corpus", "cluster", "--mode", "semdedup", "-i", src],
+                spark=spark) == 2
+    assert main(["corpus", "cluster", "--mode", "profile", "-i", src,
+                 "--vec-col", "nope"], spark=spark) == 2
