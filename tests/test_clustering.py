@@ -117,3 +117,21 @@ def test_clustering_plan_shapes(spark, sf_dir):
     p_pairs = plan(C.semantic_cluster_dup_pairs(emb, T, N_CLUSTERS))
     assert "CartesianProduct" not in p_pairs
     assert "centroid_id" in p_pairs
+
+
+def test_semdedup_is_idempotent_under_frozen_centroids(spark, sf_dir):
+    """A survivor had no earlier >=T cluster-mate in the FULL corpus, so it
+    cannot acquire one in the survivor subset — PROVIDED the second pass
+    reuses the first pass's centroids (recomputing default centroids from
+    the survivor subset could reshuffle cells; freezing them is the same
+    contract the materialized ANN index's append path documents)."""
+    from replibyte_spark.operators.similarity import default_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [(r.centroid_id, [float(x) for x in r.cv])
+             for r in default_centroids(emb, N_CLUSTERS).collect()]
+    s1 = C.semantic_cluster_dedup(emb, T, N_CLUSTERS, centroids=cents)
+    flags2 = C.semantic_cluster_dup_pairs(s1, T, N_CLUSTERS, centroids=cents)
+    assert flags2.count() == 0
+    s2 = C.semantic_cluster_dedup(s1, T, N_CLUSTERS, centroids=cents)
+    assert s2.count() == s1.count()
