@@ -93,19 +93,31 @@ def semantic_cluster_dup_pairs(vectors: DataFrame, threshold: float,
     other similarity operator via :func:`..similarity.cosine_sql`.
     """
     from .. import dialect as D
-    from .similarity import cosine_sql
+    from .similarity import dot_sql, norm_sql
 
-    assigned = ivf_assign(vectors, n_clusters, id_col, vec_col,
-                          centroids=centroids)
-    a = assigned.select(F.col(id_col).alias("_id_a"),
-                        F.col(vec_col).alias("_v_a"),
+    # eagerly materialize the self-join input (house idiom, see
+    # embedding_near_dup_pairs_bucketed): assignment + norm compute once,
+    # not once per join side, and lazily-persisted join sides race to fill
+    # the same cache blocks.  The norm rides along so each candidate pair
+    # costs ONE fold (the dot), not three — round(dot/(na·nb), d) is the
+    # same expression tree as cosine_sql, so the DuckDB oracle's inline
+    # cosine stays bit-identical.
+    assigned = (ivf_assign(vectors, n_clusters, id_col, vec_col,
+                           centroids=centroids)
+                .select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("_v"),
                         F.col("centroid_id"),
-                        F.md5(F.col(id_col).cast("string")).alias("_m_a"))
-    b = assigned.select(F.col(id_col).alias("_id_b"),
-                        F.col(vec_col).alias("_v_b"),
-                        F.col("centroid_id"),
-                        F.md5(F.col(id_col).cast("string")).alias("_m_b"))
-    cos = F.expr(cosine_sql(D.SPARK, "_v_a", "_v_b", decimals=decimals))
+                        F.md5(F.col(id_col).cast("string")).alias("_m"),
+                        F.expr(norm_sql(D.SPARK, vec_col)).alias("_n"))
+                .localCheckpoint(eager=True))
+    a = assigned.select(F.col("_id").alias("_id_a"),
+                        F.col("_v").alias("_v_a"), F.col("centroid_id"),
+                        F.col("_m").alias("_m_a"), F.col("_n").alias("_n_a"))
+    b = assigned.select(F.col("_id").alias("_id_b"),
+                        F.col("_v").alias("_v_b"), F.col("centroid_id"),
+                        F.col("_m").alias("_m_b"), F.col("_n").alias("_n_b"))
+    cos = F.expr(f"round({dot_sql(D.SPARK, '_v_a', '_v_b')} / "
+                 f"(_n_a * _n_b), {decimals})")
     pairs = (a.join(b, "centroid_id")
               # b strictly earlier in keep-order than a
               .filter((F.col("_m_b") < F.col("_m_a")) |
