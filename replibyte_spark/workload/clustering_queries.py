@@ -12,6 +12,7 @@ row_number idiom as `_ivf_oracle` and the operators' only new semantics
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import dialect as D
 from ..catalog import load_table
@@ -150,3 +151,78 @@ GROUP BY 1 ORDER BY 1
 
 register(Query("cluster_profile", cluster_profile, _profile_oracle(),
                tags=("clustering",)), extra=True)
+
+
+# --- cluster-balanced token-budget mixing -----------------------------------
+# The semantic counterpart of token_budget_corpus_mix: equal token budgets
+# per semantic CLUSTER instead of per language/source — downsample the
+# dominant topic, keep the tail (the SemDeDup-style cluster-balancing step
+# of a training mix).  Pure composition: ivf_assign (literal argmax) ->
+# token_budget_mix (per-row hash predicate, no shuffle) -> one groupBy.
+
+CB_BUDGET = 6000
+
+
+def cluster_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count_sql
+    from ..operators.sample import token_budget_mix
+    from ..operators.similarity import _collect_centroids, default_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = _collect_centroids(default_centroids(emb, N_CLUSTERS))
+    joined = docs.join(emb, docs.doc_id == emb.vec_id) \
+                 .select("doc_id", "text", "embedding")
+    assigned = S.ivf_assign(joined, N_CLUSTERS, id_col="doc_id",
+                            vec_col="embedding", centroids=cents)
+    weights = {cid: 1.0 for cid, _ in cents}
+    kept = token_budget_mix(assigned, weights, CB_BUDGET,
+                            stratum_col="centroid_id", key_col="doc_id",
+                            salt="cmix")
+    tok = token_count_sql(D.SPARK, "text")
+    return (kept.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(f"CAST({tok} AS BIGINT)")).alias("n_tokens"))
+            .orderBy("centroid_id"))
+
+
+def _cluster_mix_oracle() -> str:
+    from ..functions.text import token_count_sql
+
+    d = D.DUCK
+    tok = token_count_sql(d, "text")
+    # equal weights over all N_CLUSTERS centroids: every cluster's budget
+    # share is the same constant, computed with the same float ops as
+    # token_budget_thresholds (total * (w / wsum))
+    share = repr(CB_BUDGET * (1.0 / N_CLUSTERS))
+    combined = (f"({D.to_str(d, 'doc_id')} || '|' || "
+                f"{D.to_str(d, 'centroid_id')})")
+    draw = D.hash_uniform_mod(d, combined, "cmix", 1_000_000)
+    return f"""
+WITH cent AS (
+  {_cent_cte()}
+), assign AS (
+  {_assign_cte(d)}
+), docs_c AS (
+  SELECT d.doc_id, d.text, a.centroid_id
+  FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+), tot AS (
+  SELECT centroid_id, sum(CAST({tok} AS BIGINT)) AS t
+  FROM docs_c GROUP BY centroid_id
+), thr AS (
+  SELECT centroid_id, CASE WHEN coalesce(t, 0) > 0 THEN
+    CAST(floor(least(1.0, {share} / t) * 1000000) AS BIGINT)
+    ELSE 0 END AS thr
+  FROM tot
+), kept AS (
+  SELECT d.* FROM docs_c d JOIN thr USING (centroid_id) WHERE {draw} < thr
+)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST({tok} AS BIGINT)) AS BIGINT) AS n_tokens
+FROM kept GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
+register(Query("cluster_budget_mix", cluster_budget_mix,
+               _cluster_mix_oracle(), tags=("clustering", "sample")),
+         extra=True)
