@@ -87,6 +87,7 @@ def _load_all() -> None:
         introspect_queries,
         corpus,
         pii_queries,
+        classifier_queries,
     )
 
 

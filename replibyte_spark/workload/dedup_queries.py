@@ -287,8 +287,13 @@ ORDER BY id_a, id_b
 """
 
 
+# EXTRA since r9: the exact shared-shingle Jaccard is the verification
+# path whose arithmetic already runs inside minhash_near_dup's verify
+# stage (jaccard_for_pairs); its driver slot went to nb_lang_classifier
+# (the model-based-filter family, previously ungated).  Still
+# oracle-checked every pytest run.
 register(Query("ngram_jaccard_pairs", ngram_jaccard, _ngram_oracle(),
-               tags=("dedup",)))
+               tags=("dedup",)), extra=True)
 
 
 # --- benchmark decontamination ----------------------------------------------
