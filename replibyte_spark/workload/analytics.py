@@ -142,8 +142,12 @@ GROUP BY r_name, n_name
 ORDER BY r_name, n_name
 """
 
+# EXTRA since r9: q5's risk surface (multi-way broadcast dim join + agg)
+# is covered by q3 + revenue_rollup in the gated set and its plan shape
+# stays locked by test_plan_shapes; the driver slot went to
+# source_overlap_sketch (dataset-overlap estimation, previously ungated).
 register(Query("q5_region_volume", q5_region_volume, Q5_ORACLE,
-               tags=("join", "agg"), bench=True))
+               tags=("join", "agg"), bench=True), extra=True)
 
 
 # --- window function: top order per customer -------------------------------

@@ -884,3 +884,72 @@ register(Query("full_incremental_admit", full_incremental_admit_q,
 @register_fixture_preparer
 def _prepare_fa_ann_index(spark: SparkSession, sf_dir: str) -> None:
     _fa_ann_index(spark, sf_dir)
+
+
+# --- sketch-based source-overlap estimation (round 9) -----------------------
+# MinHash signatures per SOURCE estimate pairwise shingle-set Jaccard from
+# one corpus scan; the exact quadratic path rides along at gate scale as
+# the accuracy reference (operators/sketch.py module docstring).
+
+OVERLAP_HASHES = 16
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import group_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_overlap_matrix(docs, "source", "text",
+                                n_hashes=OVERLAP_HASHES, n=NGRAM,
+                                exact=True)
+
+
+def _overlap_oracle() -> str:
+    d = D.DUCK
+    grams = DD.word_ngrams_sql(d, "text", NGRAM)
+    base = DD.base_hash_sql(d, "gram")
+    mins = ",\n         ".join(
+        f"min({DD.minhash_sql(d, 'bh', i)}) AS h{i}"
+        for i in range(OVERLAP_HASHES))
+    agree = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)"
+        for i in range(OVERLAP_HASHES))
+    return f"""
+WITH ex AS (
+  SELECT source, unnest({grams}) AS gram FROM documents
+), hashed AS (
+  SELECT source, {base} AS bh FROM ex
+), sigs AS (
+  SELECT source, {mins}
+  FROM hashed GROUP BY source
+), est AS (
+  SELECT x.source AS a, y.source AS b,
+         round(({agree}) / {float(OVERLAP_HASHES)}, 6) AS est_jaccard
+  FROM sigs x JOIN sigs y ON x.source < y.source
+), shd AS (
+  SELECT DISTINCT source, gram FROM ex
+), card AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM shd GROUP BY source
+), inter AS (
+  SELECT x.source AS a, y.source AS b, CAST(count(*) AS BIGINT) AS i
+  FROM shd x JOIN shd y ON x.gram = y.gram AND x.source < y.source
+  GROUP BY x.source, y.source
+), exact AS (
+  SELECT ca.source AS a, cb.source AS b,
+         CASE WHEN ca.c + cb.c - coalesce(i.i, 0) > 0
+              THEN round(coalesce(i.i, 0) * 1.0
+                         / (ca.c + cb.c - coalesce(i.i, 0)), 6) END
+           AS jaccard
+  FROM card ca JOIN card cb ON ca.source < cb.source
+  LEFT JOIN inter i ON i.a = ca.source AND i.b = cb.source
+)
+SELECT e.a, e.b, e.est_jaccard, x.jaccard
+FROM est e LEFT JOIN exact x ON x.a = e.a AND x.b = e.b
+ORDER BY e.a, e.b
+"""
+
+
+# driver-visible (r9): dataset-overlap estimation takes the slot of
+# q5_region_volume (multi-join agg surface already gated via q3 +
+# revenue_rollup; q5 stays oracle-checked in EXTRA).
+register(Query("source_overlap_sketch", source_overlap, _overlap_oracle(),
+               tags=("dedup", "sketch")))
