@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import dialect as D
+from ..functions import text as T
 from .lm import _tokens
 
 
@@ -94,9 +96,9 @@ def nb_class_scores(docs: DataFrame, model: DataFrame, priors: DataFrame,
     scoring join share it; unpersist via the frame you passed in once the
     result is materialized, or sweep with spark.catalog.clearCache().
 
-    A document with NO tokens (empty/whitespace text) still gets a row
-    per class: its score is the prior term alone — argmax degrades to the
-    majority class instead of silently dropping the document."""
+    A document with NO tokens (empty/whitespace/NULL text) still gets a
+    row per class: its score is the prior term alone — argmax degrades to
+    the majority class instead of silently dropping the document."""
     model = model.persist()
     stats = {r["label"]: int(r["t"])
              for r in model.groupBy("label")
@@ -108,21 +110,36 @@ def nb_class_scores(docs: DataFrame, model: DataFrame, priors: DataFrame,
                          "training documents) — cannot score against an "
                          "untrained model")
     total_docs = sum(int(r["n_docs"]) for r in prior_rows)
-    spark = docs.sparkSession
 
-    # per-class scalar table, inlined from EXACT INTEGERS: ln(prior/total)
-    # and ln(k/denom) are computed by each engine from the same integer
-    # literals (never shipped as pre-computed doubles), the same policy
-    # the oracle follows — see the module docstring for the algebra
-    cls = spark.createDataFrame(
-        [(r["label"], int(r["n_docs"]), stats.get(r["label"], 0))
-         for r in prior_rows],
-        "label string, n_docs long, total long")
-    denom = f"(total + {k!r}D * {vocab + 1})"
-    cls = cls.select(
-        "label",
-        F.expr(f"ln(n_docs / CAST({total_docs} AS DOUBLE))").alias("lp"),
-        F.expr(f"ln({k!r}D / {denom})").alias("lnu"))
+    # doc × class expansion as a Generate over an INLINED literal class
+    # array (classes are bounded by contract — the ivf_topk probe trick):
+    # no class-side join at all, where a tiny-table crossJoin still
+    # compiled to BroadcastNestedLoopJoin.  The struct carries EXACT
+    # INTEGERS (prior count, class token total); ln(prior/total) and
+    # ln(k/denom) are computed by each engine from the same integer
+    # literals (never shipped as pre-computed doubles), the oracle's
+    # policy too — see the module docstring for the algebra.
+    cls_arr = "array(" + ", ".join(
+        f"struct({D.q(str(r['label']))} AS label, "
+        f"{int(r['n_docs'])}L AS n_docs, "
+        f"{stats.get(r['label'], 0)}L AS total)"
+        for r in prior_rows) + ")"
+    # |d| is a PROJECTION riding the doc scan (token count of the split
+    # array), not an aggregate of the exploded token stream — the r9 plan
+    # fix: deriving it from tf duplicated the whole explode+groupBy
+    # subtree (ReuseExchange did not dedupe it) and cost an extra shuffle
+    base = (docs
+            .select(F.col(id_col), F.expr(
+                f"coalesce(CAST({T.token_count_sql(D.SPARK, text_col)} "
+                f"AS BIGINT), 0L)").alias("n_tokens"))
+            .select(F.col(id_col), "n_tokens",
+                    F.explode(F.expr(cls_arr)).alias("c"))
+            .select(F.col(id_col), "n_tokens",
+                    F.col("c.label").alias("label"),
+                    F.expr(f"ln(c.n_docs / CAST({total_docs} AS DOUBLE))")
+                    .alias("lp"),
+                    F.expr(f"ln({k!r}D / (c.total + {k!r}D * "
+                           f"{vocab + 1}))").alias("lnu")))
 
     tf = (_tokens(docs, id_col, text_col)
           .groupBy(id_col, "token")
@@ -141,14 +158,7 @@ def nb_class_scores(docs: DataFrame, model: DataFrame, priors: DataFrame,
             .agg(F.aggregate(F.array_sort(F.collect_list(entry)),
                              F.lit(0.0), lambda acc, e: acc + e["v"])
                  .alias("corr")))
-    lens = (docs.select(id_col)
-            .join(tf.groupBy(id_col).agg(F.sum("tf").alias("n_tokens")),
-                  on=id_col, how="left")
-            .fillna(0, subset=["n_tokens"]))
-    # doc × class expansion: the class table is bounded by contract, so
-    # the cross join broadcasts (|docs| × |classes| rows)
-    return (lens.crossJoin(F.broadcast(cls))
-            .join(corr, on=[id_col, "label"], how="left")
+    return (base.join(corr, on=[id_col, "label"], how="left")
             .select(F.col(id_col), F.col("label"),
                     F.round(F.col("lp") + F.col("n_tokens") * F.col("lnu")
                             + F.coalesce(F.col("corr"), F.lit(0.0)),

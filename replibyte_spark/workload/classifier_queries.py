@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from .. import dialect as D
 from ..catalog import load_table
+from ..functions import text as T
 from . import Query, register
 
 NB_MOD = 4      # doc_id % 4 == 0 -> held-out quarter (the lm.py split)
@@ -77,10 +78,10 @@ WITH tr AS (
   FROM tf JOIN model m USING (token)
   GROUP BY tf.doc_id, m.label
 ), lens AS (
-  SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens
-  FROM (SELECT doc_id FROM documents WHERE doc_id % {NB_MOD} = 0) d
-  LEFT JOIN (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
-             FROM tf GROUP BY doc_id) s USING (doc_id)
+  SELECT doc_id,
+         coalesce(CAST({T.token_count_sql(d, 'text')} AS BIGINT), 0)
+           AS n_tokens
+  FROM documents WHERE doc_id % {NB_MOD} = 0
 ), scores AS (
   SELECT l.doc_id, c.label,
          round(c.lp + l.n_tokens * c.lnu + coalesce(co.corr, 0.0), 6)
