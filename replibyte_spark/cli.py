@@ -229,6 +229,33 @@ def _build_parser() -> argparse.ArgumentParser:
     fadm.add_argument("--verify-append", action="store_true",
                       help="guard --update-index with an already-indexed "
                            "id check before writing")
+    cls = csub.add_parser(
+        "classify", help="Naive-Bayes model-based classification: train "
+                         "on a labeled corpus, predict labels for the "
+                         "input (the fastText-style model filter)")
+    cls.add_argument("-i", "--input", required=True,
+                     help="docs to classify (parquet)")
+    cls.add_argument("--train", default=None,
+                     help="labeled training corpus parquet "
+                          "(default: the input)")
+    cls.add_argument("-o", "--output", required=True)
+    cls.add_argument("--id-col", default="doc_id")
+    cls.add_argument("--text-col", default="text")
+    cls.add_argument("--label-col", default="lang",
+                     help="training label column")
+    cls.add_argument("--k", type=float, default=0.5,
+                     help="add-k smoothing constant")
+    ovl = csub.add_parser(
+        "overlap", help="MinHash-sketch pairwise Jaccard overlap between "
+                        "corpus groups (sources/shards/snapshots)")
+    ovl.add_argument("-i", "--input", required=True)
+    ovl.add_argument("--group-col", default="source")
+    ovl.add_argument("--text-col", default="text")
+    ovl.add_argument("--n-hashes", type=int, default=16)
+    ovl.add_argument("--exact", action="store_true",
+                     help="also compute the exact Jaccard column "
+                          "(quadratic distinct-gram join — verification "
+                          "scale only)")
     return p
 
 
@@ -642,6 +669,54 @@ def _cmd_corpus(spark, args) -> int:
         n_out = spark.read.parquet(args.output).count()
         print(f"sampled {n_out}/{n_in} vectors -> {args.output} "
               f"(cap {args.cap} per cluster, {args.clusters} clusters)")
+        return 0
+    if args.corpus_cmd == "classify":
+        from .operators.classify import (class_priors, nb_classify,
+                                         train_naive_bayes)
+
+        docs = spark.read.parquet(args.input)
+        train = (spark.read.parquet(args.train) if args.train else docs)
+        if args.label_col not in train.columns:
+            print(f"error: label column not in training corpus: "
+                  f"{args.label_col}", file=sys.stderr)
+            return 2
+        model = train_naive_bayes(train, label_col=args.label_col,
+                                  id_col=args.id_col,
+                                  text_col=args.text_col)
+        priors = class_priors(train, label_col=args.label_col)
+        try:
+            pred = nb_classify(docs, model, priors, k=args.k,
+                               id_col=args.id_col, text_col=args.text_col)
+            pred.write.mode("overwrite").parquet(args.output)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        finally:
+            # nb_class_scores persists the model frame (keyed on the
+            # logical plan — this reference reaches the same cache
+            # entry); sweep it or N classify calls pin N vocab-sized
+            # entries (the corpus score convention)
+            model.unpersist()
+        n = spark.read.parquet(args.output).count()
+        print(f"classified {n} docs -> {args.output} "
+              f"(columns: {args.id_col}, pred_label, score; trained on "
+              f"{args.label_col})")
+        return 0
+    if args.corpus_cmd == "overlap":
+        from .operators.sketch import group_overlap_matrix
+
+        df = spark.read.parquet(args.input)
+        for c in (args.group_col, args.text_col):
+            if c not in df.columns:
+                print(f"error: column not in input: {c}", file=sys.stderr)
+                return 2
+        try:
+            _show(group_overlap_matrix(df, args.group_col, args.text_col,
+                                       n_hashes=args.n_hashes,
+                                       exact=args.exact))
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
         return 0
     print(f"error: unknown corpus command {args.corpus_cmd}",
           file=sys.stderr)

@@ -591,3 +591,57 @@ def test_cli_corpus_cluster(spark, tmp_path, capsys):
                 spark=spark) == 2
     assert main(["corpus", "cluster", "--mode", "profile", "-i", src,
                  "--vec-col", "nope"], spark=spark) == 2
+
+
+def test_cli_corpus_classify(spark, tmp_path, capsys):
+    """`corpus classify` trains NB on a labeled corpus and predicts
+    labels for the input; persist lifecycle swept; error convention on a
+    missing label column and an all-NULL label corpus."""
+    train = str(tmp_path / "nbtrain.parquet")
+    spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran", "en")
+         for i in range(10)]
+        + [(10 + i, "le chat est sur le tapis et le chien court", "fr")
+           for i in range(10)],
+        "doc_id long, text string, lang string").write.parquet(train)
+    docs = str(tmp_path / "nbdocs.parquet")
+    spark.createDataFrame(
+        [(100, "the cat and the dog sat"), (101, "le chat et le chien")],
+        "doc_id long, text string").write.parquet(docs)
+    out = str(tmp_path / "nbpred.parquet")
+    assert main(["corpus", "classify", "-i", docs, "--train", train,
+                 "-o", out], spark=spark) == 0
+    assert "classified 2 docs" in capsys.readouterr().out
+    rows = {r.doc_id: r.pred_label
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {100: "en", 101: "fr"}
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert main(["corpus", "classify", "-i", docs, "--train", train,
+                 "-o", out, "--label-col", "nope"], spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
+    # labeled column exists but is all NULL -> empty priors -> error: exit
+    nulltrain = str(tmp_path / "nbnull.parquet")
+    spark.createDataFrame([(1, "a b", None)],
+                          "doc_id long, text string, lang string") \
+        .write.parquet(nulltrain)
+    assert main(["corpus", "classify", "-i", docs, "--train", nulltrain,
+                 "-o", out], spark=spark) == 2
+    assert "priors are empty" in capsys.readouterr().err
+
+
+def test_cli_corpus_overlap(spark, tmp_path, capsys):
+    """`corpus overlap` prints the pairwise sketch matrix (+ exact with
+    --exact); missing columns follow the error convention."""
+    src = str(tmp_path / "ovl.parquet")
+    text = "alpha beta gamma delta epsilon zeta"
+    spark.createDataFrame(
+        [(1, "s1", text), (2, "s2", text),
+         (3, "s3", "one two three four five six")],
+        "doc_id long, source string, text string").write.parquet(src)
+    assert main(["corpus", "overlap", "-i", src, "--exact"],
+                spark=spark) == 0
+    got = capsys.readouterr().out
+    assert "est_jaccard" in got and "jaccard" in got and "1.0" in got
+    assert main(["corpus", "overlap", "-i", src,
+                 "--group-col", "nope"], spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
