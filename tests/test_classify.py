@@ -116,3 +116,37 @@ def test_model_broadcast_guard(labeled):
     # must disappear under the limit -> strictly fewer hints
     assert hinted.count("UnresolvedHint BROADCAST") == 0  # resolved plans
     assert hinted.count("broadcast") > unhinted.count("broadcast")
+
+
+def test_bag_of_words_token_order_invariance(spark):
+    """NB is a bag-of-words model: permuting a document's tokens must not
+    change any class score (the fold is sorted by token, not position)."""
+    train = spark.createDataFrame(
+        [(1, "red green blue red", "a"), (2, "cyan magenta yellow", "b")],
+        "doc_id long, text string, lang string")
+    model = train_naive_bayes(train, "lang")
+    priors = class_priors(train, "lang")
+    d1 = spark.createDataFrame([(10, "red blue green cyan")],
+                               "doc_id long, text string")
+    d2 = spark.createDataFrame([(10, "cyan green blue red")],
+                               "doc_id long, text string")
+    s1 = sorted(map(tuple, nb_class_scores(d1, model, priors).collect()))
+    s2 = sorted(map(tuple, nb_class_scores(d2, model, priors).collect()))
+    assert s1 == s2
+
+
+def test_training_partitioning_invariance(spark):
+    """Counting-based training must be independent of input partitioning
+    (the bit-determinism claim): same corpus at 1 vs 7 partitions yields
+    the identical model and identical scores."""
+    rows = [(i, f"tok{i % 5} tok{i % 3} shared", "x" if i % 2 else "y")
+            for i in range(40)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    b = a.repartition(7)
+    docs = spark.createDataFrame([(99, "tok1 shared tok2")],
+                                 "doc_id long, text string")
+    sa = sorted(map(tuple, nb_class_scores(
+        docs, train_naive_bayes(a, "lang"), class_priors(a, "lang")).collect()))
+    sb = sorted(map(tuple, nb_class_scores(
+        docs, train_naive_bayes(b, "lang"), class_priors(b, "lang")).collect()))
+    assert sa == sb

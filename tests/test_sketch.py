@@ -85,3 +85,28 @@ def test_n_hashes_cap(spark):
         assert "n_hashes" in str(e)
     else:
         raise AssertionError("expected ValueError for n_hashes > family")
+
+
+def test_signature_doc_partition_invariance(spark):
+    """The group signature is a set-level min: splitting a group's text
+    across more docs (or partitions) must not change it."""
+    text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    one = _mk(spark, [(1, "g", text)])
+    # same token stream split across two docs with overlapping windows
+    many = _mk(spark, [(1, "g", "w1 w2 w3 w4 w5"),
+                       (2, "g", "w3 w4 w5 w6 w7 w8")]).repartition(5)
+    s1 = sorted(map(tuple, group_minhash_signatures(one, "source").collect()))
+    s2 = sorted(map(tuple, group_minhash_signatures(many, "source").collect()))
+    assert s1 == s2
+
+
+def test_estimate_is_agreement_fraction(spark):
+    """est_jaccard must equal (agreeing hashes)/n_hashes computed from the
+    signatures themselves — locks the arithmetic, not just the oracle."""
+    df = _mk(spark, [(1, "g1", "a b c d e f"), (2, "g2", "c d e f g h")])
+    sigs = {r["source"]: [r[f"h{i}"] for i in range(16)]
+            for r in group_minhash_signatures(df, "source").collect()}
+    agree = sum(x == y for x, y in zip(sigs["g1"], sigs["g2"]))
+    est = sketch_overlap_pairs(
+        group_minhash_signatures(df, "source"), "source").collect()[0]
+    assert est["est_jaccard"] == round(agree / 16, 6)
