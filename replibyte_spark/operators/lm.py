@@ -115,3 +115,102 @@ def perplexity_scores(docs: DataFrame, lm: DataFrame,
         F.col(id_col), F.col("n_tokens"),
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity")))
+
+
+# ---------------------------------------------------------------------------
+# bigram LM (round 9) — one order up from the unigram restatement
+# ---------------------------------------------------------------------------
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) one row per token TRANSITION: 'prev next' strings from
+    the lowercased whitespace token stream (the dedup module's 2-gram
+    builder over the lm tokenizer — tokens never contain whitespace, so
+    the space join is unambiguous)."""
+    from ..operators.dedup import word_ngrams_from_tokens_sql
+
+    toks = D.split_ws(D.SPARK, f"lower({text_col})")
+    with_toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
+                 .select(F.col(id_col), F.expr(toks).alias("__toks")))
+    grams = F.expr(word_ngrams_from_tokens_sql(D.SPARK, "__toks", 2))
+    return (with_toks.select(F.col(id_col), F.explode(grams).alias("gram"))
+            .filter(~F.col("gram").rlike("^ | $|^$")))
+
+
+def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(gram, prev, n) bigram-transition counts over the training corpus —
+    the CCNet quality signal one order above :func:`train_unigram_lm`
+    (the real thing is a 5-gram Kneser-Ney KenLM; add-k bigrams are the
+    restatement whose training AND scoring stay exactly SQL-replayable,
+    ranking in the same direction).  One word-count-shaped aggregation;
+    `prev` (the conditioning token) is carried as a column so the scorer
+    can aggregate context totals without re-splitting."""
+    return (_bigrams(docs, id_col, text_col)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("prev", F.expr("substring_index(gram, ' ', 1)")))
+
+
+def bigram_perplexity_scores(docs: DataFrame, lm: DataFrame,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             k: float = 0.5,
+                             broadcast_vocab_limit: int = 5_000_000
+                             ) -> DataFrame:
+    """(id, n_transitions, cross_entropy, perplexity) per document under
+    the bigram model with add-k smoothing:
+
+        p(next | prev) = (c(prev next) + k) / (c(prev ·) + k·(vocab + 1))
+
+    where c(prev ·) is the count of transitions LEAVING `prev` and vocab
+    the distinct next-token count — an unseen context degrades to the
+    uniform 1/(vocab+1) floor, an unseen transition from a known context
+    to k/denom.  Documents with fewer than two tokens have no transitions
+    and report NULL entropy (undefined, not 0).  Same determinism
+    contract as :func:`perplexity_scores` (sorted fold, rounded after);
+    same persist-lifecycle CALLER CONTRACT (the model frame is persisted
+    here — unpersist the frame you passed in once the result is
+    materialized); same guarded broadcast (model and context tables are
+    vocabulary-bounded, hinted only under `broadcast_vocab_limit`)."""
+    lm = lm.persist()
+    ctx = (lm.groupBy("prev").agg(F.sum("n").alias("c")))
+    stats = lm.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct(F.expr("substring_index(gram, ' ', -1)"))
+        .alias("vocab")).collect()[0]
+    if not int(stats["pairs"]):
+        raise ValueError(
+            "bigram LM is empty (training corpus had no token "
+            "transitions) — cannot score against it")
+    vocab = int(stats["vocab"])
+    denom_tail = f"{k!r}D * {vocab + 1}"
+    small = int(stats["pairs"]) <= broadcast_vocab_limit
+    lm_side = F.broadcast(lm) if small else lm
+    ctx_side = F.broadcast(ctx) if small else ctx
+    tf = (_bigrams(docs, id_col, text_col)
+          .groupBy(id_col, "gram")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+          .withColumn("prev", F.expr("substring_index(gram, ' ', 1)")))
+    joined = (tf.join(lm_side.select("gram", "n"), on="gram", how="left")
+              .join(ctx_side, on="prev", how="left")
+              .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+              .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
+    nll = (F.col("tf") *
+           -F.log((F.col("n") + F.lit(k)) /
+                  (F.col("c") + F.expr(denom_tail))))
+    entry = F.struct(F.col("gram"), nll.alias("v"))
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.sum("tf").cast("long").alias("n_transitions"),
+                    F.aggregate(F.array_sort(F.collect_list(entry)),
+                                F.lit(0.0),
+                                lambda acc, e: acc + e["v"])
+                    .alias("__nll")))
+    ce = F.col("__nll") / F.col("n_transitions")
+    scored = per_doc.select(
+        F.col(id_col), F.col("n_transitions"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"))
+    # transition-less docs (0 or 1 tokens) still get a row — NULL metrics
+    base = docs.select(id_col)
+    return (base.join(scored, on=id_col, how="left")
+            .withColumn("n_transitions",
+                        F.coalesce(F.col("n_transitions"), F.lit(0))))

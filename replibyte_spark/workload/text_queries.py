@@ -616,3 +616,70 @@ FROM kept GROUP BY pred_lang ORDER BY pred_lang
 register(Query("language_mix_budget", language_mix_budget,
                _language_mix_oracle(), tags=("text", "lid", "sample")),
          extra=True)
+
+
+# --- bigram LM perplexity (round 9) ------------------------------------------
+# one order above the unigram restatement: transition-level statistical
+# quality (CCNet's KenLM direction) with the same deterministic-fold /
+# exact-oracle contract.  Same split and smoothing as the unigram gate.
+
+def bigram_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_perplexity_scores, train_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % LM_MOD != 0)
+    held = docs.filter(F.col("doc_id") % LM_MOD == 0)
+    lm = train_bigram_lm(train)
+    return (bigram_perplexity_scores(held, lm, k=LM_K)
+            .orderBy("doc_id"))
+
+
+def _bigram_perplexity_oracle() -> str:
+    from ..operators.dedup import word_ngrams_sql
+
+    d = D.DUCK
+    grams = word_ngrams_sql(d, "lower(text)", 2)
+    return f"""
+WITH tr AS (
+  SELECT unnest({grams}) AS gram FROM documents
+  WHERE doc_id % {LM_MOD} <> 0
+), lm AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n FROM tr
+  WHERE NOT regexp_matches(gram, '^ | $|^$') GROUP BY gram
+), ctx AS (
+  SELECT split_part(gram, ' ', 1) AS prev, CAST(sum(n) AS BIGINT) AS c
+  FROM lm GROUP BY 1
+), stats AS (
+  SELECT count(DISTINCT split_part(gram, ' ', 2)) AS v FROM lm
+), ht AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+  WHERE doc_id % {LM_MOD} = 0
+), tf AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf FROM ht
+  WHERE NOT regexp_matches(gram, '^ | $|^$') GROUP BY doc_id, gram
+), j AS (
+  SELECT tf.doc_id, tf.gram, tf.tf,
+         coalesce(lm.n, 0) AS n, coalesce(ctx.c, 0) AS c
+  FROM tf LEFT JOIN lm USING (gram)
+  LEFT JOIN ctx ON ctx.prev = split_part(tf.gram, ' ', 1)
+), contrib AS (
+  SELECT doc_id, gram, tf,
+         tf * -ln((n + {LM_K}) / (c + {LM_K} * (v + 1))) AS v
+  FROM j, stats
+), folded AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+         list_reduce(list(v ORDER BY gram), (a, b) -> a + b) AS nll
+  FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.n_transitions, 0) AS n_transitions,
+       round(f.nll / f.n_transitions, 6) AS cross_entropy,
+       round(exp(f.nll / f.n_transitions), 6) AS perplexity
+FROM (SELECT doc_id FROM documents WHERE doc_id % {LM_MOD} = 0) d
+LEFT JOIN folded f USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+register(Query("bigram_heldout_perplexity", bigram_heldout_perplexity,
+               _bigram_perplexity_oracle(), tags=("text", "lm")),
+         extra=True)

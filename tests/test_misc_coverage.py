@@ -314,3 +314,64 @@ def test_subword_token_count_semantics(spark):
     # don / 't / stop / me / now / !   |   3 / . / 14 / is / pi
     assert rows[1] == 6 and rows[2] == 5 and rows[3] == 2
     assert rows[4] == 0 and rows[5] is None and rows[6] == 0
+
+
+def test_bigram_perplexity_ranks_transition_scramble(spark):
+    """The bigram LM sees what the unigram CANNOT: a doc built from
+    familiar tokens in unfamiliar ORDER.  Both docs below have identical
+    unigram stats vs the training corpus; only transition-level scoring
+    separates them."""
+    import math
+
+    from replibyte_spark.operators.lm import (bigram_perplexity_scores,
+                                              train_bigram_lm,
+                                              train_unigram_lm,
+                                              perplexity_scores)
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id long, text string")
+    held = spark.createDataFrame(
+        [(1000, "the cat sat on the mat"),     # training word order
+         (1001, "mat the on sat cat the")],    # same bag, scrambled
+        "doc_id long, text string")
+    uni = {r.doc_id: r.perplexity
+           for r in perplexity_scores(held, train_unigram_lm(train)).collect()}
+    assert uni[1000] == uni[1001]              # unigram is blind to order
+    bi = {r.doc_id: r for r in
+          bigram_perplexity_scores(held, train_bigram_lm(train)).collect()}
+    assert bi[1000].perplexity < bi[1001].perplexity / 2
+    assert math.isfinite(bi[1001].perplexity)
+    assert bi[1000].n_transitions == 5
+
+
+def test_bigram_perplexity_short_docs_report_null(spark):
+    """Zero- and one-token docs have no transitions: a row with
+    n_transitions=0 and NULL entropy — undefined, not fabricated 0."""
+    from replibyte_spark.operators.lm import (bigram_perplexity_scores,
+                                              train_bigram_lm)
+
+    train = spark.createDataFrame([(1, "a b c a b")],
+                                  "doc_id long, text string")
+    held = spark.createDataFrame(
+        [(10, "a b c"), (11, "single"), (12, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bigram_perplexity_scores(held, train_bigram_lm(train)).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10].n_transitions == 2 and out[10].perplexity is not None
+    for d in (11, 12):
+        assert out[d].n_transitions == 0
+        assert out[d].cross_entropy is None and out[d].perplexity is None
+
+
+def test_bigram_empty_lm_fails_loudly(spark):
+    from replibyte_spark.operators.lm import (bigram_perplexity_scores,
+                                              train_bigram_lm)
+
+    train = spark.createDataFrame([(1, "single")], "doc_id long, text string")
+    lm = train_bigram_lm(train)   # one token -> zero transitions
+    docs = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no token transitions"):
+        bigram_perplexity_scores(docs, lm)
