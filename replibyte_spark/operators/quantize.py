@@ -1,0 +1,133 @@
+"""Scalar (int8) embedding quantization — the ANN storage/bandwidth lever.
+
+At 100 TB the embedding column IS the dataset: a 1024-dim float32 vector
+is 4 KB/row, and the ANN scan's cost is bytes moved.  Symmetric per-vector
+scalar quantization stores `q[i] = round(x[i]/scale)` as int8 with one
+float `scale = max|x|/127` per vector — 4× smaller, and the candidate
+scan's dot products become integer arithmetic.  The standard deployment
+(FAISS SQ8, public knowledge) is two-phase: score candidates on the
+quantized representation, then RE-RANK the survivors exactly — which is
+how :func:`quantized_brute_topk` is built, so the approximation can only
+affect which candidates are considered, never the reported cosine.
+
+Everything is deterministic and dialect-shared: rounding is an explicit
+`floor(x/scale + 0.5)` (round-half-toward-+inf — stated policy; the
+engines' native round() half-rule is NOT relied on), the integer dot is
+exact BIGINT in both engines, and the approximate cosine reuses the
+STORED exact norm so the only approximation is the quantized dot.
+column-pruning note: with (q, qscale, norm) materialized in a parquet
+layout, the candidate scan reads ~1/4 the bytes of the fp column and the
+re-rank joins the fp embeddings of candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import dialect as D
+from ..util import fan_out
+from .similarity import dot_sql, norm_sql
+
+Q_MAX = 127  # int8 symmetric range
+
+
+def qscale_sql(d: str, vec: str) -> str:
+    """Per-vector quantization scale max|x|/127 (0.0 for a zero vector)."""
+    if d == D.SPARK:
+        mx = f"array_max(transform({vec}, x -> abs(CAST(x AS DOUBLE))))"
+    else:
+        mx = f"list_max(list_transform({vec}, x -> abs(CAST(x AS DOUBLE))))"
+    return f"({mx} / {float(Q_MAX)!r})"
+
+
+def quantize_sql(d: str, vec: str, scale: str) -> str:
+    """int8 code array: floor(x/scale + 0.5), zero-scale → all-zero codes.
+    The explicit floor(+0.5) is the SHARED rounding policy — engine-native
+    round() half-rules differ and would silently diverge the codes."""
+    body = f"CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS INT)"
+    if d == D.SPARK:
+        return (f"CASE WHEN {scale} = 0.0 THEN "
+                f"transform({vec}, x -> 0) "
+                f"ELSE transform({vec}, x -> {body}) END")
+    return (f"CASE WHEN {scale} = 0.0 THEN "
+            f"list_transform({vec}, x -> 0) "
+            f"ELSE list_transform({vec}, x -> {body}) END")
+
+
+def int_dot_sql(d: str, a: str, b: str) -> str:
+    """Σ a[i]·b[i] over int code arrays — EXACT (BIGINT, order-free)."""
+    if d == D.SPARK:
+        return (f"aggregate(transform(sequence(1, size({a})), "
+                f"i -> CAST(element_at({a}, i) AS BIGINT) * "
+                f"CAST(element_at({b}, i) AS BIGINT)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    return (f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)))")
+
+
+def quantize_vectors(vectors: DataFrame, vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """vectors + (`q` int8-code array, `qscale`, `norm`) — one codegen
+    projection riding the scan; at ingest time this is what you PERSIST
+    so every later candidate scan reads the 1-byte codes, not the floats."""
+    scale = qscale_sql(D.SPARK, vec_col)
+    return (fan_out(vectors)
+            .withColumn("qscale", F.expr(scale))
+            .withColumn("q", F.expr(quantize_sql(D.SPARK, vec_col, "qscale")))
+            .withColumn("norm", F.expr(norm_sql(D.SPARK, vec_col))))
+
+
+def quantized_brute_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                         expand: int = 4, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact-rescored top-k via an int8 candidate scan: score all pairs on
+    quantized codes (integer dot × the two scales, over stored norms),
+    keep the top k·expand candidates per query, then re-rank ONLY those
+    exactly.  Returns (query_id, neighbor_id, cosine, rank) with the same
+    contract as :func:`~.similarity.brute_force_topk` — reported cosines
+    are exact; `expand` dials the recall/bandwidth trade (the unit tests
+    measure recall vs the exact path on the fixture).
+
+    A corpus already carrying (q, qscale, norm) — e.g. persisted by
+    :func:`quantize_vectors` at ingest — is consumed as-is; the fp
+    embedding is touched only in the candidate re-rank join.  Zero-norm
+    rows are excluded on both sides (the family-wide policy)."""
+    need = {"q", "qscale", "norm"}
+    v = vectors if need <= set(vectors.columns) \
+        else quantize_vectors(vectors, vec_col)
+    # the candidate scan reads CODES ONLY — the fp column enters the plan
+    # exclusively through the candidate re-rank join below (with a
+    # materialized (q, qscale, norm) layout, parquet column pruning makes
+    # this the 4× bandwidth win; asserted by the plan-shape test)
+    v = (v.select(F.col(id_col).alias("neighbor_id"), "q", "qscale",
+                  F.col("norm").alias("nn"))
+         .filter(F.col("nn") > 0))
+    q = (quantize_vectors(queries, vec_col)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qv"),
+                 F.col("q").alias("qq"), F.col("qscale").alias("qs"),
+                 F.col("norm").alias("qn"))
+         .filter(F.col("qn") > 0))
+    approx = (F.broadcast(q).crossJoin(v)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("approx", F.expr(
+                  f"qs * qscale * CAST({int_dot_sql(D.SPARK, 'qq', 'q')} "
+                  f"AS DOUBLE) / (qn * nn)")))
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"),
+                                                F.asc("neighbor_id"))
+    cand = (approx.withColumn("arn", F.row_number().over(wa))
+            .filter(F.col("arn") <= k * expand)
+            .select("query_id", "neighbor_id", "qv", "qn", "nn"))
+    nvs = vectors.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nv"))
+    rescored = cand.join(nvs, on="neighbor_id").withColumn(
+        "cosine", F.expr(
+            f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+            .orderBy("query_id", "rank"))

@@ -728,3 +728,64 @@ register(Query("embedding_index_admit", embedding_index_admit_pairs,
 @register_fixture_preparer
 def _prepare_ann_admit_index(spark: SparkSession, sf_dir: str) -> None:
     _ann_admit_index(spark, sf_dir)
+
+
+# --- int8-quantized candidate scan + exact re-rank (round 9) -----------------
+# the ANN storage/bandwidth lever (operators/quantize.py): candidates are
+# scored on int8 codes (integer dot × two scales over stored norms), the
+# top k·QEXPAND re-ranked exactly — reported cosines are bit-equal to the
+# brute-force gate's, only candidate CHOICE is approximate.
+
+QEXPAND = 4
+
+
+def quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import quantized_brute_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return quantized_brute_topk(emb, queries, k=K, expand=QEXPAND)
+
+
+def _quantized_oracle() -> str:
+    from ..operators.quantize import int_dot_sql, qscale_sql, quantize_sql
+
+    d = D.DUCK
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         {qscale_sql(d, 'embedding')} AS qscale,
+         {S.norm_sql(d, 'embedding')} AS nrm
+  FROM embeddings
+), vq AS (
+  SELECT vec_id, embedding, qscale, nrm,
+         {quantize_sql(d, 'embedding', 'qscale')} AS q
+  FROM s
+), approx AS (
+  SELECT a.vec_id AS query_id, v.vec_id AS neighbor_id,
+         a.embedding AS qv, v.embedding AS nv, a.nrm AS qn, v.nrm AS nn,
+         a.qscale * v.qscale * CAST({int_dot_sql(d, 'a.q', 'v.q')}
+           AS DOUBLE) / (a.nrm * v.nrm) AS approx
+  FROM vq a JOIN vq v ON v.vec_id <> a.vec_id AND v.nrm > 0
+  WHERE a.vec_id % {QUERY_MOD} = 0 AND a.nrm > 0
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, neighbor_id ASC) AS arn
+  FROM approx
+), resc AS (
+  SELECT query_id, neighbor_id,
+         round({S.dot_sql(d, 'qv', 'nv')} / (qn * nn), 6) AS cosine
+  FROM cand WHERE arn <= {K * QEXPAND}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+register(Query("quantized_ann_topk", quantized_ann, _quantized_oracle(),
+               tags=("similarity", "quantize")), extra=True)
