@@ -131,3 +131,77 @@ def quantized_brute_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
             .orderBy("query_id", "rank"))
+
+
+def ivf_topk_quantized(vectors: DataFrame, queries: DataFrame,
+                       centroids, k: int = 5, n_probe: int = 2,
+                       expand: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF-SQ8: probe the query's `n_probe` cells, score THEIR members on
+    int8 codes, re-rank the top k·expand exactly — the composition FAISS
+    deploys at billion-vector scale, here as pure Catalyst plans.  Cell
+    probing bounds WHICH rows are touched (n_probe/n_cells of the
+    corpus); quantization bounds the BYTES per touched row (codes, not
+    floats); the exact re-rank keeps reported cosines bit-equal to
+    :func:`~.similarity.ivf_topk` whenever the candidate sets agree.
+
+    `vectors` may be a :func:`~.similarity.build_ann_index` corpus
+    (centroid_id + norm present; codes computed on the fly) or carry
+    precomputed (q, qscale) from :func:`quantize_vectors`.  `centroids`
+    is the collected [(id, coeffs)] list (index sidecar)."""
+    from .similarity import (_assign_expr, _collect_centroids,
+                             ivf_probe_expr)
+
+    cents = _collect_centroids(centroids)
+    if not cents:
+        id_type = vectors.schema[id_col].dataType
+        return (queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(None).cast(id_type).alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank")).filter(F.lit(False)))
+    corpus = vectors
+    if "centroid_id" not in corpus.columns:
+        corpus = fan_out(corpus).withColumn(
+            "centroid_id", F.expr(_assign_expr(vec_col, cents)))
+    if "norm" not in corpus.columns:
+        corpus = corpus.withColumn(
+            "norm", F.expr(norm_sql(D.SPARK, vec_col)))
+    if not {"q", "qscale"} <= set(corpus.columns):
+        scale = qscale_sql(D.SPARK, vec_col)
+        corpus = (corpus.withColumn("qscale", F.expr(scale))
+                  .withColumn("q", F.expr(
+                      quantize_sql(D.SPARK, vec_col, "qscale"))))
+    v = (corpus.select(F.col(id_col).alias("neighbor_id"), "q", "qscale",
+                       F.col("norm").alias("nn"), "centroid_id")
+         .filter(F.col("nn") > 0))
+    qb = (quantize_vectors(queries, vec_col)
+          .withColumn("centroid_id",
+                      F.explode(F.expr(ivf_probe_expr(vec_col, cents,
+                                                      n_probe))))
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"),
+                  F.col("q").alias("qq"), F.col("qscale").alias("qs"),
+                  F.col("norm").alias("qn"), "centroid_id")
+          .filter(F.col("qn") > 0))
+    approx = (F.broadcast(qb).join(v, "centroid_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("approx", F.expr(
+                  f"qs * qscale * CAST({int_dot_sql(D.SPARK, 'qq', 'q')} "
+                  f"AS DOUBLE) / (qn * nn)")))
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"),
+                                                F.asc("neighbor_id"))
+    cand = (approx.withColumn("arn", F.row_number().over(wa))
+            .filter(F.col("arn") <= k * expand)
+            .select("query_id", "neighbor_id", "qv", "qn", "nn"))
+    nvs = vectors.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nv"))
+    rescored = cand.join(nvs, on="neighbor_id").withColumn(
+        "cosine", F.expr(
+            f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+            .orderBy("query_id", "rank"))

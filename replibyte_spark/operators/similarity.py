@@ -454,6 +454,21 @@ def refine_centroids(vectors: DataFrame, centroids: DataFrame,
     return centroids
 
 
+def ivf_probe_expr(vec_col: str, cents, n_probe: int) -> str:
+    """Query → its n_probe closest centroids as a pure projection over
+    the inlined centroid set: sort struct(-d, centroid_id) ascending =
+    d DESC with centroid_id ASC tie-break (the oracle's row_number
+    order), take n_probe.  No crossJoin (a 16-row cross product still
+    compiles to BroadcastNestedLoop — banned by the plan tests) and no
+    per-query window round-trip; measured perf-equivalent to the join
+    probe at fixture scale with strictly fewer stages.  Shared by
+    :func:`ivf_topk` and the quantized variant (operators/quantize.py)."""
+    return ("transform(slice(array_sort(array(" + ", ".join(
+        f"struct(-({_lit_dot_sql(vec_col, cv)}) AS nd, "
+        f"{D.q(cid)} AS centroid_id)" for cid, cv in cents)
+        + f")), 1, {n_probe}), s -> s.centroid_id)")
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -494,17 +509,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     else:
         corpus = fan_out(vectors).withColumn(
             "centroid_id", F.expr(_assign_expr(vec_col, cents)))
-    # query → its n_probe closest centroids as a pure projection over the
-    # inlined centroid set: sort struct(-d, centroid_id) ascending = d DESC
-    # with centroid_id ASC tie-break (the oracle's row_number order), take
-    # n_probe, explode.  No crossJoin (a 16-row cross product still
-    # compiles to BroadcastNestedLoop — banned by the plan tests) and no
-    # per-query window round-trip; measured perf-equivalent to the join
-    # probe at fixture scale with strictly fewer stages.
-    probe_expr = ("transform(slice(array_sort(array(" + ", ".join(
-        f"struct(-({_lit_dot_sql(vec_col, cv)}) AS nd, "
-        f"{D.q(cid)} AS centroid_id)" for cid, cv in cents)
-        + f")), 1, {n_probe}), s -> s.centroid_id)")
+    probe_expr = ivf_probe_expr(vec_col, cents, n_probe)
     qc = (queries
           .withColumn("centroid_id", F.explode(F.expr(probe_expr)))
           .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),

@@ -789,3 +789,81 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 
 register(Query("quantized_ann_topk", quantized_ann, _quantized_oracle(),
                tags=("similarity", "quantize")), extra=True)
+
+
+def quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 through the materialized index: cells + norms from storage,
+    codes computed in the candidate projection (persist them via
+    quantize_vectors for the column-pruned layout), exact re-rank."""
+    from ..operators.quantize import ivf_topk_quantized
+
+    corpus, cents = _ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_topk_quantized(corpus, queries, cents, k=K,
+                              n_probe=IVF_PROBE, expand=QEXPAND)
+
+
+def _quantized_ivf_oracle() -> str:
+    from ..operators.quantize import int_dot_sql, qscale_sql, quantize_sql
+
+    d = D.DUCK
+    dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
+    return f"""
+WITH cent AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS centroid_id, embedding AS cv
+  FROM embeddings ORDER BY centroid_id LIMIT {IVF_CENTROIDS}
+), s AS (
+  SELECT vec_id, embedding,
+         {qscale_sql(d, 'embedding')} AS qscale,
+         {S.norm_sql(d, 'embedding')} AS nrm
+  FROM embeddings
+), vq AS (
+  SELECT vec_id, embedding, qscale, nrm,
+         {quantize_sql(d, 'embedding', 'qscale')} AS q
+  FROM s
+), assign AS (
+  SELECT vec_id, q, qscale, nrm, centroid_id FROM (
+    SELECT e.vec_id, e.q, e.qscale, e.nrm, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id DESC) AS rn
+    FROM vq e CROSS JOIN cent c
+  ) WHERE rn = 1 AND nrm > 0
+), qprobe AS (
+  SELECT query_id, qv, qq, qs, qn, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, e.q AS qq,
+           e.qscale AS qs, e.nrm AS qn, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id ASC) AS rn
+    FROM vq e CROSS JOIN cent c
+    WHERE e.vec_id % {QUERY_MOD} = 0 AND e.nrm > 0
+  ) WHERE rn <= {IVF_PROBE}
+), approx AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id, p.qv, p.qn, v.nrm AS nn,
+         p.qs * v.qscale * CAST({int_dot_sql(d, 'p.qq', 'v.q')}
+           AS DOUBLE) / (p.qn * v.nrm) AS approx
+  FROM qprobe p JOIN assign v ON v.centroid_id = p.centroid_id
+                             AND v.vec_id <> p.query_id
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, neighbor_id ASC) AS arn
+  FROM approx
+), resc AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({S.dot_sql(d, 'c.qv', 'e.embedding')} / (c.qn * c.nn), 6)
+           AS cosine
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+  WHERE c.arn <= {K * QEXPAND}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+register(Query("quantized_ivf_topk", quantized_ivf, _quantized_ivf_oracle(),
+               tags=("similarity", "quantize")), extra=True)

@@ -82,3 +82,38 @@ def test_materialized_layout_prunes_fp_column(spark, tmp_path, sf_dir):
         "ReadSchema:")[-1] and "q:" not in s.split("ReadSchema:")[-1]]
     assert len(code_scans) == 1, scans   # approx scan: codes only
     assert len(fp_scans) == 1, scans     # re-rank scan: fp only
+
+
+def test_ivf_quantized_matches_ivf_exact_on_fixture(spark, sf_dir):
+    """IVF-SQ8 probes the same cells as ivf_topk; with expand=4 on the
+    fixture the final top-k should agree with the exact IVF path almost
+    everywhere, and every agreeing pair reports the identical cosine."""
+    from replibyte_spark.operators.quantize import ivf_topk_quantized
+    from replibyte_spark.operators.similarity import (default_centroids,
+                                                      ivf_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    cents = [(r["centroid_id"], [float(x) for x in r["cv"]])
+             for r in default_centroids(emb, 16).collect()]
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in ivf_topk(emb, queries, k=5, n_probe=2,
+                               centroids=cents).collect()}
+    quant = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in ivf_topk_quantized(emb, queries, cents, k=5,
+                                         n_probe=2, expand=4).collect()}
+    hits = sum(1 for p in quant if p in exact)
+    assert hits / len(exact) >= 0.9, hits / len(exact)
+    for p in quant:
+        if p in exact:
+            assert quant[p] == exact[p]
+
+
+def test_ivf_quantized_empty_centroids(spark):
+    from replibyte_spark.operators.quantize import ivf_topk_quantized
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    out = ivf_topk_quantized(emb, emb, [], k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
