@@ -168,6 +168,10 @@ def _build_parser() -> argparse.ArgumentParser:
     eidx.add_argument("--vec-col", default="embedding")
     eidx.add_argument("--bits", type=int, default=8)
     eidx.add_argument("--dim", type=int, default=None)
+    eidx.add_argument("--quantize", action="store_true",
+                      help="also store int8 SQ8 code columns (q, qscale) "
+                           "so quantized query paths read 1-byte codes "
+                           "off the layout")
     eadm = csub.add_parser(
         "eadmit", help="keep only batch vectors that are NOT semantic "
                        "near-dups of an indexed embedding corpus")
@@ -505,9 +509,11 @@ def _cmd_corpus(spark, args) -> int:
 
         df = spark.read.parquet(args.input)
         build_ann_index(df, args.output, bits=args.bits, id_col=args.id_col,
-                        vec_col=args.vec_col, dim=args.dim)
+                        vec_col=args.vec_col, dim=args.dim,
+                        quantize=args.quantize)
         print(f"indexed {df.count()} vectors -> {args.output} "
-              f"(bits={args.bits})")
+              f"(bits={args.bits}"
+              + (", int8 codes stored" if args.quantize else "") + ")")
         return 0
     if args.corpus_cmd == "eadmit":
         from .operators.similarity import (append_ann_index,

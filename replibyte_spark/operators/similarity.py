@@ -543,7 +543,8 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                     dim: int | None = None,
                     partition_by_bucket: bool = False,
                     refine_iterations: int = 0,
-                    refine_deterministic: bool = False) -> "list":
+                    refine_deterministic: bool = False,
+                    quantize: bool = False) -> "list":
     """Materialize the ANN index AS A STORAGE LAYOUT: the corpus written to
     parquet with its RP-LSH `bucket`, IVF `centroid_id` and `norm` columns
     precomputed, plus a `centroids` sidecar table — built ONCE at ingest,
@@ -568,7 +569,13 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     over the hash-sampled defaults at BUILD time — this is where offline
     centroid refinement belongs at 100 TB: paid once when the layout is
     written, amortized over every query.  The refined set is what gets
-    assigned against, stored in the sidecar, and returned."""
+    assigned against, stored in the sidecar, and returned.
+
+    `quantize=True` additionally stores the int8 SQ8 columns (`q` codes +
+    `qscale`, operators/quantize.py) so quantized query paths
+    (ivf_topk_quantized / quantized_brute_topk) read 1-byte codes off the
+    layout instead of requantizing the fp column per query — the
+    bandwidth half of the IVF-SQ8 deployment point."""
     import os
 
     spark = vectors.sparkSession
@@ -589,6 +596,13 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     else:
         indexed = indexed.withColumn(
             "centroid_id", F.lit(None).cast("string"))
+    if quantize:
+        from .quantize import qscale_sql, quantize_sql
+
+        indexed = (indexed
+                   .withColumn("qscale", F.expr(qscale_sql(D.SPARK, vec_col)))
+                   .withColumn("q", F.expr(
+                       quantize_sql(D.SPARK, vec_col, "qscale"))))
     writer_df = indexed
     writer = writer_df.write.mode("overwrite")
     if partition_by_bucket:
@@ -612,9 +626,10 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                          .alias("m")).collect()[0]["m"])
         mean_cos = None if mean_cos is None else float(mean_cos)
     (spark.createDataFrame(
-        [(bits, seed, n_centroids, dim, refine_iterations, mean_cos)],
+        [(bits, seed, n_centroids, dim, refine_iterations, mean_cos,
+          quantize)],
         "bits int, seed string, n_centroids int, dim int, "
-        "refine_iterations int, mean_assign_cos double")
+        "refine_iterations int, mean_assign_cos double, quantized boolean")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "meta")))
     # write-through: a rebuild at the same path in one process must not
@@ -624,7 +639,8 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     _META_CACHE[path] = {"bits": bits, "seed": seed,
                          "n_centroids": n_centroids, "dim": dim,
                          "refine_iterations": refine_iterations,
-                         "mean_assign_cos": mean_cos}
+                         "mean_assign_cos": mean_cos,
+                         "quantized": quantize}
     return cents
 
 
@@ -1043,8 +1059,18 @@ def append_ann_index(new_vecs: DataFrame, path: str,
         indexed = indexed.withColumn(
             "centroid_id", F.lit(None).cast("string"))
     corpus_dir = os.path.join(path, "corpus")
-    # honor a partitioned build: the corpus schema decides the layout
+    # honor a partitioned/quantized build: the corpus SCHEMA decides the
+    # layout (robust even against a pre-quantize meta sidecar) — an
+    # appended batch missing the code columns would silently fracture the
+    # parquet schema and break every later codes-only scan
     existing = spark.read.parquet(corpus_dir)
+    if "q" in existing.columns:
+        from .quantize import qscale_sql, quantize_sql
+
+        indexed = (indexed
+                   .withColumn("qscale", F.expr(qscale_sql(D.SPARK, vec_col)))
+                   .withColumn("q", F.expr(
+                       quantize_sql(D.SPARK, vec_col, "qscale"))))
     if "bucket_part" in existing.columns:
         (indexed.withColumn("bucket_part",
                             F.concat(F.lit("b"), F.col("bucket")))

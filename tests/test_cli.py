@@ -645,3 +645,17 @@ def test_cli_corpus_overlap(spark, tmp_path, capsys):
     assert main(["corpus", "overlap", "-i", src,
                  "--group-col", "nope"], spark=spark) == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_corpus_eindex_quantize_flag(spark, tmp_path, capsys):
+    corp = str(tmp_path / "qevecs.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.2, 0.1, 0.0]), (2, [0.0, 1.0, 0.0, 0.4])],
+        "vec_id long, embedding array<double>").write.parquet(corp)
+    idx = str(tmp_path / "qeidx")
+    assert main(["corpus", "eindex", "-i", corp, "-o", idx,
+                 "--bits", "4", "--dim", "4", "--quantize"],
+                spark=spark) == 0
+    assert "int8 codes stored" in capsys.readouterr().out
+    cols = set(spark.read.parquet(f"{idx}/corpus").columns)
+    assert {"q", "qscale"} <= cols

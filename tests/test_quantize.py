@@ -117,3 +117,36 @@ def test_ivf_quantized_empty_centroids(spark):
     out = ivf_topk_quantized(emb, emb, [], k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_quantized_index_layout_roundtrip(spark, tmp_path, sf_dir):
+    """build_ann_index(quantize=True) stores codes; the loaded corpus is
+    consumed as-is by ivf_topk_quantized (identical results to on-the-fly
+    quantization), appends mirror the layout, meta records the flag."""
+    from replibyte_spark.operators.quantize import ivf_topk_quantized
+    from replibyte_spark.operators.similarity import (append_ann_index,
+                                                      build_ann_index,
+                                                      load_ann_index,
+                                                      load_ann_index_meta)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "qidx")
+    cents = build_ann_index(head, path, bits=4, dim=64, quantize=True)
+    meta = load_ann_index_meta(spark, path, use_cache=False)
+    assert meta["quantized"] is True
+    corpus, _ = load_ann_index(spark, path, with_centroids=False)
+    assert {"q", "qscale", "norm", "centroid_id"} <= set(corpus.columns)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    from_layout = sorted(map(tuple, ivf_topk_quantized(
+        corpus, queries, cents, k=3, n_probe=2).collect()))
+    on_the_fly = sorted(map(tuple, ivf_topk_quantized(
+        head.select("vec_id", "embedding"), queries, cents, k=3,
+        n_probe=2).collect()))
+    assert from_layout == on_the_fly
+    # append mirrors the quantized schema — reload still reads cleanly
+    append_ann_index(tail, path)
+    corpus2, _ = load_ann_index(spark, path, with_centroids=False)
+    assert corpus2.count() == emb.count()
+    assert corpus2.filter(F.col("q").isNull()).count() == 0
