@@ -324,7 +324,7 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
 
     key = (sf_dir.strip("/").replace("/", "_") + "_"
            + _dataset_fingerprint(sf_dir, "embeddings")
-           + f"_x{SCALE_MULT}b{BITS}c{IVF_CENTROIDS}r{IVF_REFINE}")
+           + f"_x{SCALE_MULT}b{BITS}c{IVF_CENTROIDS}r{IVF_REFINE}q1")
     base = _SCALE_PATHS.get(key)
     if base is None:
         base = os.path.join(tempfile.gettempdir(), f"rs_ann_scale_{key}")
@@ -342,11 +342,14 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
             # deterministic mode so the DuckDB oracle reproduces the
             # refined values bit-exactly (sequential id-sorted mean fold,
             # the dot_sql cross-engine trick)
+            # quantize=True: the SQ8 code columns ride the same layout so
+            # the quantized scale path (ann_scale_qivf_topk) measures the
+            # codes-off-storage configuration; the fp paths prune them
             S.build_ann_index(spark.read.parquet(amp_path),
                               os.path.join(tmp, "index"), bits=BITS,
                               n_centroids=IVF_CENTROIDS, dim=EMB_DIM,
                               refine_iterations=IVF_REFINE,
-                              refine_deterministic=True)
+                              refine_deterministic=True, quantize=True)
 
         _build_cached_dir(base, build)
         _SCALE_PATHS[key] = base
@@ -437,18 +440,16 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
-def _ann_scale_ivf_oracle() -> str:
+def _scale_cent_cte() -> str:
+    """The refined-centroid CTE chain (cent0 → one deterministic Lloyd
+    iteration → cent), shared by the fp and quantized scale-IVF oracles:
+    per-(cell, dim) mean as a SEQUENTIAL fold over vec_id-ordered values
+    (list_sum of an ORDER BY list ≡ Spark's aggregate() fold over an
+    array_sort'ed collect_list — the same cross-engine-exact summation
+    dot_sql relies on), empty cells keep their cent0 vector."""
     d = D.DUCK
     dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
-    # cent = one deterministic Lloyd iteration over the md5-sampled cent0,
-    # mirroring build_ann_index(refine_iterations=1,
-    # refine_deterministic=True): per-(cell, dim) mean as a SEQUENTIAL
-    # fold over vec_id-ordered values (list_sum of an ORDER BY list ≡
-    # Spark's aggregate() fold over an array_sort'ed collect_list — the
-    # same cross-engine-exact summation dot_sql relies on), empty cells
-    # keep their cent0 vector.
-    return f"""
-WITH {_AMP_CTE}, cent0 AS (
+    return f"""cent0 AS (
   SELECT md5(CAST(vec_id AS VARCHAR)) AS centroid_id, embedding AS cv
   FROM amp ORDER BY centroid_id LIMIT {IVF_CENTROIDS}
 ), assign0 AS (
@@ -471,7 +472,14 @@ WITH {_AMP_CTE}, cent0 AS (
     SELECT centroid_id, list(m ORDER BY pos) AS cv FROM mean1
     GROUP BY centroid_id
   ) m USING (centroid_id)
-), assign AS (
+)"""
+
+
+def _ann_scale_ivf_oracle() -> str:
+    d = D.DUCK
+    dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
+    return f"""
+WITH {_AMP_CTE}, {_scale_cent_cte()}, assign AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
            row_number() OVER (PARTITION BY e.vec_id
@@ -867,3 +875,82 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 
 register(Query("quantized_ivf_topk", quantized_ivf, _quantized_ivf_oracle(),
                tags=("similarity", "quantize")), extra=True)
+
+
+def ann_scale_qivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 at scale through the materialized quantized layout: the
+    candidate scan reads int8 codes off storage (column-pruned), cells
+    bound which rows are touched, exact re-rank of the top k·QEXPAND."""
+    import os
+
+    from ..operators.quantize import ivf_topk_quantized
+
+    base, cents = _ann_scale_fixture(spark, sf_dir)
+    corpus, _ = S.load_ann_index(spark, os.path.join(base, "index"),
+                                 with_centroids=False)
+    return ivf_topk_quantized(corpus, _scale_queries(spark, base), cents,
+                              k=K, n_probe=IVF_PROBE, expand=QEXPAND)
+
+
+def _ann_scale_qivf_oracle() -> str:
+    from ..operators.quantize import int_dot_sql, qscale_sql, quantize_sql
+
+    d = D.DUCK
+    dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
+    return f"""
+WITH {_AMP_CTE}, {_scale_cent_cte()}, sq AS (
+  SELECT vec_id, embedding,
+         {qscale_sql(d, 'embedding')} AS qscale,
+         {S.norm_sql(d, 'embedding')} AS nrm
+  FROM amp
+), vq AS (
+  SELECT vec_id, embedding, qscale, nrm,
+         {quantize_sql(d, 'embedding', 'qscale')} AS qc
+  FROM sq
+), assign AS (
+  SELECT vec_id, qc, qscale, nrm, centroid_id FROM (
+    SELECT e.vec_id, e.qc, e.qscale, e.nrm, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id DESC) AS rn
+    FROM vq e CROSS JOIN cent c
+  ) WHERE rn = 1 AND nrm > 0
+), qprobe AS (
+  SELECT query_id, qv, qq, qs, qn, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, e.qc AS qq,
+           e.qscale AS qs, e.nrm AS qn, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_ec} DESC, c.centroid_id ASC) AS rn
+    FROM vq e CROSS JOIN cent c
+    WHERE e.vec_id % {SCALE_QUERY_MOD} = 0 AND e.nrm > 0
+  ) WHERE rn <= {IVF_PROBE}
+), approx AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id, p.qv, p.qn, v.nrm AS nn,
+         p.qs * v.qscale * CAST({int_dot_sql(d, 'p.qq', 'v.qc')}
+           AS DOUBLE) / (p.qn * v.nrm) AS approx
+  FROM qprobe p JOIN assign v ON v.centroid_id = p.centroid_id
+                             AND v.vec_id <> p.query_id
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, neighbor_id ASC) AS arn
+  FROM approx
+), resc AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({S.dot_sql(d, 'c.qv', 'e.embedding')} / (c.qn * c.nn), 6)
+           AS cosine
+  FROM cand c JOIN amp e ON e.vec_id = c.neighbor_id
+  WHERE c.arn <= {K * QEXPAND}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+register(Query("ann_scale_qivf_topk", ann_scale_qivf,
+               _ann_scale_qivf_oracle(),
+               tags=("similarity", "bench", "quantize"), bench=True),
+         extra=True)
