@@ -683,3 +683,77 @@ ORDER BY d.doc_id
 register(Query("bigram_heldout_perplexity", bigram_heldout_perplexity,
                _bigram_perplexity_oracle(), tags=("text", "lm")),
          extra=True)
+
+
+# --- TF-IDF salient terms per source (round 9) -------------------------------
+# top_terms ranks by raw frequency, which surfaces the corpus-wide Zipf
+# head ("the", "and") for every source; TF-IDF down-weights terms by the
+# number of SOURCES containing them, surfacing what distinguishes each
+# source — the per-dataset fingerprint a mixing decision actually reads.
+
+TFIDF_K = 5
+
+
+def salient_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, token, tf, tfidf, rank): top-5 tokens per source by
+    tf·ln(n_sources/df), df = sources containing the token.  Two
+    word-count-shaped aggregations (map-side partial agg; the raw token
+    stream never shuffles) + a vocabulary-bounded broadcast join; ranking
+    happens on the 6dp-ROUNDED score so the oracle's window agrees
+    bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from ..util import fan_out
+
+    d = D.SPARK
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = (docs.select("source", F.explode(
+        F.expr(D.split_ws(d, "lower(text)"))).alias("token"))
+        .filter(F.col("token") != ""))
+    counts = (toks.groupBy("source", "token")
+              .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    n_sources = docs.select("source").distinct().count()
+    dfreq = (counts.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    scored = (counts.join(F.broadcast(dfreq), on="token")
+              .withColumn("tfidf", F.expr(
+                  f"round(tf * ln(CAST({n_sources} AS DOUBLE) / df), 6)")))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_K)
+            .select("source", "token", "tf", "tfidf",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("source", "rank"))
+
+
+def _tfidf_oracle() -> str:
+    d = D.DUCK
+    toks = D.split_ws(d, "lower(text)")
+    return f"""
+WITH tk AS (
+  SELECT source, unnest({toks}) AS token FROM documents
+), counts AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM tk
+  WHERE token <> '' GROUP BY source, token
+), ns AS (
+  SELECT count(DISTINCT source) AS n FROM documents
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM counts GROUP BY token
+), scored AS (
+  SELECT c.source, c.token, c.tf,
+         round(c.tf * ln(CAST(ns.n AS DOUBLE) / d.df), 6) AS tfidf
+  FROM counts c JOIN dfreq d USING (token), ns
+), ranked AS (
+  SELECT source, token, tf, tfidf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT source, token, tf, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_K} ORDER BY source, rank
+"""
+
+
+register(Query("salient_terms_per_source", salient_terms_per_source,
+               _tfidf_oracle(), tags=("text",)), extra=True)
