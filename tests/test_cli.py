@@ -609,6 +609,12 @@ def test_cli_corpus_classify(spark, tmp_path, capsys):
         [(100, "the cat and the dog sat"), (101, "le chat et le chien")],
         "doc_id long, text string").write.parquet(docs)
     out = str(tmp_path / "nbpred.parquet")
+    # full sweep so the baseline is 0 — a nonzero baseline from earlier
+    # tests in the shared session is unstable under the ContextCleaner
+    from replibyte_spark.util import free_persistent_rdds
+
+    spark.catalog.clearCache()
+    free_persistent_rdds(spark)
     assert main(["corpus", "classify", "-i", docs, "--train", train,
                  "-o", out], spark=spark) == 0
     assert "classified 2 docs" in capsys.readouterr().out
