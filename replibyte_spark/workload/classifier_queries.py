@@ -37,20 +37,27 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def _nb_oracle() -> str:
+def _nb_oracle(label_expr: str = "CAST(lang AS VARCHAR)",
+               actual_alias: str = "actual") -> str:
+    """The NB train+score oracle, parameterized by the LABEL EXPRESSION —
+    reused by the lang gate (label = the lang column) and the quality
+    distillation gate (label = the heuristic keep/drop verdict), so the
+    replay logic lives once."""
     d = D.DUCK
     toks = D.split_ws(d, "lower(text)")
     k = NB_K
     return f"""
 WITH tr AS (
-  SELECT CAST(lang AS VARCHAR) AS label, unnest({toks}) AS token
-  FROM documents WHERE doc_id % {NB_MOD} <> 0 AND lang IS NOT NULL
+  SELECT {label_expr} AS label, unnest({toks}) AS token
+  FROM documents
+  WHERE doc_id % {NB_MOD} <> 0 AND ({label_expr}) IS NOT NULL
 ), model AS (
   SELECT label, token, CAST(count(*) AS BIGINT) AS n FROM tr
   WHERE token <> '' GROUP BY label, token
 ), priors AS (
-  SELECT CAST(lang AS VARCHAR) AS label, CAST(count(*) AS BIGINT) AS n_docs
-  FROM documents WHERE doc_id % {NB_MOD} <> 0 AND lang IS NOT NULL
+  SELECT {label_expr} AS label, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents
+  WHERE doc_id % {NB_MOD} <> 0 AND ({label_expr}) IS NOT NULL
   GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM priors
@@ -94,7 +101,8 @@ WITH tr AS (
                             ORDER BY score DESC, label ASC) AS rn
   FROM scores
 )
-SELECT d.doc_id, d.lang AS actual, r.label AS pred_label, r.score
+SELECT d.doc_id, {label_expr} AS {actual_alias}, r.label AS pred_label,
+       r.score
 FROM documents d JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
 WHERE d.doc_id % {NB_MOD} = 0
 ORDER BY d.doc_id
@@ -103,3 +111,45 @@ ORDER BY d.doc_id
 
 register(Query("nb_lang_classifier", nb_lang_classifier, _nb_oracle(),
                tags=("text", "classifier"), bench=True))
+
+
+# --- heuristic-filter distillation (round 9) ---------------------------------
+# the DCLM/FineWeb-edu deployment pattern: an expensive labeler (there, a
+# strong LM grading documents; here, standing in, the composite heuristic
+# quality verdict) labels the training split once, a FAST linear
+# classifier is trained on those labels, and the trained classifier — one
+# broadcast join instead of the full labeler — is what scores the other
+# 100 TB.  Oracle-checked end to end via the parameterized NB oracle.
+
+NB_Q_FLOOR = 0.5   # the corpus pipeline's QUALITY_FLOOR
+
+
+def _quality_label_expr(d: str) -> str:
+    return (f"CASE WHEN {T.quality_score_sql(d, 'text')} >= {NB_Q_FLOOR} "
+            f"THEN 'keep' ELSE 'drop' END")
+
+
+def nb_quality_distilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the heuristic quality filter into NB: label the training
+    3/4 with the heuristic keep/drop verdict, train, predict the held-out
+    quarter; (doc_id, heuristic_label, pred_label, score) — agreement
+    between columns 2 and 3 is the distillation fidelity."""
+    from ..operators.classify import (class_priors, nb_classify,
+                                      train_naive_bayes)
+
+    d = D.SPARK
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "hl", F.expr(_quality_label_expr(d)))
+    train = docs.filter(F.col("doc_id") % NB_MOD != 0)
+    held = docs.filter(F.col("doc_id") % NB_MOD == 0)
+    model = train_naive_bayes(train, label_col="hl")
+    priors = class_priors(train, label_col="hl")
+    pred = nb_classify(held, model, priors, k=NB_K)
+    return (held.select("doc_id", F.col("hl").alias("heuristic_label"))
+            .join(pred, on="doc_id")
+            .orderBy("doc_id"))
+
+
+register(Query("nb_quality_distilled", nb_quality_distilled,
+               _nb_oracle(_quality_label_expr(D.DUCK), "heuristic_label"),
+               tags=("text", "classifier")), extra=True)
