@@ -150,3 +150,100 @@ def test_quantized_index_layout_roundtrip(spark, tmp_path, sf_dir):
     corpus2, _ = load_ann_index(spark, path, with_centroids=False)
     assert corpus2.count() == emb.count()
     assert corpus2.filter(F.col("q").isNull()).count() == 0
+
+
+def test_quantized_topk_matches_numpy_ground_truth(spark):
+    """Independent oracle: re-derive the ENTIRE quantized pipeline
+    (scale, codes, integer dot, approx ranking, expand cut, exact
+    re-rank) in pure NumPy/Python and compare to the Spark result —
+    catches a bug mirrored into the SQL oracle by the shared dialect
+    builder, which oracle parity by construction cannot."""
+    import math
+
+    import numpy as np
+
+    rng = [(i, [((i * 13 + j * 7) % 17 - 8) / 3.0 for j in range(12)])
+           for i in range(40)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 8 == 0)
+    k, expand = 4, 3
+
+    from replibyte_spark.operators.quantize import quantized_brute_topk
+    got = [(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+           for r in quantized_brute_topk(emb, queries, k=k,
+                                         expand=expand).collect()]
+
+    def quant(x):
+        x = np.asarray(x, float)
+        s = float(np.max(np.abs(x))) / 127.0
+        if s == 0.0:
+            return np.zeros(len(x), dtype=np.int64), 0.0
+        return np.floor(x / s + 0.5).astype(np.int64), s
+
+    vecs = {i: np.asarray(v, float) for i, v in rng}
+    codes = {i: quant(v) for i, v in rng}
+    norms = {i: float(np.linalg.norm(v)) for i, v in vecs.items()}
+    want = []
+    for qid in sorted(i for i, _ in rng if i % 8 == 0):
+        if norms[qid] == 0:
+            continue
+        qq, qs = codes[qid]
+        apx = []
+        for nid in sorted(vecs):
+            if nid == qid or norms[nid] == 0:
+                continue
+            nq, ns = codes[nid]
+            a = qs * ns * float(np.dot(qq, nq)) / (norms[qid] * norms[nid])
+            apx.append((-a, nid))
+        apx.sort()
+        cand = [nid for _, nid in apx[:k * expand]]
+        exact = sorted(
+            ((-round(float(np.dot(vecs[qid], vecs[nid]))
+                     / (norms[qid] * norms[nid]), 6), nid)
+             for nid in cand))
+        for rank, (negc, nid) in enumerate(exact[:k], 1):
+            want.append((qid, nid, -negc, rank))
+    assert sorted(got) == sorted(want)
+
+
+def test_nb_scores_match_python_reference(spark):
+    """Independent oracle for the classifier: per-doc per-class scores
+    recomputed with plain Python floats from the same counting model."""
+    import math
+
+    from replibyte_spark.operators.classify import (class_priors,
+                                                    nb_class_scores,
+                                                    train_naive_bayes)
+
+    rows = [(1, "a b a c", "x"), (2, "b b d", "x"), (3, "e f e", "y"),
+            (4, "f f a", "y"), (5, "a e", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = train_naive_bayes(docs, "lang")
+    priors = class_priors(docs, "lang")
+    got = {(r["doc_id"], r["label"]): r["score"]
+           for r in nb_class_scores(docs, model, priors, k=0.5).collect()}
+
+    counts: dict = {}
+    pri: dict = {}
+    for _, text, lab in rows:
+        pri[lab] = pri.get(lab, 0) + 1
+        for t in text.split():
+            counts[(lab, t)] = counts.get((lab, t), 0) + 1
+    vocab = len({t for _, t in counts})
+    tot = {lab: sum(n for (l2, _), n in counts.items() if l2 == lab)
+           for lab in pri}
+    ndocs = sum(pri.values())
+    for did, text, _ in rows:
+        toks = text.split()
+        for lab in pri:
+            denom = tot[lab] + 0.5 * (vocab + 1)
+            s = math.log(pri[lab] / ndocs) + len(toks) * math.log(0.5 / denom)
+            tf: dict = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in sorted(tf.items()):
+                n = counts.get((lab, t), 0)
+                if n:
+                    s += f * (math.log(n + 0.5) - math.log(0.5))
+            assert abs(got[(did, lab)] - round(s, 6)) < 1e-9, \
+                (did, lab, got[(did, lab)], s)
