@@ -98,3 +98,41 @@ def test_fuzz_subword_and_lid_cross_dialect(spark):
     bad = {i: (got[i], want[i], CORPUS[i]) for i in got if got[i] != want[i]}
     assert not bad, (f"{len(bad)} divergent values, "
                      f"first: {next(iter(bad.items()))}")
+
+
+def test_fuzz_quantize_builders_cross_dialect(spark):
+    """The SQ8 builders over adversarial vectors: denormals, huge/tiny
+    magnitudes, negatives, exact half-step boundaries, zero vectors —
+    codes, scales and integer dots must agree bit-for-bit across engines
+    (the explicit floor(+0.5) policy is exactly for the half-step rows)."""
+    import duckdb as _duck
+
+    from replibyte_spark.operators.quantize import (int_dot_sql, qscale_sql,
+                                                    quantize_sql)
+
+    vrng = random.Random(20260815)
+    vecs = [
+        [0.0, 0.0, 0.0, 0.0],
+        [127.0, -127.0, 63.5, -63.5],      # exact half-steps at scale 1
+        [1e-300, -1e-300, 0.0, 1e-300],    # denormal-adjacent
+        [1e12, -5e11, 2.5e11, -1e12],
+        [0.1, 0.2, 0.3, -0.4],
+    ] + [[vrng.uniform(-10, 10) for _ in range(4)] for _ in range(120)] \
+      + [[vrng.choice([-1.0, -0.5, 0.0, 0.5, 1.0]) for _ in range(4)]
+         for _ in range(120)]
+    rows = list(enumerate(vecs))
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    got = {r.i: (r.s, list(r.q), r.d) for r in df.selectExpr(
+        "i", f"{qscale_sql(D.SPARK, 'v')} AS s",
+        f"{quantize_sql(D.SPARK, 'v', qscale_sql(D.SPARK, 'v'))} AS q",
+        f"{int_dot_sql(D.SPARK, quantize_sql(D.SPARK, 'v', qscale_sql(D.SPARK, 'v')), quantize_sql(D.SPARK, 'v', qscale_sql(D.SPARK, 'v')))} AS d",
+    ).collect()}
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    qd = quantize_sql(D.DUCK, "v", qscale_sql(D.DUCK, "v"))
+    want = {i: (s, list(q), d) for i, s, q, d in con.execute(
+        f"SELECT i, {qscale_sql(D.DUCK, 'v')}, {qd}, "
+        f"{int_dot_sql(D.DUCK, qd, qd)} FROM t").fetchall()}
+    bad = {i: (got[i], want[i], vecs[i]) for i in got if got[i] != want[i]}
+    assert not bad, f"{len(bad)} divergent, first: {next(iter(bad.items()))}"
