@@ -139,13 +139,16 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="guard --update-index with an already-indexed "
                           "id check (one probe) before writing")
     sc = csub.add_parser(
-        "score", help="unigram-LM perplexity scores (statistical quality)")
+        "score", help="LM perplexity scores (statistical quality)")
     sc.add_argument("-i", "--input", required=True, help="docs to score")
     sc.add_argument("--train", default=None,
                     help="training corpus parquet (default: the input)")
     sc.add_argument("-o", "--output", required=True)
     sc.add_argument("--id-col", default="doc_id")
     sc.add_argument("--text-col", default="text")
+    sc.add_argument("--order", type=int, choices=(1, 2), default=1,
+                    help="LM order: 1 = unigram, 2 = bigram (transition-"
+                         "level; sees word-order defects)")
     chk = csub.add_parser(
         "chunk", help="overlapping token windows per doc (RAG ingestion)")
     chk.add_argument("-i", "--input", required=True)
@@ -471,26 +474,34 @@ def _cmd_corpus(spark, args) -> int:
             print(f"index extended with {n_out} docs -> {args.index}")
         return 0
     if args.corpus_cmd == "score":
-        from .operators.lm import perplexity_scores, train_unigram_lm
+        from .operators.lm import (bigram_perplexity_scores,
+                                   perplexity_scores, train_bigram_lm,
+                                   train_unigram_lm)
 
         docs = spark.read.parquet(args.input)
         train = (spark.read.parquet(args.train) if args.train else docs)
-        lm = train_unigram_lm(train, id_col=args.id_col,
-                              text_col=args.text_col)
+        trainer, scorer, count_col = (
+            (train_unigram_lm, perplexity_scores, "n_tokens")
+            if args.order == 1 else
+            (train_bigram_lm, bigram_perplexity_scores, "n_transitions"))
+        lm = trainer(train, id_col=args.id_col, text_col=args.text_col)
         try:
-            scored = perplexity_scores(docs, lm, id_col=args.id_col,
-                                       text_col=args.text_col)
+            scored = scorer(docs, lm, id_col=args.id_col,
+                            text_col=args.text_col)
             scored.write.mode("overwrite").parquet(args.output)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
         finally:
-            # perplexity_scores persists the LM frame (keyed on the
-            # logical plan, so this reference reaches the same cache
-            # entry); without the sweep, N successive `corpus score`
-            # calls in one session pin N vocab-sized cache entries
+            # both scorers persist the LM frame (keyed on the logical
+            # plan, so this reference reaches the same cache entry);
+            # without the sweep, N successive `corpus score` calls in
+            # one session pin N vocab-sized cache entries
             lm.unpersist()
         n = spark.read.parquet(args.output).count()
         print(f"scored {n} docs -> {args.output} "
-              f"(columns: {args.id_col}, n_tokens, cross_entropy, "
-              f"perplexity)")
+              f"(columns: {args.id_col}, {count_col}, cross_entropy, "
+              f"perplexity; order={args.order})")
         return 0
     if args.corpus_cmd == "chunk":
         from .operators.grouped import chunk_documents

@@ -665,3 +665,30 @@ def test_cli_corpus_eindex_quantize_flag(spark, tmp_path, capsys):
     assert "int8 codes stored" in capsys.readouterr().out
     cols = set(spark.read.parquet(f"{idx}/corpus").columns)
     assert {"q", "qscale"} <= cols
+
+
+def test_cli_corpus_score_order2(spark, tmp_path, capsys):
+    """`corpus score --order 2` scores with the bigram LM: a scrambled
+    doc with identical unigram stats ranks worse; empty-transition
+    training follows the error convention."""
+    train = str(tmp_path / "bt.parquet")
+    spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)],
+        "doc_id long, text string").write.parquet(train)
+    docs = str(tmp_path / "bd.parquet")
+    spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string").write.parquet(docs)
+    out = str(tmp_path / "bscored.parquet")
+    assert main(["corpus", "score", "-i", docs, "--train", train,
+                 "-o", out, "--order", "2"], spark=spark) == 0
+    assert "order=2" in capsys.readouterr().out
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].perplexity < rows[2].perplexity
+    # single-token training corpus -> no transitions -> clean error
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1, "single")], "doc_id long, text string") \
+        .write.parquet(bad)
+    assert main(["corpus", "score", "-i", docs, "--train", bad,
+                 "-o", out, "--order", "2"], spark=spark) == 2
+    assert "no token transitions" in capsys.readouterr().err
