@@ -954,3 +954,95 @@ register(Query("ann_scale_qivf_topk", ann_scale_qivf,
                _ann_scale_qivf_oracle(),
                tags=("similarity", "bench", "quantize"), bench=True),
          extra=True)
+
+
+# --- product quantization + ADC (round 9) ------------------------------------
+# codes are m small ints per vector (8× storage cut at dim 64 / m 8); the
+# candidate join pays m LUT lookups per pair (the ADC trick: the lookup
+# table is a per-QUERY projection, never per-pair vector math); exact
+# re-rank of the top k·PQ_EXPAND.  The oracle derives the codebooks
+# RELATIONALLY (md5-sample + argmin join against the sample rows) — the
+# same books the Spark side inlines as literals — so the gate checks
+# training, encoding, ADC and re-rank end to end with a compact oracle.
+
+PQ_M, PQ_KS, PQ_EXPAND = 8, 64, 8
+
+
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return pq_topk(emb, queries, k=K, m=PQ_M, ks=PQ_KS, expand=PQ_EXPAND,
+                   dim=EMB_DIM)
+
+
+def _pq_oracle() -> str:
+    d = D.DUCK
+    sd = EMB_DIM // PQ_M
+
+    def sub(col: str, sub_ref: str = "sub") -> str:
+        """1-based DuckDB slice of the 0-based subspace `sub_ref`."""
+        return f"{col}[({sub_ref} * {sd}) + 1:({sub_ref} + 1) * {sd}]"
+
+    def subdot(a: str, b: str, sub_ref: str = "sub") -> str:
+        return (f"list_sum(list_transform(generate_series(1, {sd}), "
+                f"i -> CAST(({sub(a, sub_ref)})[i] AS DOUBLE) * "
+                f"CAST(({sub(b, sub_ref)})[i] AS DOUBLE)))")
+    return f"""
+WITH samp AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cid,
+         embedding AS cv
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+            <= {PQ_KS}
+), base AS (
+  SELECT vec_id, embedding AS v,
+         {S.norm_sql(d, 'embedding')} AS nrm
+  FROM embeddings
+), dists AS (
+  SELECT b.vec_id, t.sub, s.cid,
+         ((-2.0 * ({subdot('b.v', 's.cv')}))
+           + ({subdot('s.cv', 's.cv')})) AS dist
+  FROM base b, range(0, {PQ_M}) t(sub), samp s
+), codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid DESC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), approx AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         q.v AS qv, x.v AS nv, q.nrm AS qn, x.nrm AS nn,
+         list_reduce(
+           list(({subdot('q.v', 's.cv', 'c.sub')}) ORDER BY c.sub),
+           (a, b2) -> a + b2) / (q.nrm * x.nrm) AS approx
+  FROM base q
+  JOIN base x ON x.vec_id <> q.vec_id AND x.nrm > 0
+  JOIN codes c ON c.vec_id = x.vec_id
+  JOIN samp s ON s.cid = c.cid
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.nrm > 0
+  GROUP BY q.vec_id, x.vec_id, q.v, x.v, q.nrm, x.nrm
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, neighbor_id ASC) AS arn
+  FROM approx
+), resc AS (
+  SELECT query_id, neighbor_id,
+         round({S.dot_sql(d, 'qv', 'nv')} / (qn * nn), 6) AS cosine
+  FROM cand WHERE arn <= {K * PQ_EXPAND}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+register(Query("pq_ann_topk", pq_ann, _pq_oracle(),
+               tags=("similarity", "quantize")), extra=True)

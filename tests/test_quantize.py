@@ -247,3 +247,77 @@ def test_nb_scores_match_python_reference(spark):
                     s += f * (math.log(n + 0.5) - math.log(0.5))
             assert abs(got[(did, lab)] - round(s, 6)) < 1e-9, \
                 (did, lab, got[(did, lab)], s)
+
+def test_pq_recall_floor_and_exact_cosines(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from replibyte_spark.operators.quantize import pq_topk
+    from replibyte_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in pq_topk(emb, queries, k=5, m=8, ks=64,
+                            expand=8).collect()}
+    recall = sum(1 for p in got if p in exact) / len(exact)
+    assert recall >= 0.7, recall
+    for p in got:
+        if p in exact:
+            assert got[p] == exact[p]      # re-rank is exact
+
+
+def test_pq_codes_shape_and_range(spark):
+    from replibyte_spark.operators.quantize import (pq_codebooks,
+                                                    pq_encode_vectors)
+
+    rows = [(i, [((i * 11 + j * 5) % 13 - 6) / 2.0 for j in range(16)])
+            for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=4, ks=8, dim=16)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    enc = pq_encode_vectors(emb, books).collect()
+    for r in enc:
+        assert len(r["pq_codes"]) == 4
+        assert all(0 <= c < 8 for c in r["pq_codes"])
+
+
+def test_pq_refined_books_do_not_hurt_recall(spark, sf_dir):
+    """Lloyd-refined codebooks must match or beat the raw sample books'
+    candidate recall (they minimize exactly the quantization error ADC
+    ranking suffers from)."""
+    from pyspark.sql import functions as F
+    from replibyte_spark.operators.quantize import (pq_codebooks,
+                                                    pq_refine_books,
+                                                    pq_topk)
+    from replibyte_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    raw = pq_codebooks(emb, m=8, ks=16, dim=64)
+    refined = pq_refine_books(emb, raw, iterations=2)
+
+    def recall(books):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in pq_topk(emb, queries, k=5, m=8, ks=16, expand=8,
+                                books=books).collect()}
+        return len(got & exact) / len(exact)
+
+    r_raw, r_ref = recall(raw), recall(refined)
+    assert r_ref >= r_raw, (r_raw, r_ref)
+
+
+def test_pq_parameter_errors(spark):
+    import pytest as _pytest
+
+    from replibyte_spark.operators.quantize import pq_codebooks
+
+    emb = spark.createDataFrame([(1, [1.0] * 10)],
+                                "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, m=3, ks=4, dim=10)
+    empty = emb.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pq_codebooks(empty, m=2, ks=4, dim=10)
