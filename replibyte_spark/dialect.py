@@ -46,6 +46,20 @@ def to_double(d: str, e: str) -> str:
     return f"CAST({e} AS DOUBLE)"
 
 
+def dlit(d: str, x: float) -> str:
+    """Exact DOUBLE literal.  Spark: the `D` suffix.  DuckDB: an explicit
+    exponent (`e0` appended when repr has none) — a BARE decimal literal
+    parses as DECIMAL first, and DECIMAL→DOUBLE conversion is off by one
+    ulp from strtod for ~17-significant-digit values (measured:
+    1.1695611615388475 arrives as ...477), silently diverging any oracle
+    that inlines collected doubles."""
+    s = repr(float(x))
+    if d == SPARK:
+        return f"{s}D"
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) \
+        else s + "e0"
+
+
 def to_int(d: str, e: str) -> str:
     return f"CAST({e} AS INT)" if d == SPARK else f"CAST({e} AS INTEGER)"
 

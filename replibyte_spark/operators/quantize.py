@@ -282,7 +282,10 @@ def pq_lut_expr(vec_col: str, books: "list[list[list[float]]]",
                 "list_sum(list_transform(generate_series(1, %d), "
                 "i -> CAST(%s[i] AS DOUBLE) * (%s)[i]))"
                 % (d, sub_d,
-                   "CAST([" + ", ".join(map(repr, c)) + "] AS DOUBLE[])")
+                   # D.dlit, not bare repr: a bare decimal literal goes
+                   # DECIMAL→DOUBLE in DuckDB, off by one ulp from the
+                   # doubles the Spark side inlines
+                   "[" + ", ".join(D.dlit(eng, x) for x in c) + "]")
                 for c in book)
             outer.append(f"[{dots}]")
     if eng == D.SPARK:

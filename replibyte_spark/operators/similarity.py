@@ -213,7 +213,10 @@ def rp_bucket_sql(d: str, vec: str, bits: int = 8, seed: str = "rp",
             if d == D.SPARK:
                 proj = _lit_dot_sql(vec, coeffs)
             else:
-                arr = "CAST([" + ", ".join(map(repr, coeffs)) + "] AS DOUBLE[])"
+                # D.dlit (exponent-form literals): bare decimals parse as
+                # DECIMAL in DuckDB and convert to DOUBLE off by one ulp
+                # for full-precision reprs
+                arr = "[" + ", ".join(D.dlit(d, x) for x in coeffs) + "]"
                 proj = (f"list_sum(list_transform(generate_series(1, {dim}), "
                         f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))")
         else:
