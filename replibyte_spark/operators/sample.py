@@ -268,3 +268,43 @@ def leakage_free_splits(docs: DataFrame, id_col: str = "doc_id",
                         F.when(F.col("__leak").isNotNull(), F.lit("train"))
                         .otherwise(F.col("split")))
             .drop("__leak"))
+
+
+def temperature_mix(docs: DataFrame, total_budget: int,
+                    temperature: float = 2.0, stratum_col: str = "lang",
+                    key_col: str = "doc_id", text_col: str = "text",
+                    salt: str = "tmix",
+                    tokens_col: str | None = None) -> DataFrame:
+    """Temperature-flattened corpus mixing (the mT5/unimax sampling rule,
+    public knowledge): stratum budgets ∝ (token mass)^(1/T), so T=1 keeps
+    raw proportions and larger T progressively flattens the head —
+    downsample the dominant crawl without hand-writing per-source weights
+    (the knob IS the temperature).  Realized exactly like
+    :func:`token_budget_mix`: one stratum-key aggregation for the totals,
+    a driver-side rate table bounded by |strata|, then a pure per-row
+    hash predicate — no shuffle, stable under retries and partitioning.
+
+    rate_s = min(1, B·t_s^(1/T)/Σt^(1/T) / t_s); thresholds in millionths
+    feed the shared :func:`token_budget_mix` filter."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if tokens_col is None:
+        from ..functions.text import token_count_sql
+
+        tok = f"CAST({token_count_sql(D.SPARK, text_col)} AS BIGINT)"
+    else:
+        tok = f"CAST({tokens_col} AS BIGINT)"
+    totals = {r["s"]: int(r["t"] or 0) for r in (
+        docs.selectExpr(f"{stratum_col} AS s", f"{tok} AS t")
+        .groupBy("s").agg(F.sum("t").alias("t")).collect())
+        if r["s"] is not None}
+    alpha = 1.0 / temperature
+    wsum = sum(t ** alpha for t in totals.values() if t > 0)
+    thr = {}
+    for s, t in totals.items():
+        if t <= 0:
+            continue
+        budget = total_budget * ((t ** alpha) / wsum)
+        thr[s] = int(min(1.0, budget / t) * 1_000_000)
+    return token_budget_mix(docs, {}, total_budget, stratum_col, key_col,
+                            text_col, salt, thresholds=thr)

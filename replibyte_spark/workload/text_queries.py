@@ -757,3 +757,58 @@ FROM ranked WHERE rank <= {TFIDF_K} ORDER BY source, rank
 
 register(Query("salient_terms_per_source", salient_terms_per_source,
                _tfidf_oracle(), tags=("text",)), extra=True)
+
+
+# --- temperature-flattened mixing (round 9) -----------------------------------
+# the mT5/unimax sampling rule: stratum budgets proportional to (token
+# mass)^(1/T) — flattens the head without hand-written weights.  Same
+# hash-predicate realization as the weighted mixers.
+
+TMIX_BUDGET, TMIX_T = 40_000, 3.0
+
+
+def temperature_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, TMIX_BUDGET, temperature=TMIX_T,
+                           stratum_col="lang")
+    d = D.SPARK
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.expr(
+                     f"CAST({T.token_count_sql(d, 'text')} AS BIGINT)"))
+                 .cast("long").alias("n_tokens"))
+            .orderBy("lang"))
+
+
+def _temperature_mix_oracle() -> str:
+    d = D.DUCK
+    tok = T.token_count_sql(d, "text")
+    alpha = 1.0 / TMIX_T
+    combined = f"({D.to_str(d, 'doc_id')} || '|' || {D.to_str(d, 'lang')})"
+    draw = D.hash_uniform_mod(d, combined, "tmix", 1_000_000)
+    return f"""
+WITH tot AS (
+  SELECT lang, sum(CAST({tok} AS BIGINT)) AS t FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), wsum AS (
+  SELECT sum(pow(t, {alpha!r})) AS w FROM tot WHERE t > 0
+), thr AS (
+  SELECT lang,
+         CAST(floor(least(1.0,
+              ({TMIX_BUDGET} * (pow(t, {alpha!r}) / wsum.w)) / t)
+              * 1000000) AS BIGINT) AS thr
+  FROM tot, wsum WHERE t > 0
+), kept AS (
+  SELECT d.* FROM documents d JOIN thr USING (lang) WHERE {draw} < thr
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST({tok} AS BIGINT)) AS BIGINT) AS n_tokens
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+register(Query("temperature_mix_budget", temperature_mix_budget,
+               _temperature_mix_oracle(), tags=("text", "sample")),
+         extra=True)

@@ -325,3 +325,47 @@ def test_leakage_free_split_demotes_cross_split_near_dups(spark):
     again = {r.doc_id: r.split for r in leakage_free_splits(
         df, val_permille=300, seed="t").collect()}
     assert again == out
+
+
+def test_temperature_mix_flattens_the_head(spark):
+    """T=1 keeps raw proportions in expectation; larger T must shift kept
+    token share from the dominant stratum toward the tail (the mT5 rule's
+    defining property), and rates must stay valid keep-probabilities."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.operators.sample import temperature_mix
+
+    rows = ([(i, "en", "tok " * 40) for i in range(400)]        # dominant
+            + [(1000 + i, "fi", "tok " * 40) for i in range(20)])  # tail
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def share(kept):
+        counts = {r["lang"]: r["n"] for r in
+                  kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        total = sum(counts.values())
+        return counts.get("en", 0) / total if total else None
+
+    budget = 4000   # tokens; corpus has 16800 -> real downsampling
+    s1 = share(temperature_mix(docs, budget, temperature=1.0))
+    s3 = share(temperature_mix(docs, budget, temperature=3.0))
+    # raw share of en is 400/420 ~ 0.952; T=3 must flatten it down
+    assert s1 is not None and s3 is not None
+    assert s3 < s1 - 0.05, (s1, s3)
+    # determinism: the same call keeps the identical doc set
+    a = sorted(r["doc_id"] for r in
+               temperature_mix(docs, budget, temperature=3.0).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mix(docs, budget, temperature=3.0).collect())
+    assert a == b
+
+
+def test_temperature_mix_rejects_bad_temperature(spark):
+    import pytest as _pytest
+
+    from replibyte_spark.operators.sample import temperature_mix
+
+    docs = spark.createDataFrame([(1, "en", "a b")],
+                                 "doc_id long, lang string, text string")
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mix(docs, 100, temperature=0.0)
