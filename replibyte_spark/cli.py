@@ -252,6 +252,21 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="training label column")
     cls.add_argument("--k", type=float, default=0.5,
                      help="add-k smoothing constant")
+    mix = csub.add_parser(
+        "mix", help="token-budget corpus mixing: explicit per-stratum "
+                    "weights or a temperature (budgets ~ mass^(1/T))")
+    mix.add_argument("-i", "--input", required=True)
+    mix.add_argument("-o", "--output", required=True)
+    mix.add_argument("--budget", type=int, required=True,
+                     help="total token budget")
+    mix.add_argument("--stratum-col", default="lang")
+    mix.add_argument("--text-col", default="text")
+    mix.add_argument("--id-col", default="doc_id")
+    mg = mix.add_mutually_exclusive_group(required=True)
+    mg.add_argument("--temperature", type=float, default=None,
+                    help="mT5/unimax flattening: budgets ~ mass^(1/T)")
+    mg.add_argument("--weights", default=None,
+                    help="explicit stratum weights, e.g. en=0.5,fr=0.3")
     ovl = csub.add_parser(
         "overlap", help="MinHash-sketch pairwise Jaccard overlap between "
                         "corpus groups (sources/shards/snapshots)")
@@ -718,6 +733,45 @@ def _cmd_corpus(spark, args) -> int:
         print(f"classified {n} docs -> {args.output} "
               f"(columns: {args.id_col}, pred_label, score; trained on "
               f"{args.label_col})")
+        return 0
+    if args.corpus_cmd == "mix":
+        from .operators.sample import temperature_mix, token_budget_mix
+
+        docs = spark.read.parquet(args.input)
+        for c in (args.stratum_col, args.text_col, args.id_col):
+            if c not in docs.columns:
+                print(f"error: column not in input: {c}", file=sys.stderr)
+                return 2
+        try:
+            if args.temperature is not None:
+                kept = temperature_mix(docs, args.budget,
+                                       temperature=args.temperature,
+                                       stratum_col=args.stratum_col,
+                                       key_col=args.id_col,
+                                       text_col=args.text_col)
+            else:
+                try:
+                    weights = {k: float(v) for k, v in
+                               (pair.split("=", 1)
+                                for pair in args.weights.split(","))}
+                except ValueError:
+                    print("error: --weights must look like en=0.5,fr=0.3",
+                          file=sys.stderr)
+                    return 2
+                kept = token_budget_mix(docs, weights, args.budget,
+                                        stratum_col=args.stratum_col,
+                                        key_col=args.id_col,
+                                        text_col=args.text_col)
+            kept.write.mode("overwrite").parquet(args.output)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
+        knob = (f"temperature={args.temperature}"
+                if args.temperature is not None else "explicit weights")
+        print(f"kept {n_out}/{n_in} docs -> {args.output} "
+              f"(token budget {args.budget} per {args.stratum_col}, "
+              f"{knob})")
         return 0
     if args.corpus_cmd == "overlap":
         from .operators.sketch import group_overlap_matrix

@@ -692,3 +692,38 @@ def test_cli_corpus_score_order2(spark, tmp_path, capsys):
     assert main(["corpus", "score", "-i", docs, "--train", bad,
                  "-o", out, "--order", "2"], spark=spark) == 2
     assert "no token transitions" in capsys.readouterr().err
+
+
+def test_cli_corpus_mix(spark, tmp_path, capsys):
+    """`corpus mix` with a temperature flattens the head; --weights path
+    and the error convention both work."""
+    src = str(tmp_path / "mixdocs.parquet")
+    rows = ([(i, "en", "tok " * 30) for i in range(200)]
+            + [(1000 + i, "fi", "tok " * 30) for i in range(10)])
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(src)
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "mixed.parquet")
+    assert main(["corpus", "mix", "-i", src, "-o", out,
+                 "--budget", "1500", "--temperature", "3.0"],
+                spark=spark) == 0
+    assert "temperature=3.0" in capsys.readouterr().out
+    kept = spark.read.parquet(out)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    # raw en share 200/210 ~ 0.95; flattened share must drop noticeably
+    assert counts.get("fi", 0) > 0
+    assert counts["en"] / sum(counts.values()) < 0.9
+    assert main(["corpus", "mix", "-i", src, "-o", out,
+                 "--budget", "1500", "--weights", "en=0.5,fi=0.5"],
+                spark=spark) == 0
+    assert "explicit weights" in capsys.readouterr().out
+    assert main(["corpus", "mix", "-i", src, "-o", out,
+                 "--budget", "10", "--weights", "notkeyvalue"],
+                spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
+    assert main(["corpus", "mix", "-i", src, "-o", out, "--budget", "10",
+                 "--temperature", "0"], spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
