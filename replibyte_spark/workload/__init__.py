@@ -88,6 +88,7 @@ def _load_all() -> None:
         corpus,
         pii_queries,
         classifier_queries,
+        retrieval_queries,
     )
 
 
