@@ -58,17 +58,25 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
                 .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     lens = (postings.groupBy(id_col)
             .agg(F.sum("tf").cast("long").alias("dl")))
-    stats = lens.agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("dl").alias("tot")).collect()[0]
+    # one aggregation pass yields every corpus scalar the plan needs:
+    # N and avgdl for the formula, and the VOCABULARY size for the
+    # broadcast guard — the broadcast side is dfreq (one row per distinct
+    # token), so the guard must bound tokens, not documents (a small
+    # corpus of very long unique docs has n_docs << vocab).
+    stats = postings.agg(
+        F.countDistinct(id_col).alias("n"),
+        F.sum("tf").alias("tot"),
+        F.countDistinct("token").alias("vocab")).collect()[0]
     n_docs = int(stats["n"] or 0)
     if not n_docs:
         raise ValueError("BM25 corpus is empty (no documents with tokens)")
+    vocab = int(stats["vocab"])
     avgdl = f"(CAST({int(stats['tot'])} AS DOUBLE) / {n_docs})"
     dfreq = (postings.groupBy("token")
              .agg(F.count(F.lit(1)).cast("long").alias("df"))
              .filter(F.col("df") <= int(max_df_ratio * n_docs)))
     df_side = (F.broadcast(dfreq)
-               if n_docs <= broadcast_vocab_limit else dfreq)
+               if vocab <= broadcast_vocab_limit else dfreq)
     qterms = (_tokens(queries, qid, text_col)
               .select(F.col(qid).alias("query_id"), "token").distinct())
     idf = f"ln((({n_docs} - df) + 0.5) / (df + 0.5) + 1.0)"

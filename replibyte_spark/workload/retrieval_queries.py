@@ -59,7 +59,8 @@ def _bm25_ctes() -> str:
   JOIN df ON df.token = p.token
   JOIN lens l ON l.doc_id = p.doc_id
   CROSS JOIN st
-  WHERE df.df <= CAST({MAX_DF_RATIO} * st.n AS BIGINT)
+  WHERE df.df <= CAST(floor({D.dlit(D.DUCK, MAX_DF_RATIO)} * st.n)
+                      AS BIGINT)
 ), bscore AS (
   SELECT query_id, doc_id,
          round(list_reduce(list_prepend(CAST(0 AS DOUBLE),

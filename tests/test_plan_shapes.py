@@ -265,3 +265,34 @@ def test_full_admit_pins_tiers_and_scans_only_indexes(spark, tmp_path):
     # plan toString truncates long paths — match the shared index-dir
     # prefix: every file scan reads under an index, none from a corpus
     assert all("/ps_" in s for s in tier_scans), tier_scans
+
+
+def test_bm25_broadcast_guard_bounds_vocabulary(spark):
+    """r10 lock for the r9 verdict finding: the BM25 broadcast hint must
+    be conditional on the VOCABULARY size (the dfreq side is one row per
+    distinct token), not the document count — two long unique docs can
+    carry an unbounded vocab.  With auto-broadcast disabled the hint is
+    the only broadcast path: a corpus whose vocab exceeds the limit must
+    compile WITHOUT any BroadcastExchange (shuffled join, not a forced
+    driver OOM), while the same corpus under a generous limit keeps the
+    BroadcastHashJoin fast path."""
+    from replibyte_spark.operators.retrieval import bm25_scores
+
+    # 2 documents, ~40 distinct tokens: n_docs tiny, vocab > 8
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(20))),
+         (2, " ".join(f"tok{i}" for i in range(20, 40)))],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(100, "tok1 tok25")],
+                              "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = _plan(bm25_scores(docs, q, max_df_ratio=1.0,
+                                    broadcast_vocab_limit=8))
+        hinted = _plan(bm25_scores(docs, q, max_df_ratio=1.0,
+                                   broadcast_vocab_limit=1_000))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in guarded, guarded
+    assert "BroadcastHashJoin" in hinted, hinted
