@@ -103,6 +103,38 @@ def lang_ngram_score_sql(d: str, text: str, lang: str,
 
 LANGS = sorted(NGRAM_PROFILES)
 
+# Script gate (round 10).  Gram counting is linear in TOTAL profile size,
+# so the classifier's per-row cost grew with every added language (the
+# 5→9 profile jump doubled the sf0.1 gate) — yet real corpora are
+# overwhelmingly single-script, and a Cyrillic document can never match a
+# Latin gram (and vice versa).  One cheap regexp strip per non-Latin
+# script classifies the row first; the scores array is then a CASE over
+# script classes, and both engines evaluate ONLY the taken branch — so a
+# Latin row pays the Latin profiles, a Cyrillic row pays `ru` alone, and
+# adding Latin languages no longer taxes CJK/Cyrillic rows at all.
+# Out-of-script languages score an exact 0.0 (they could only ever have
+# scored 0 anyway: every ru/zh gram is pure Cyrillic/CJK and every
+# Latin-language gram is pure Latin).
+SCRIPT_LANGS: "dict[str, tuple[str, ...]]" = {
+    "cyrillic": ("ru",),
+    "cjk": ("zh",),
+}
+_SCRIPT_RE = {"cyrillic": r"[\x{0400}-\x{04FF}]+",     # Java + RE2 syntax
+              "cjk": r"[\x{4E00}-\x{9FFF}]+"}
+LATIN_LANGS = tuple(L for L in LANGS
+                    if all(L not in v for v in SCRIPT_LANGS.values()))
+# a script class claims the row when > 30% of normalized chars are in it
+# (integer cross-multiplication — no float threshold to diverge on)
+SCRIPT_FRAC_NUM, SCRIPT_FRAC_DEN = 3, 10
+
+
+def _script_count_sql(d: str, t: str, script: str) -> str:
+    """Characters of `t` belonging to `script` — exact integer via the
+    strip-and-diff trick (one regexp scan, vs ~10 gram scans per profile
+    the gate lets the row skip)."""
+    stripped = D.regexp_replace(d, t, _SCRIPT_RE[script], "")
+    return f"(length({t}) - length({stripped}))"
+
 
 def lang_scores_array_sql(d: str, text: str,
                           norm: str | None = None) -> str:
@@ -114,11 +146,25 @@ def lang_scores_array_sql(d: str, text: str,
     :func:`_norm_sql`'s value when possible: every occurrence count
     references the normalized text twice — codegen's subexpression
     elimination dedups it within one projection, but a staged column
-    makes the contract explicit instead of relying on it."""
+    makes the contract explicit instead of relying on it.
+
+    The array is a CASE over script classes (see SCRIPT_LANGS): the
+    row's dominant script picks which profiles are evaluated, the rest
+    are literal 0.0 — conditional evaluation means per-row gram cost is
+    the row's own script family, not the union of all languages."""
     norm = norm or _norm_sql(d, text)
-    scores = ", ".join(lang_ngram_score_sql(d, text, L, norm)
-                       for L in LANGS)
-    return (f"array({scores})" if d == D.SPARK else f"[{scores}]")
+
+    def arr(langs: "tuple[str, ...]") -> str:
+        scores = ", ".join(
+            lang_ngram_score_sql(d, text, L, norm) if L in langs
+            else "CAST(0.0 AS DOUBLE)" for L in LANGS)
+        return (f"array({scores})" if d == D.SPARK else f"[{scores}]")
+
+    branches = " ".join(
+        f"WHEN {SCRIPT_FRAC_DEN} * {_script_count_sql(d, norm, s)} > "
+        f"{SCRIPT_FRAC_NUM} * length({norm}) THEN {arr(langs)}"
+        for s, langs in sorted(SCRIPT_LANGS.items()))
+    return f"CASE {branches} ELSE {arr(LATIN_LANGS)} END"
 
 
 def pred_from_scores_sql(d: str, ls: str) -> str:

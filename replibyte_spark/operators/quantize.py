@@ -45,14 +45,19 @@ def qscale_sql(d: str, vec: str) -> str:
 def quantize_sql(d: str, vec: str, scale: str) -> str:
     """int8 code array: floor(x/scale + 0.5), zero-scale → all-zero codes.
     The explicit floor(+0.5) is the SHARED rounding policy — engine-native
-    round() half-rules differ and would silently diverge the codes."""
-    body = f"CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS INT)"
+    round() half-rules differ and would silently diverge the codes.
+    Codes are TINYINT (Spark ByteType / DuckDB int8 — values are bounded
+    to ±127 by construction), so the MATERIALIZED layout really is 1-byte
+    elements, matching the 4×-smaller storage claim rather than relying
+    on parquet integer packing to recover it from array<int>."""
+    zero = "CAST(0 AS TINYINT)"
+    body = f"CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS TINYINT)"
     if d == D.SPARK:
         return (f"CASE WHEN {scale} = 0.0 THEN "
-                f"transform({vec}, x -> 0) "
+                f"transform({vec}, x -> {zero}) "
                 f"ELSE transform({vec}, x -> {body}) END")
     return (f"CASE WHEN {scale} = 0.0 THEN "
-            f"list_transform({vec}, x -> 0) "
+            f"list_transform({vec}, x -> {zero}) "
             f"ELSE list_transform({vec}, x -> {body}) END")
 
 

@@ -299,7 +299,13 @@ def temperature_mix(docs: DataFrame, total_budget: int,
         .groupBy("s").agg(F.sum("t").alias("t")).collect())
         if r["s"] is not None}
     alpha = 1.0 / temperature
-    wsum = sum(t ** alpha for t in totals.values() if t > 0)
+    # sorted LEFT FOLD over strata (the repo's cross-engine float-sum
+    # convention): Python dict order is collect order, which Spark leaves
+    # unspecified — the oracle pins the same order with
+    # list_reduce(list(pow(t, a) ORDER BY lang), +)
+    wsum = 0.0
+    for s in sorted(k for k, t in totals.items() if t > 0):
+        wsum += totals[s] ** alpha
     thr = {}
     for s, t in totals.items():
         if t <= 0:

@@ -793,11 +793,14 @@ WITH tot AS (
   SELECT lang, sum(CAST({tok} AS BIGINT)) AS t FROM documents
   WHERE lang IS NOT NULL GROUP BY lang
 ), wsum AS (
-  SELECT sum(pow(t, {alpha!r})) AS w FROM tot WHERE t > 0
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(pow(t, {D.dlit(d, alpha)}) ORDER BY lang)),
+             (a, x) -> a + x) AS w
+  FROM tot WHERE t > 0
 ), thr AS (
   SELECT lang,
          CAST(floor(least(1.0,
-              ({TMIX_BUDGET} * (pow(t, {alpha!r}) / wsum.w)) / t)
+              ({TMIX_BUDGET} * (pow(t, {D.dlit(d, alpha)}) / wsum.w)) / t)
               * 1000000) AS BIGINT) AS thr
   FROM tot, wsum WHERE t > 0
 ), kept AS (
