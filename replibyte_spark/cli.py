@@ -175,6 +175,14 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="also store int8 SQ8 code columns (q, qscale) "
                            "so quantized query paths read 1-byte codes "
                            "off the layout")
+    eidx.add_argument("--pq", action="store_true",
+                      help="also store PQ codes (pq_codes) plus the "
+                           "trained codebook sidecar (pq_books) — the "
+                           "IVF-PQ deployment layout; requires --dim")
+    eidx.add_argument("--pq-m", type=int, default=8,
+                      help="PQ subspace count (default 8)")
+    eidx.add_argument("--pq-ks", type=int, default=16,
+                      help="PQ codebook entries per subspace (default 16)")
     eadm = csub.add_parser(
         "eadmit", help="keep only batch vectors that are NOT semantic "
                        "near-dups of an indexed embedding corpus")
@@ -534,12 +542,18 @@ def _cmd_corpus(spark, args) -> int:
         from .operators.similarity import build_ann_index
 
         df = spark.read.parquet(args.input)
+        if args.pq and args.dim is None:
+            raise ValueError("--pq requires --dim (PQ subspace slicing "
+                             "needs the vector width)")
         build_ann_index(df, args.output, bits=args.bits, id_col=args.id_col,
                         vec_col=args.vec_col, dim=args.dim,
-                        quantize=args.quantize)
+                        quantize=args.quantize, pq=args.pq,
+                        pq_m=args.pq_m, pq_ks=args.pq_ks)
         print(f"indexed {df.count()} vectors -> {args.output} "
               f"(bits={args.bits}"
-              + (", int8 codes stored" if args.quantize else "") + ")")
+              + (", int8 codes stored" if args.quantize else "")
+              + (f", pq codes stored (m={args.pq_m}, ks={args.pq_ks})"
+                 if args.pq else "") + ")")
         return 0
     if args.corpus_cmd == "eadmit":
         from .operators.similarity import (append_ann_index,

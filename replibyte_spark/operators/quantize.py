@@ -368,7 +368,9 @@ def pq_topk(vectors, queries, k: int = 5, m: int = 8, ks: int = 16,
 
 def pq_refine_books(vectors, books: "list[list[list[float]]]",
                     iterations: int = 2,
-                    vec_col: str = "embedding"
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    deterministic: bool = False
                     ) -> "list[list[list[float]]]":
     """Per-subspace Lloyd refinement of PQ codebooks — the offline
     training step that closes most of the sample-codebook recall gap
@@ -377,20 +379,37 @@ def pq_refine_books(vectors, books: "list[list[list[float]]]",
     Each iteration: encode (one projection), per-(subspace, code,
     dimension) mean (one aggregation — the shuffle unit is m·ks·(dim/m)
     cells, codebook-sized), collect and rebuild.  Empty cells keep their
-    previous entry (stable ks, no NaNs)."""
+    previous entry (stable ks, no NaNs).
+
+    `deterministic=True` computes each cell mean as a SEQUENTIAL fold
+    over the cell's values sorted by `id_col` instead of `F.avg` —
+    bit-identical across engines and runs (the
+    :func:`~.similarity.refine_centroids` trick), so a DuckDB oracle can
+    replay the refinement exactly.  Collect-list per (sub, code, pos)
+    group → verification/fixture builds; the default `F.avg` (partial
+    aggregation) is the 100 TB path."""
     m, ks = len(books), len(books[0])
     d = len(books[0][0])
     for _ in range(iterations):
         enc = fan_out(vectors).select(
             F.posexplode(F.expr(pq_encode_expr(vec_col, books)))
             .alias("sub", "code"),
+            F.col(id_col).alias("__rid"),
             F.col(vec_col).alias("v"))
         dims = enc.select(
-            "sub", "code",
+            "sub", "code", "__rid",
             F.posexplode(F.expr(f"slice(v, sub * {d} + 1, {d})"))
             .alias("pos", "x"))
+        if deterministic:
+            mean = F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(__rid AS r, CAST(x AS DOUBLE) AS x))), "
+                "s -> s.x), CAST(0 AS DOUBLE), (acc, v) -> acc + v) "
+                "/ CAST(count(1) AS DOUBLE)")
+        else:
+            mean = F.avg("x")
         means = (dims.groupBy("sub", "code", "pos")
-                 .agg(F.avg("x").alias("mn")).collect())
+                 .agg(mean.alias("mn")).collect())
         cell: dict = {}
         for r in means:
             cell.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mn"]
@@ -398,3 +417,81 @@ def pq_refine_books(vectors, books: "list[list[list[float]]]",
                    if (s, c) in cell else books[s][c])
                   for c in range(ks)] for s in range(m)]
     return books
+
+
+def ivf_topk_pq(vectors, queries, centroids,
+                books: "list[list[list[float]]]", k: int = 5,
+                n_probe: int = 2, expand: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-PQ/ADC — the composition FAISS deploys at billion-vector
+    scale, as one Catalyst plan: probe the query's `n_probe` cells, score
+    THEIR members by the ADC lookup table (m integer-indexed lookups per
+    pair — never per-pair vector math), then re-rank the top k·expand
+    exactly (reported cosines bit-equal to :func:`~.similarity.ivf_topk`
+    whenever candidate sets agree).
+
+    Cell probing bounds WHICH rows are touched; PQ codes bound the BYTES
+    per touched row (m 1-byte codes instead of dim floats — the deepest
+    compression tier the layout offers).  `vectors` is ideally a
+    :func:`~.similarity.build_ann_index(pq=True)` layout already carrying
+    (centroid_id, norm, pq_codes) so the candidate scan is codes-only
+    column-pruned parquet; missing columns are computed on the fly.
+    `books` is the codebook list (:func:`~.similarity.load_pq_books` for
+    a stored layout; the index sidecar is corpus metadata exactly like
+    the IVF centroid set)."""
+    from .similarity import (_assign_expr, _collect_centroids,
+                             ivf_probe_expr)
+
+    m = len(books)
+    cents = _collect_centroids(centroids)
+    if not cents:
+        id_type = vectors.schema[id_col].dataType
+        return (queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(None).cast(id_type).alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank")).filter(F.lit(False)))
+    corpus = vectors
+    if "centroid_id" not in corpus.columns:
+        corpus = fan_out(corpus).withColumn(
+            "centroid_id", F.expr(_assign_expr(vec_col, cents)))
+    if "norm" not in corpus.columns:
+        corpus = corpus.withColumn(
+            "norm", F.expr(norm_sql(D.SPARK, vec_col)))
+    if "pq_codes" not in corpus.columns:
+        corpus = corpus.withColumn(
+            "pq_codes", F.expr(pq_encode_expr(vec_col, books)))
+    v = (corpus.select(F.col(id_col).alias("neighbor_id"), "pq_codes",
+                       F.col("norm").alias("nn"), "centroid_id")
+         .filter(F.col("nn") > 0))
+    qb = (fan_out(queries)
+          .withColumn("centroid_id",
+                      F.explode(F.expr(ivf_probe_expr(vec_col, cents,
+                                                      n_probe))))
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"),
+                  F.expr(pq_lut_expr(vec_col, books)).alias("lut"),
+                  F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"),
+                  "centroid_id")
+          .filter(F.col("qn") > 0))
+    approx = (F.broadcast(qb).join(v, "centroid_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("approx", F.expr(
+                  f"{pq_adc_sql(D.SPARK, 'lut', 'pq_codes', m)} "
+                  f"/ (qn * nn)")))
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"),
+                                                F.asc("neighbor_id"))
+    cand = (approx.withColumn("arn", F.row_number().over(wa))
+            .filter(F.col("arn") <= k * expand)
+            .select("query_id", "neighbor_id", "qv", "qn", "nn"))
+    nvs = vectors.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nv"))
+    rescored = cand.join(nvs, on="neighbor_id").withColumn(
+        "cosine", F.expr(
+            f"round({dot_sql(D.SPARK, 'qv', 'nv')} / (qn * nn), 6)"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+            .orderBy("query_id", "rank"))

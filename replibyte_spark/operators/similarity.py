@@ -547,7 +547,9 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                     partition_by_bucket: bool = False,
                     refine_iterations: int = 0,
                     refine_deterministic: bool = False,
-                    quantize: bool = False) -> "list":
+                    quantize: bool = False,
+                    pq: bool = False, pq_m: int = 8,
+                    pq_ks: int = 16) -> "list":
     """Materialize the ANN index AS A STORAGE LAYOUT: the corpus written to
     parquet with its RP-LSH `bucket`, IVF `centroid_id` and `norm` columns
     precomputed, plus a `centroids` sidecar table — built ONCE at ingest,
@@ -578,10 +580,23 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     `qscale`, operators/quantize.py) so quantized query paths
     (ivf_topk_quantized / quantized_brute_topk) read 1-byte codes off the
     layout instead of requantizing the fp column per query — the
-    bandwidth half of the IVF-SQ8 deployment point."""
+    bandwidth half of the IVF-SQ8 deployment point.
+
+    `pq=True` (r10) stores the deeper compression tier: PQ codes
+    (`pq_codes`, m codes per vector) in the corpus plus a `pq_books`
+    sidecar holding the trained codebooks — exactly the FAISS IVF-PQ
+    deployment shape, where codebooks are corpus metadata like the
+    centroid set.  :func:`~.quantize.ivf_topk_pq` then runs
+    codes-off-storage; requires `dim`.  Codebooks are the md5-sample of
+    :func:`~.quantize.pq_codebooks` (swap in Lloyd-refined books by
+    rebuilding with different pq params — the refinement is offline
+    build-time work, :func:`~.quantize.pq_refine_books`)."""
     import os
 
     spark = vectors.sparkSession
+    if pq and dim is None:
+        raise ValueError("build_ann_index(pq=True) requires dim "
+                         "(PQ subspace slicing needs the vector width)")
     cents = _collect_centroids(
         default_centroids(vectors, n_centroids, id_col, vec_col))
     if refine_iterations and cents:
@@ -606,6 +621,14 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                    .withColumn("qscale", F.expr(qscale_sql(D.SPARK, vec_col)))
                    .withColumn("q", F.expr(
                        quantize_sql(D.SPARK, vec_col, "qscale"))))
+    books = None
+    if pq:
+        from .quantize import pq_codebooks
+
+        books = pq_codebooks(vectors, m=pq_m, ks=pq_ks, id_col=id_col,
+                             vec_col=vec_col, dim=dim)
+        indexed = indexed.withColumn(
+            "pq_codes", F.expr(_pq_codes_storage_expr(vec_col, books)))
     writer_df = indexed
     writer = writer_df.write.mode("overwrite")
     if partition_by_bucket:
@@ -616,6 +639,14 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     (spark.createDataFrame(cents, "centroid_id string, cv array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
+    if books is not None:
+        (spark.createDataFrame(
+            [(s, c, [float(x) for x in cv])
+             for s, book in enumerate(books)
+             for c, cv in enumerate(book)],
+            "sub int, code int, cv array<double>")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(path, "pq_books")))
     # build-time mean assignment cosine — the reference point for the
     # centroid-drift metric (:func:`ann_index_drift`): append batches are
     # assigned against the FROZEN build centroids forever, so a drifted
@@ -630,9 +661,10 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
         mean_cos = None if mean_cos is None else float(mean_cos)
     (spark.createDataFrame(
         [(bits, seed, n_centroids, dim, refine_iterations, mean_cos,
-          quantize)],
+          quantize, pq_m if pq else None, pq_ks if pq else None)],
         "bits int, seed string, n_centroids int, dim int, "
-        "refine_iterations int, mean_assign_cos double, quantized boolean")
+        "refine_iterations int, mean_assign_cos double, quantized boolean, "
+        "pq_m int, pq_ks int")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "meta")))
     # write-through: a rebuild at the same path in one process must not
@@ -643,8 +675,41 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                          "n_centroids": n_centroids, "dim": dim,
                          "refine_iterations": refine_iterations,
                          "mean_assign_cos": mean_cos,
-                         "quantized": quantize}
+                         "quantized": quantize,
+                         "pq_m": pq_m if pq else None,
+                         "pq_ks": pq_ks if pq else None}
     return cents
+
+
+def _pq_codes_storage_expr(vec_col: str, books) -> str:
+    """The pq_codes STORAGE projection: encode, then narrow the element
+    type to TINYINT when the code range allows (ks ≤ 128 — the default
+    and the FAISS-typical 8-bit regime), so the persisted layout holds
+    true 1-byte codes like the SQ8 `q` column."""
+    from .quantize import pq_encode_expr
+
+    enc = pq_encode_expr(vec_col, books)
+    if len(books[0]) <= 128:
+        return f"transform({enc}, x -> CAST(x AS TINYINT))"
+    return enc
+
+
+def load_pq_books(spark, path: str) -> "list[list[list[float]]]":
+    """The PQ codebooks recorded by :func:`build_ann_index(pq=True)` —
+    books[sub][code] = subvector, the shape every operators/quantize.py
+    consumer takes.  Codebook size is meta-bounded (pq_m × pq_ks rows),
+    so the collect is sidecar-sized like the centroid list."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "pq_books")).collect()
+    if not rows:
+        raise ValueError(f"empty pq_books sidecar at {path}")
+    by: dict = {}
+    for r in rows:
+        by[(r["sub"], r["code"])] = [float(x) for x in r["cv"]]
+    m = 1 + max(s for s, _ in by)
+    ks = 1 + max(c for _, c in by)
+    return [[by[(s, c)] for c in range(ks)] for s in range(m)]
 
 
 def _assign_cos_expr(vec_col: str, cents) -> str:
@@ -1074,6 +1139,14 @@ def append_ann_index(new_vecs: DataFrame, path: str,
                    .withColumn("qscale", F.expr(qscale_sql(D.SPARK, vec_col)))
                    .withColumn("q", F.expr(
                        quantize_sql(D.SPARK, vec_col, "qscale"))))
+    if "pq_codes" in existing.columns:
+        # encode against the FROZEN build codebooks (the sidecar), with
+        # the same element-type rule as the build — a batch stored as
+        # array<int> against an array<tinyint> corpus would fracture the
+        # parquet schema for every later codes-only scan
+        books = load_pq_books(spark, path)
+        indexed = indexed.withColumn(
+            "pq_codes", F.expr(_pq_codes_storage_expr(vec_col, books)))
     if "bucket_part" in existing.columns:
         (indexed.withColumn("bucket_part",
                             F.concat(F.lit("b"), F.col("bucket")))

@@ -321,3 +321,83 @@ def test_pq_parameter_errors(spark):
     empty = emb.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty corpus"):
         pq_codebooks(empty, m=2, ks=4, dim=10)
+
+
+def test_pq_index_layout_roundtrip(spark, tmp_path, sf_dir):
+    """build_ann_index(pq=True) stores pq_codes as TINYINT arrays plus
+    the pq_books sidecar; ivf_topk_pq over the loaded layout matches
+    on-the-fly encoding with the same books; appends encode against the
+    frozen sidecar books with the same element type; meta records the
+    PQ params."""
+    from replibyte_spark.operators.quantize import ivf_topk_pq
+    from replibyte_spark.operators.similarity import (append_ann_index,
+                                                      build_ann_index,
+                                                      load_ann_index,
+                                                      load_ann_index_meta,
+                                                      load_pq_books)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "pqidx")
+    cents = build_ann_index(head, path, bits=4, dim=64, pq=True,
+                            pq_m=8, pq_ks=16)
+    meta = load_ann_index_meta(spark, path, use_cache=False)
+    assert meta["pq_m"] == 8 and meta["pq_ks"] == 16
+    books = load_pq_books(spark, path)
+    assert len(books) == 8 and len(books[0]) == 16
+    assert len(books[0][0]) == 8  # dim 64 / m 8
+    corpus, _ = load_ann_index(spark, path, with_centroids=False)
+    assert {"pq_codes", "norm", "centroid_id"} <= set(corpus.columns)
+    assert dict(corpus.dtypes)["pq_codes"] == "array<tinyint>"
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    from_layout = sorted(map(tuple, ivf_topk_pq(
+        corpus, queries, cents, books, k=3, n_probe=2).collect()))
+    on_the_fly = sorted(map(tuple, ivf_topk_pq(
+        head.select("vec_id", "embedding"), queries, cents, books, k=3,
+        n_probe=2).collect()))
+    assert from_layout == on_the_fly
+    assert len(from_layout) > 0
+    # append encodes against the frozen sidecar books — reload is clean
+    # and the element type does not fracture
+    append_ann_index(tail, path)
+    corpus2, _ = load_ann_index(spark, path, with_centroids=False)
+    assert corpus2.count() == emb.count()
+    assert corpus2.filter(F.col("pq_codes").isNull()).count() == 0
+    assert dict(corpus2.dtypes)["pq_codes"] == "array<tinyint>"
+
+
+def test_pq_build_requires_dim(spark):
+    import pytest
+
+    from replibyte_spark.operators.similarity import build_ann_index
+
+    emb = spark.createDataFrame([(1, [1.0] * 8)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="requires dim"):
+        build_ann_index(emb, "/tmp/never_written_pq", pq=True)
+
+
+def test_ivf_pq_matches_ivf_exact_on_fixture(spark, sf_dir):
+    """Recall sanity: with a generous expand, IVF-PQ's final top-k should
+    agree with the exact IVF path on most (query, rank) slots, and all
+    reported cosines are exact (bit-equal on the agreeing slots)."""
+    from replibyte_spark.operators.quantize import (ivf_topk_pq,
+                                                    pq_codebooks)
+    from replibyte_spark.operators.similarity import (default_centroids,
+                                                      ivf_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = default_centroids(emb, 8)
+    books = pq_codebooks(emb, m=8, ks=32, dim=64)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in ivf_topk(emb, queries, k=3, n_probe=2,
+                               centroids=cents).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in ivf_topk_pq(emb, queries, cents, books, k=3,
+                               n_probe=2, expand=8).collect()}
+    agree = set(exact) & set(pq)
+    assert len(agree) >= 0.7 * len(exact), (len(agree), len(exact))
+    for key in agree:
+        assert exact[key] == pq[key]
