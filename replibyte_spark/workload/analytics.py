@@ -315,8 +315,11 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id ORDER BY p.event_id
 """
 
+# EXTRA since r10 (slot went to bm25_doc_topk): the trailing-window range
+# join stays covered by the purchases_asof_* gates — this is the low-risk
+# sibling of that family, still oracle-checked in pytest
 register(Query("purchases_clicks_last_hour", purchases_clicks_last_hour,
-               RANGE_ORACLE, tags=("join", "range")))
+               RANGE_ORACLE, tags=("join", "range")), extra=True)
 
 
 # --- statistical aggregates --------------------------------------------------
@@ -390,8 +393,11 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
+# EXTRA since r10 (slot went to quantized_ivf_topk): grouping-set NULL
+# semantics are the only surface q1/q3 don't already gate, and the
+# pytest oracle sweep keeps checking it
 register(Query("revenue_rollup", revenue_rollup, ROLLUP_ORACLE,
-               tags=("agg", "rollup")))
+               tags=("agg", "rollup")), extra=True)
 
 
 # --- events: JSON property extraction --------------------------------------

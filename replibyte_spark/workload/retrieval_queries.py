@@ -92,8 +92,12 @@ FROM lex WHERE rank <= {R_DEPTH} ORDER BY query_id, rank
 """
 
 
+# driver-visible since round 10 (took purchases_clicks_last_hour's
+# slot): the lexical-retrieval family's highest-risk surface — postings,
+# df cap, idf/length normalization, sorted-fold scores — all replayed by
+# the oracle
 register(Query("bm25_doc_topk", bm25_doc_topk, _bm25_oracle(),
-               tags=("retrieval", "text")), extra=True)
+               tags=("retrieval", "text")))
 
 
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

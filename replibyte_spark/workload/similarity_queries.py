@@ -894,8 +894,11 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+# driver-visible since round 10 (took revenue_rollup's slot): the
+# quantization family's composition point — cells bound WHICH rows,
+# int8 codes bound BYTES per row, exact re-rank — now driver-gated
 register(Query("quantized_ivf_topk", quantized_ivf, _quantized_ivf_oracle(),
-               tags=("similarity", "quantize")), extra=True)
+               tags=("similarity", "quantize")))
 
 
 def ann_scale_qivf(spark: SparkSession, sf_dir: str) -> DataFrame:
