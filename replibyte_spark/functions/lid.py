@@ -44,6 +44,15 @@ from .. import dialect as D
 # Derived from public letter/word-frequency knowledge (Cavnar & Trenkle-
 # style top-profile selection), NOT trained on the fixtures.
 NGRAM_PROFILES: dict[str, dict[str, int]] = {
+    # r10 non-Latin additions (ar/hi/ja/ko): each rides its own script
+    # class (SCRIPT_LANGS below), so their grams are evaluated ONLY on
+    # rows whose dominant script matches — adding them costs Latin rows
+    # nothing.  ar/hi/ko are alone in their script, so the profile's job
+    # is evidence > 0 (vs 'und'), not discrimination; ja shares the CJK
+    # class with zh and anchors on hiragana (unique to Japanese), while
+    # zh anchors on ideographs rare in Japanese prose (的/们/是).
+    "ar": {" في ": 3, " من ": 3, " على ": 3, " إلى ": 2, " عن ": 2,
+           " هذا ": 2, " أن ": 2, " و": 1, "ال": 1, " لا ": 2},
     "de": {" der ": 3, " die ": 3, " und ": 3, " das ": 2, " ist ": 2,
            " ein": 2, "sch": 2, "ich": 1, " nicht ": 3, "en ": 1},
     "en": {" the ": 3, " and ": 3, " of ": 3, " is ": 2, " to ": 2,
@@ -58,8 +67,16 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # its bare "è" gram → it anchors on " è " at 3 plus per/gli/zione;
     # pt avoids the shared " os "-heavy route and anchors on its unique
     # orthography (ão/ções/não) and do/da contractions es lacks.
+    "hi": {" है ": 3, " का ": 2, " की ": 2, " के ": 2, " में ": 3,
+           " और ": 3, " से ": 2, " को ": 2, " एक ": 2, " यह ": 2},
     "it": {" il ": 3, " di ": 3, " che ": 2, " è ": 3, " per ": 2,
            "zione": 3, "gli": 2, " non ": 2, " con ": 1, " sono ": 2},
+    # hiragana function characters — unique to Japanese, absent from
+    # Chinese text, so they cleanly split the shared CJK script class
+    "ja": {"の": 3, "を": 3, "に": 2, "は": 2, "が": 2,
+           "で": 1, "て": 1, "た": 1, "です": 2, "する": 2},
+    "ko": {"는 ": 2, "의 ": 2, "을 ": 2, "이 ": 2, "가 ": 2,
+           "다 ": 2, "에 ": 2, "고 ": 1, "하": 1, "니": 1},
     "nl": {" het ": 3, " een ": 3, " van ": 3, " niet ": 2, " de ": 1,
            "ij": 2, " en ": 1, " op ": 1, " dat ": 1, "aa": 1},
     "pt": {" não ": 3, "ção": 3, " do ": 2, " da ": 2, " uma ": 2,
@@ -116,16 +133,33 @@ LANGS = sorted(NGRAM_PROFILES)
 # scored 0 anyway: every ru/zh gram is pure Cyrillic/CJK and every
 # Latin-language gram is pure Latin).
 SCRIPT_LANGS: "dict[str, tuple[str, ...]]" = {
+    "arabic": ("ar",),
+    # kana + ideographs: Japanese and Chinese share the class; their
+    # profiles discriminate within it (hiragana vs ideograph anchors)
+    "cjk": ("ja", "zh"),
     "cyrillic": ("ru",),
-    "cjk": ("zh",),
+    "devanagari": ("hi",),
+    "hangul": ("ko",),
 }
-_SCRIPT_RE = {"cyrillic": r"[\x{0400}-\x{04FF}]+",     # Java + RE2 syntax
-              "cjk": r"[\x{4E00}-\x{9FFF}]+"}
+_SCRIPT_RE = {  # Java + RE2 \x{...} syntax, identical in both engines
+    "arabic": r"[\x{0600}-\x{06FF}]+",
+    "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]+",
+    "cyrillic": r"[\x{0400}-\x{04FF}]+",
+    "devanagari": r"[\x{0900}-\x{097F}]+",
+    "hangul": r"[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]+",
+}
 LATIN_LANGS = tuple(L for L in LANGS
                     if all(L not in v for v in SCRIPT_LANGS.values()))
 # a script class claims the row when > 30% of normalized chars are in it
 # (integer cross-multiplication — no float threshold to diverge on)
 SCRIPT_FRAC_NUM, SCRIPT_FRAC_DEN = 3, 10
+
+
+# any char at/past the Greek block: every non-Latin script class above
+# starts beyond U+0370, and Latin text (including precomposed accents
+# and combining diacritics, U+0300–U+036F) contains none — so one
+# find-first-match regex decides "Latin" without counting any script
+_NON_LATIN_PROBE = r"[\x{0370}-\x{FFFF}]"
 
 
 def _script_count_sql(d: str, t: str, script: str) -> str:
@@ -134,6 +168,17 @@ def _script_count_sql(d: str, t: str, script: str) -> str:
     the gate lets the row skip)."""
     stripped = D.regexp_replace(d, t, _SCRIPT_RE[script], "")
     return f"(length({t}) - length({stripped}))"
+
+
+def _non_latin_probe_sql(d: str, t: str) -> str:
+    """TRUE when `t` contains any non-Latin-script character.  A
+    find-first-match regex, so the (overwhelmingly common at web scale)
+    pure-Latin row pays one short scan and skips ALL per-script counting
+    — per-row script-gate cost stays flat as script classes are added."""
+    if d == D.SPARK:
+        pat = _NON_LATIN_PROBE.replace("\\", "\\\\")
+        return f"({t} RLIKE '{pat}')"
+    return f"regexp_matches({t}, '{_NON_LATIN_PROBE}')"
 
 
 def lang_scores_array_sql(d: str, text: str,
@@ -164,7 +209,12 @@ def lang_scores_array_sql(d: str, text: str,
         f"WHEN {SCRIPT_FRAC_DEN} * {_script_count_sql(d, norm, s)} > "
         f"{SCRIPT_FRAC_NUM} * length({norm}) THEN {arr(langs)}"
         for s, langs in sorted(SCRIPT_LANGS.items()))
-    return f"CASE {branches} ELSE {arr(LATIN_LANGS)} END"
+    latin = arr(LATIN_LANGS)
+    # ASCII fast path: no non-Latin char at all → Latin branch directly,
+    # zero per-script counting (equivalent result — all counts would be
+    # 0 — but one probe instead of |scripts| strip-scans per row)
+    return (f"CASE WHEN NOT {_non_latin_probe_sql(d, norm)} THEN {latin} "
+            f"{branches} ELSE {latin} END")
 
 
 def pred_from_scores_sql(d: str, ls: str) -> str:
@@ -212,8 +262,10 @@ def identify_language(df: DataFrame, text_col: str = "text",
     cheap per-language array.  Spark's CollapseProject declines to
     re-inline a non-cheap alias referenced more than once, so the
     staging survives optimization (measured 2.3 s → 1.4 s on the sf0.1
-    gate; the remainder is the honest cost of ~50 replace() scans over
-    each document — plan lock in test_lid)."""
+    gate pre-script-gate; with the r10 script gate + ASCII fast path the
+    13-language gate runs 0.53 s — a pure-Latin row pays one probe regex
+    plus its own Latin profiles, nothing else — plan lock in
+    test_lid)."""
     norm_col = f"__{pred_alias}_norm"
     arr_col = f"__{pred_alias}_scores"
     staged = (df.withColumn(norm_col,

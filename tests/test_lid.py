@@ -29,6 +29,15 @@ SENTENCES = [
     ("ru", "это не самый лучший день в году и он на работе"),
     ("zh", "我的猫和狗在花园里玩 他们不在家里 人们都有自己的生活"),
     ("zh", "这是一个很好的地方 我们在这里住了很多年"),
+    # r10 script-class additions
+    ("ar", "القطة والكلب يلعبان في الحديقة من الصباح إلى المساء"),
+    ("ar", "هذا يوم جميل ولا أريد أن أبقى في البيت"),
+    ("hi", "बिल्ली और कुत्ता बगीचे में खेल रहे हैं और यह एक अच्छा दिन है"),
+    ("hi", "यह किताब मेरे दोस्त की है और वह इसे पढ़ना चाहता है"),
+    ("ja", "猫と犬が庭で遊んでいます 今日はとても良い天気です"),
+    ("ja", "私は本を読むのが好きで 毎日図書館に行きます"),
+    ("ko", "고양이와 강아지가 정원에서 놀고 있다 오늘은 날씨가 좋다"),
+    ("ko", "나는 책을 읽는 것을 좋아하고 매일 도서관에 간다"),
 ]
 
 # the measured floor: profile edits that regress classification on the
@@ -117,3 +126,49 @@ def test_lid_whitespace_and_case_invariance_duckdb():
             rows.append(con.execute(
                 f"SELECT {pred} AS p, {score} AS s FROM d").fetchone())
         assert len({r for r in rows}) == 1, (t, rows)
+
+
+def test_lid_script_gate_zeroes_out_of_class_scores(spark):
+    """r10 script-gate contract: a Cyrillic-dominant row takes the
+    cyrillic branch (Latin profiles literal 0.0), a Latin row zeroes the
+    non-Latin profiles, and a short Latin quote inside mostly-Cyrillic
+    text does not flip the class (>30% dominant-script threshold)."""
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions.lid import (LANGS,
+                                               lang_scores_array_sql)
+
+    df = spark.createDataFrame(
+        [(1, "собака и кошка играют в саду"),
+         (2, "the cat and the dog are playing"),
+         (3, "он сказал что the cat спит в саду и не придет")],
+        "doc_id long, text string")
+    from pyspark.sql import functions as F
+    rows = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", F.expr(lang_scores_array_sql(D.SPARK, "text"))
+        .alias("s")).collect()}
+    ru_i = LANGS.index("ru")
+    en_i = LANGS.index("en")
+    # cyrillic row: only ru may be nonzero
+    assert rows[1][ru_i] > 0
+    assert all(v == 0.0 for i, v in enumerate(rows[1]) if i != ru_i)
+    # latin row: ru/zh/ja/ko/ar/hi all literal zero
+    assert rows[2][en_i] > 0
+    for lang in ("ar", "hi", "ja", "ko", "ru", "zh"):
+        assert rows[2][LANGS.index(lang)] == 0.0
+    # mixed row, cyrillic-dominant: stays in the cyrillic class
+    assert rows[3][ru_i] > 0
+    assert rows[3][en_i] == 0.0
+
+
+def test_lid_ja_zh_split_within_cjk_class(spark):
+    """ja and zh share the CJK script class; hiragana anchors must pick
+    ja for Japanese prose and ideograph anchors zh for Chinese, inside
+    the SAME branch."""
+    df = spark.createDataFrame(
+        [(1, "私は本を読むのが好きです"),     # hiragana-heavy Japanese
+         (2, "我们的生活是很好的 他们都有自己的家")],  # Chinese
+        "doc_id long, text string")
+    rows = {r.doc_id: r.pred_lang
+            for r in identify_language(df).collect()}
+    assert rows[1] == "ja", rows
+    assert rows[2] == "zh", rows
