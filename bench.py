@@ -25,13 +25,15 @@ import time
 
 def load_gate(cpus: int) -> "tuple[float, bool]":
     """Refuse to measure on a busy box: back off while the 1-min load
-    average exceeds the limit (default 0.25×cpus, env-overridable); if it
+    average exceeds the limit (default 0.15×cpus, env-overridable); if it
     never settles, flag the run as load-polluted instead of silently
-    recording contended numbers (the r8 artifact was recorded at loadavg
-    6-8.9 and carried 1.3-3× pollution into the round-over-round
-    comparison).  Returns (load_limit, load_polluted)."""
+    recording contended numbers (the r9 artifact was recorded at loadavg
+    6-8.35 against the old 0.25×cpus limit — it barely passed, and the
+    most CPU-parallel rows (the ANN family) read ~2× their idle cost;
+    r10 tightened the default so a recorded run means a genuinely idle
+    box).  Returns (load_limit, load_polluted)."""
     load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT",
-                                      str(0.25 * cpus)))
+                                      str(0.15 * cpus)))
     load_retries = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "4"))
     load_backoff = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF",
                                         "30"))

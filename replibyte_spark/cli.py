@@ -149,6 +149,17 @@ def _build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--order", type=int, choices=(1, 2), default=1,
                     help="LM order: 1 = unigram, 2 = bigram (transition-"
                          "level; sees word-order defects)")
+    gop = csub.add_parser(
+        "gopher", help="Gopher/MassiveText rule-based quality filter "
+                       "(published thresholds; --flags keeps per-rule "
+                       "columns instead of filtering)")
+    gop.add_argument("-i", "--input", required=True)
+    gop.add_argument("-o", "--output", required=True)
+    gop.add_argument("--text-col", default="text")
+    gop.add_argument("--min-words", type=int, default=None,
+                     help="override the published 50-word floor")
+    gop.add_argument("--flags", action="store_true",
+                     help="append gq_* flag columns, keep every row")
     chk = csub.add_parser(
         "chunk", help="overlapping token windows per doc (RAG ingestion)")
     chk.add_argument("-i", "--input", required=True)
@@ -525,6 +536,30 @@ def _cmd_corpus(spark, args) -> int:
         print(f"scored {n} docs -> {args.output} "
               f"(columns: {args.id_col}, {count_col}, cross_entropy, "
               f"perplexity; order={args.order})")
+        return 0
+    if args.corpus_cmd == "gopher":
+        from .functions.gopher import (MIN_WORDS, gopher_filter,
+                                       gopher_flags)
+
+        docs = spark.read.parquet(args.input)
+        min_words = (args.min_words if args.min_words is not None
+                     else MIN_WORDS)
+        if args.flags:
+            out = gopher_flags(docs, text_col=args.text_col,
+                               min_words=min_words)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output)
+            n_pass = n.filter("gopher_pass").count()
+            print(f"flagged {n.count()} docs -> {args.output} "
+                  f"({n_pass} pass all rules)")
+        else:
+            kept = gopher_filter(docs, text_col=args.text_col,
+                                 min_words=min_words)
+            kept.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            print(f"kept {n_out}/{n_in} docs -> {args.output} "
+                  f"({n_in - n_out} failed the Gopher rules)")
         return 0
     if args.corpus_cmd == "chunk":
         from .operators.grouped import chunk_documents

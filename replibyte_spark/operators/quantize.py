@@ -311,9 +311,11 @@ def pq_adc_sql(d_engine: str, lut: str, codes: str, m: int) -> str:
 
 
 def pq_encode_vectors(vectors, books, vec_col: str = "embedding"):
-    """vectors + (`pq_codes` array<int>, `norm`) — the PQ storage
-    projection: dim floats become m small ints (dim/m × compression on
-    the scan column, 8× at dim=64/m=8)."""
+    """vectors + (`pq_codes` array<int>, `norm`) — the PQ encoding
+    projection: dim floats become m small ints (dim/m fewer ELEMENTS; the
+    stored layout additionally narrows them to TINYINT via
+    build_ann_index(pq=True), so the materialized scan column is m bytes
+    vs dim×8 — 64× at dim 64 / m 8)."""
     return (fan_out(vectors)
             .withColumn("pq_codes", F.expr(pq_encode_expr(vec_col, books)))
             .withColumn("norm", F.expr(norm_sql(D.SPARK, vec_col))))

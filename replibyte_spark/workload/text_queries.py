@@ -90,6 +90,56 @@ register(Query("quality_filter_summary", quality_filter_summary,
                QUALITY_FILTER_ORACLE, tags=("text",)))
 
 
+def gopher_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText rule set (functions/gopher.py) at
+    its published thresholds: per-source pass count and per-rule failure
+    counts.  Every rule is an integer cross-multiplication, so the whole
+    gate is float-free — the strongest possible parity contract."""
+    from ..functions.gopher import GOPHER_RULES, gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gopher_flags(docs)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+            .cast("long").alias("n_pass")]
+    for rule in GOPHER_RULES:
+        aggs.append(
+            F.sum(F.when(~F.col("gq_" + rule), 1).otherwise(0))
+            .cast("long").alias("fail_" + rule))
+    return flagged.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _gopher_oracle() -> str:
+    from ..functions.gopher import (GOPHER_RULES, gopher_flag_sqls,
+                                    gopher_stats_sql)
+
+    d = D.DUCK
+    stats = gopher_stats_sql(d, "text")
+    flags = gopher_flag_sqls(stats)
+    flag_cols = ",\n         ".join(
+        f"{sql} AS f_{rule}" for rule, sql in flags.items())
+    all_pass = " AND ".join(f"f_{r}" for r in GOPHER_RULES)
+    fail_aggs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN NOT f_{r} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS fail_{r}" for r in GOPHER_RULES)
+    return f"""
+WITH flagged AS (
+  SELECT source,
+         {flag_cols}
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       {fail_aggs}
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+register(Query("gopher_quality_summary", gopher_quality_summary,
+               _gopher_oracle(), tags=("text", "quality")), extra=True)
+
+
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
     pure-SQL rendering of the same ranking, so the Arrow grouped path is

@@ -727,3 +727,33 @@ def test_cli_corpus_mix(spark, tmp_path, capsys):
     assert main(["corpus", "mix", "-i", src, "-o", out, "--budget", "10",
                  "--temperature", "0"], spark=spark) == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_corpus_gopher(spark, tmp_path, capsys):
+    """`corpus gopher` filters on the published rule set; --flags keeps
+    every row with per-rule columns."""
+    from tests.test_gopher import CASES, GOOD
+
+    src = str(tmp_path / "gq.parquet")
+    spark.createDataFrame(
+        [(1, GOOD), (2, CASES["word_count"])],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "gq_out.parquet")
+    assert main(["corpus", "gopher", "-i", src, "-o", out],
+                spark=spark) == 0
+    assert "kept 1/2" in capsys.readouterr().out
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
+    out2 = str(tmp_path / "gq_flags.parquet")
+    assert main(["corpus", "gopher", "-i", src, "-o", out2, "--flags"],
+                spark=spark) == 0
+    assert "(1 pass all rules)" in capsys.readouterr().out
+    rows = {r.doc_id: r.gopher_pass
+            for r in spark.read.parquet(out2).collect()}
+    assert rows == {1: True, 2: False}
+    # a lowered floor admits the short doc
+    out3 = str(tmp_path / "gq_low.parquet")
+    assert main(["corpus", "gopher", "-i", src, "-o", out3,
+                 "--min-words", "1"], spark=spark) == 0
+    # the short doc clears the lowered word floor but still has zero
+    # required stop words, so only the good doc survives
+    assert spark.read.parquet(out3).count() == 1
