@@ -476,6 +476,88 @@ register(Query("heldout_perplexity", heldout_perplexity,
                _perplexity_oracle(), tags=("text", "lm")), extra=True)
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per-language
+    perplexity TERTILES, the published recipe for keeping the
+    lowest-perplexity third of a crawl.  ntile(3) over (perplexity,
+    doc_id) within each language — deterministic tie-break, standard-SQL
+    bucket sizing identical in both engines; the summary reports bucket
+    sizes and min/max perplexity (order-free aggregates — no float-sum
+    surface)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.lm import perplexity_scores, train_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("lang").isNotNull())
+    lm = train_unigram_lm(docs)
+    scored = perplexity_scores(docs, lm, k=LM_K)
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("perplexity"),
+                                           F.asc("doc_id"))
+    lab = ("CASE __nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+           "ELSE 'tail' END")
+    return (labeled.withColumn("__nt", F.ntile(3).over(w))
+            .withColumn("bucket", F.expr(lab))
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("perplexity").alias("min_ppl"),
+                 F.max("perplexity").alias("max_ppl"))
+            .orderBy("lang", "bucket"))
+
+
+def _ccnet_buckets_oracle() -> str:
+    d = D.DUCK
+    toks = D.split_ws(d, "lower(text)")
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang, text FROM documents WHERE lang IS NOT NULL
+), tr AS (
+  SELECT unnest({toks}) AS token FROM src
+), lm AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tr
+  WHERE token <> '' GROUP BY token
+), stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS vocab FROM lm
+), ht AS (
+  SELECT doc_id, unnest({toks}) AS token FROM src
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ht
+  WHERE token <> '' GROUP BY doc_id, token
+), j AS (
+  SELECT tf.doc_id, tf.token, tf.tf, coalesce(lm.n, 0) AS n
+  FROM tf LEFT JOIN lm USING (token)
+), contrib AS (
+  SELECT doc_id, token, tf,
+         tf * -ln((n + {LM_K}) / (total + {LM_K} * (vocab + 1))) AS v
+  FROM j, stats
+), folded AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         list_reduce(list(v ORDER BY token), (a, b) -> a + b) AS nll
+  FROM contrib GROUP BY doc_id
+), scored AS (
+  SELECT f.doc_id, s.lang, round(exp(nll / n_tokens), 6) AS perplexity
+  FROM folded f JOIN src s USING (doc_id)
+), binned AS (
+  SELECT lang, perplexity,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY perplexity ASC, doc_id ASC) AS nt
+  FROM scored
+)
+SELECT lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(perplexity) AS min_ppl, max(perplexity) AS max_ppl
+FROM binned GROUP BY lang, nt ORDER BY lang, bucket
+"""
+
+
+register(Query("ccnet_perplexity_buckets", ccnet_perplexity_buckets,
+               _ccnet_buckets_oracle(), tags=("text", "lm")), extra=True)
+
+
 # --- retrieval chunking (round 7) -------------------------------------------
 
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16

@@ -85,3 +85,43 @@ def test_streaming_dedup_matches_batch_keys(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in got_rows}
     assert got == want
     assert len(got_rows) == len(got)  # no key emitted twice
+
+
+def test_streaming_gopher_flags_match_batch(spark, sf_dir, tmp_path):
+    """r10: gopher_flags is a pure projection, so the SAME call bolts
+    onto a Structured Streaming micro-batch pipeline unchanged — the
+    per-source pass counts of an availableNow stream over the documents
+    table equal the batch result exactly (stream ≡ batch, the repo's
+    streaming-curation contract extended to the rule filter)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.functions.gopher import gopher_flags
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(path))
+              .parquet(os.path.dirname(path)))
+
+    def summarize(df):
+        return (gopher_flags(df)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+                     .cast("long").alias("n_pass")))
+
+    name = f"gq_stream_{uuid.uuid4().hex[:8]}"
+    q = (summarize(stream).writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(map(tuple, summarize(
+        spark.read.parquet(path)).collect()))
+    assert got == want and len(got) > 0
