@@ -262,9 +262,11 @@ def identify_language(df: DataFrame, text_col: str = "text",
     cheap per-language array.  Spark's CollapseProject declines to
     re-inline a non-cheap alias referenced more than once, so the
     staging survives optimization (measured 2.3 s → 1.4 s on the sf0.1
-    gate pre-script-gate; with the r10 script gate + ASCII fast path the
-    13-language gate runs 0.53 s — a pure-Latin row pays one probe regex
-    plus its own Latin profiles, nothing else — plan lock in
+    gate pre-script-gate; with the r10 script gate + ASCII fast path a
+    pure-Latin row pays one probe regex plus its own Latin profiles,
+    nothing else — the 13-language gate noop-materializes in 1.7-1.9 s
+    at sf0.1 where flat-profile scaling would project ~2.7 s, and
+    further non-Latin languages are free for Latin rows — plan lock in
     test_lid)."""
     norm_col = f"__{pred_alias}_norm"
     arr_col = f"__{pred_alias}_scores"
