@@ -266,24 +266,28 @@ def pq_encode_expr(vec_col: str, books: "list[list[list[float]]]") -> str:
 
 def pq_lut_expr(vec_col: str, books: "list[list[list[float]]]",
                 d_engine: str | None = None) -> str:
-    """The query-side ADC lookup table: lut[sub][code] = ⟨q_sub, c⟩ —
+    """The query-side ADC lookup table: lut[sub·ks + code] = ⟨q_sub, c⟩ —
     computed ONCE per query row as a projection, so the candidate join
     pays m element_at lookups per pair instead of a dim-wide fold (the
-    whole point of ADC).  Cross-dialect: pass d_engine=D.DUCK for the
-    oracle rendering."""
+    whole point of ADC).  FLAT layout (one primitive double array, not
+    array-of-arrays): each ADC step is a single primitive element_at;
+    the nested form paid a per-step inner-ArrayData extraction in every
+    candidate pair (r10 measurement: the nested IVF-PQ scale row ran
+    ~1.9 s where IVF-SQ8's plain integer fold ran ~1.0 s on the same
+    candidates).  Cross-dialect: pass d_engine=D.DUCK for the oracle
+    rendering."""
     from .similarity import _lit_dot_sql
 
     eng = d_engine or D.SPARK
     d = len(books[0][0])
-    outer = []
+    dots = []
     for s, book in enumerate(books):
         sub = _pq_sub(vec_col, s, d)
         if eng == D.SPARK:
-            dots = ", ".join(_lit_dot_sql(sub, c) for c in book)
-            outer.append(f"array({dots})")
+            dots.extend(_lit_dot_sql(sub, c) for c in book)
         else:
             sub_d = f"{vec_col}[{s * d + 1}:{(s + 1) * d}]"
-            dots = ", ".join(
+            dots.extend(
                 "list_sum(list_transform(generate_series(1, %d), "
                 "i -> CAST(%s[i] AS DOUBLE) * (%s)[i]))"
                 % (d, sub_d,
@@ -292,22 +296,22 @@ def pq_lut_expr(vec_col: str, books: "list[list[list[float]]]",
                    # doubles the Spark side inlines
                    "[" + ", ".join(D.dlit(eng, x) for x in c) + "]")
                 for c in book)
-            outer.append(f"[{dots}]")
     if eng == D.SPARK:
-        return "array(" + ", ".join(outer) + ")"
-    return "[" + ", ".join(outer) + "]"
+        return "array(" + ", ".join(dots) + ")"
+    return "[" + ", ".join(dots) + "]"
 
 
-def pq_adc_sql(d_engine: str, lut: str, codes: str, m: int) -> str:
-    """ADC dot estimate: Σ_sub lut[sub][codes[sub]+1] — m lookups, no
-    per-pair vector math."""
+def pq_adc_sql(d_engine: str, lut: str, codes: str, m: int,
+               ks: int) -> str:
+    """ADC dot estimate: Σ_sub lut[(sub−1)·ks + codes[sub] + 1] — m flat
+    primitive lookups, no per-pair vector math."""
     if d_engine == D.SPARK:
         return (f"aggregate(transform(sequence(1, {m}), "
-                f"s -> element_at(element_at({lut}, s), "
+                f"s -> element_at({lut}, (s - 1) * {ks} + "
                 f"element_at({codes}, s) + 1)), "
                 f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     return (f"list_sum(list_transform(generate_series(1, {m}), "
-            f"s -> ({lut})[s][({codes})[s] + 1]))")
+            f"s -> ({lut})[(s - 1) * {ks} + ({codes})[s] + 1]))")
 
 
 def pq_encode_vectors(vectors, books, vec_col: str = "embedding"):
@@ -348,7 +352,7 @@ def pq_topk(vectors, queries, k: int = 5, m: int = 8, ks: int = 16,
     approx = (F.broadcast(q).crossJoin(v)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("approx", F.expr(
-                  f"{pq_adc_sql(D.SPARK, 'lut', 'pq_codes', m)} "
+                  f"{pq_adc_sql(D.SPARK, 'lut', 'pq_codes', m, len(books[0]))} "
                   f"/ (qn * nn)")))
     wa = Window.partitionBy("query_id").orderBy(F.desc("approx"),
                                                 F.asc("neighbor_id"))
@@ -466,20 +470,24 @@ def ivf_topk_pq(vectors, queries, centroids,
     v = (corpus.select(F.col(id_col).alias("neighbor_id"), "pq_codes",
                        F.col("norm").alias("nn"), "centroid_id")
          .filter(F.col("nn") > 0))
+    # the ADC lookup table is staged BEFORE the probe explode: one
+    # m×ks-dot projection per query row, duplicated (not recomputed) into
+    # the n_probe cell rows — at a production n_probe of 16-32 recomputing
+    # it per probe row would multiply the only per-query vector math
     qb = (fan_out(queries)
-          .withColumn("centroid_id",
-                      F.explode(F.expr(ivf_probe_expr(vec_col, cents,
-                                                      n_probe))))
           .select(F.col(id_col).alias("query_id"),
                   F.col(vec_col).alias("qv"),
                   F.expr(pq_lut_expr(vec_col, books)).alias("lut"),
                   F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"),
-                  "centroid_id")
+                  F.expr(ivf_probe_expr(vec_col, cents,
+                                        n_probe)).alias("__cells"))
+          .withColumn("centroid_id", F.explode("__cells"))
+          .drop("__cells")
           .filter(F.col("qn") > 0))
     approx = (F.broadcast(qb).join(v, "centroid_id")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("approx", F.expr(
-                  f"{pq_adc_sql(D.SPARK, 'lut', 'pq_codes', m)} "
+                  f"{pq_adc_sql(D.SPARK, 'lut', 'pq_codes', m, len(books[0]))} "
                   f"/ (qn * nn)")))
     wa = Window.partitionBy("query_id").orderBy(F.desc("approx"),
                                                 F.asc("neighbor_id"))

@@ -159,15 +159,15 @@ def test_fuzz_pq_lut_adc_cross_dialect(spark):
     lut_s = pq_lut_expr("v", books)
     got = {r.i: (r.l, r.a) for r in df.selectExpr(
         "i", f"{lut_s} AS l",
-        f"{pq_adc_sql(D.SPARK, lut_s, 'c', m)} AS a").collect()}
+        f"{pq_adc_sql(D.SPARK, lut_s, 'c', m, ks)} AS a").collect()}
     con = _duck.connect()
     con.execute("CREATE TABLE t (i BIGINT, v DOUBLE[], c INTEGER[])")
     con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
     lut_d = pq_lut_expr("v", books, d_engine=D.DUCK)
     want = {i: (l, a) for i, l, a in con.execute(
-        f"SELECT i, {lut_d}, {pq_adc_sql(D.DUCK, lut_d, 'c', m)} "
+        f"SELECT i, {lut_d}, {pq_adc_sql(D.DUCK, lut_d, 'c', m, ks)} "
         f"FROM t").fetchall()}
     bad = {i: (got[i], want[i]) for i in got
            if got[i][1] != want[i][1]
-           or [list(x) for x in got[i][0]] != [list(x) for x in want[i][0]]}
+           or list(got[i][0]) != list(want[i][0])}
     assert not bad, f"{len(bad)} divergent, first: {next(iter(bad.items()))}"
