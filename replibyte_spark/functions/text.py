@@ -184,3 +184,35 @@ def normalize_text_sql(d: str, text: str) -> str:
     stripped = f"translate({lowered}, {D.q(PUNCT)}, '')"
     collapsed = D.regexp_replace(d, stripped, r"\s+", " ")
     return f"trim({collapsed})"
+
+
+def dedup_lines_sql(d: str, text: str, sep: str = "\n") -> str:
+    """Remove duplicate segments within one document, keeping the first
+    occurrence in order — FineWeb-style intra-document line dedup (nav
+    menus, repeated footers, boilerplate chrome repeat WITHIN a page
+    long before they repeat across pages).  `sep` picks the segment
+    unit: the newline default is the published line-dedup; ' ' gives
+    token-level first-occurrence dedup (what the single-line synthetic
+    fixture can exercise).  Pure per-row array ops riding the scan:
+    index-filtered first-occurrence selection (position(l, l[i]) = i —
+    both engines' position builtins return the FIRST index, which is
+    also why the obvious array_distinct/list_distinct is NOT used: only
+    Spark documents order preservation) re-joined with `sep`.  O(L²) in
+    the SEGMENT count of one document, independent of corpus size."""
+    import re as _re
+
+    if d == D.SPARK:
+        # Spark's split takes a REGEX — escape the literal separator
+        pat = _re.escape(sep).replace("\\", "\\\\")
+        ln = f"split(coalesce({text}, ''), '{pat}')"
+        idx = (f"filter(sequence(1, size({ln})), "
+               f"i -> array_position({ln}, element_at({ln}, i)) = i)")
+        joiner = sep.replace("\\", "\\\\").replace("\n", "\\n")
+        return (f"array_join(transform({idx}, "
+                f"i -> element_at({ln}, i)), '{joiner}')")
+    sep_d = "chr(10)" if sep == "\n" else D.q(sep)
+    ln = f"string_split(coalesce({text}, ''), {sep_d})"
+    idx = (f"list_filter(generate_series(1, len({ln})), "
+           f"i -> list_position({ln}, ({ln})[i]) = i)")
+    return (f"array_to_string(list_transform({idx}, "
+            f"i -> ({ln})[i]), {sep_d})")

@@ -140,6 +140,58 @@ register(Query("gopher_quality_summary", gopher_quality_summary,
                _gopher_oracle(), tags=("text", "quality")), extra=True)
 
 
+def segment_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style intra-document first-occurrence segment dedup
+    (functions/text.py::dedup_lines_sql) summarized per source — the
+    fixture text is single-line, so the gate exercises the TOKEN
+    separator (the newline default is the published line-dedup; same
+    algorithm, fuzz-locked across both separators).  All-integer
+    outputs: exact parity by construction."""
+    from ..util import fan_out
+
+    d = D.SPARK
+    dd = T.dedup_lines_sql(d, "text", " ")
+    seg = "size(split(coalesce(text, ''), ' '))"
+    seg_dd = f"size(split({dd}, ' '))"
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (docs.selectExpr(
+        "source",
+        f"CAST({seg} AS BIGINT) AS before",
+        f"CAST({seg_dd} AS BIGINT) AS after",
+        f"CASE WHEN {dd} <> coalesce(text, '') THEN 1 ELSE 0 END "
+        f"AS changed")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("changed").cast("long").alias("docs_changed"),
+             F.sum("before").cast("long").alias("segs_before"),
+             F.sum("after").cast("long").alias("segs_after"))
+        .orderBy("source"))
+
+
+def _segment_dedup_oracle() -> str:
+    d = D.DUCK
+    dd = T.dedup_lines_sql(d, "text", " ")
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+           AS before,
+         CAST(len(string_split({dd}, ' ')) AS BIGINT) AS after,
+         CASE WHEN {dd} <> coalesce(text, '') THEN 1 ELSE 0 END AS changed
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(changed) AS BIGINT) AS docs_changed,
+       CAST(sum(before) AS BIGINT) AS segs_before,
+       CAST(sum(after) AS BIGINT) AS segs_after
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+register(Query("segment_dedup_summary", segment_dedup_summary,
+               _segment_dedup_oracle(), tags=("text", "dedup")), extra=True)
+
+
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
     pure-SQL rendering of the same ranking, so the Arrow grouped path is

@@ -171,3 +171,30 @@ def test_fuzz_pq_lut_adc_cross_dialect(spark):
            if got[i][1] != want[i][1]
            or list(got[i][0]) != list(want[i][0])}
     assert not bad, f"{len(bad)} divergent, first: {next(iter(bad.items()))}"
+
+
+@pytest.mark.parametrize("sep", ["\n", " "])
+def test_fuzz_dedup_lines_cross_dialect(spark, sep):
+    """Intra-document first-occurrence segment dedup: identical output
+    for arbitrary strings in both engines, for the newline (published
+    line-dedup) and token separators."""
+    from replibyte_spark.functions.text import dedup_lines_sql
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(CORPUS)],
+                               "i long, v string")
+    got = {r.i: r.out for r in df.selectExpr(
+        "i", f"{dedup_lines_sql(D.SPARK, 'v', sep)} AS out").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, v) for i, v in enumerate(CORPUS)])
+    want = {i: o for i, o in con.execute(
+        f"SELECT i, {dedup_lines_sql(D.DUCK, 'v', sep)} FROM t").fetchall()}
+    bad = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not bad, f"{len(bad)} divergent, first: {next(iter(bad.items()))}"
+    # and the semantics: no segment appears twice, order preserved
+    for i, v in enumerate(CORPUS):
+        segs = got[i].split(sep)
+        assert len(segs) == len(dict.fromkeys(segs))
+        orig = (CORPUS[i] or "").split(sep)
+        assert segs == list(dict.fromkeys(orig))
