@@ -296,3 +296,28 @@ def test_bm25_broadcast_guard_bounds_vocabulary(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastExchange" not in guarded, guarded
     assert "BroadcastHashJoin" in hinted, hinted
+
+
+def test_gopher_and_segment_gates_prune_scan_columns(spark, sf_dir):
+    """The r10 text gates derive everything from (source, text): the scan
+    must prune lang/n_chars (and doc_id), and neither plan may contain a
+    Python stage or an Exchange before its single aggregation."""
+    from replibyte_spark.workload import all_queries
+
+    qs = all_queries()
+    for name in ("gopher_quality_summary", "segment_dedup_summary"):
+        plan = _plan(qs[name].spark_fn(spark, sf_dir))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in read_schema and "source" in read_schema, name
+        assert "lang" not in read_schema, (name, read_schema)
+        assert "n_chars" not in read_schema, (name, read_schema)
+        assert "Python" not in plan and "BatchEval" not in plan, name
+        # scan -> projection -> partial agg -> ONE exchange -> final agg
+        # -> ordering exchange, plus at most the deliberate fan_out
+        # round-robin (parallelism repair on the compute-heavy small
+        # scan) — any OTHER extra exchange means a shuffle crept into
+        # the projection chain
+        extra = (plan.count("Exchange")
+                 - plan.count("RoundRobinPartitioning"))
+        assert extra <= 2, (name, plan.count("Exchange"))
+        assert plan.count("RoundRobinPartitioning") <= 1, name
