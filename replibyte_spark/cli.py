@@ -86,6 +86,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="delete dumps older than N days, e.g. 14d")
     delete.add_argument("--keep-last", type=int, default=None, metavar="N",
                         help="keep only the last N dumps")
+    ddiff = dsub.add_parser(
+        "diff", help="exact per-table row/schema diff of two dump "
+                     "versions (multiset row deltas via exceptAll)")
+    ddiff.add_argument("dump_a", help="older dump name (or 'latest')")
+    ddiff.add_argument("dump_b", help="newer dump name (or 'latest')")
 
     transformer = sub.add_parser("transformer", help="all transformer commands")
     tsub = transformer.add_subparsers(dest="transformer_cmd", required=True)
@@ -914,6 +919,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return _cmd_dump_restore_remote(spark, config, args)
     if args.dump_cmd == "delete":
         return _cmd_dump_delete(spark, config, args)
+    if args.dump_cmd == "diff":
+        from .sinks.datastore import Datastore
+
+        try:
+            out = Datastore(spark, config.datastore.dir).diff(
+                args.dump_a, args.dump_b)
+        except (ValueError, LookupError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        _show(out.orderBy("table_name"))
+        return 0
     raise AssertionError(f"unhandled command {args.cmd}")
 
 

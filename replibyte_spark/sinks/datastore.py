@@ -432,6 +432,52 @@ class Datastore:
         m["dumps"] = [d for d in m["dumps"] if d["directory_name"] != name]
         self._write_manifest(m)
 
+    def diff(self, a: str, b: str, *,
+             decrypt_columns: "dict[str, list[str]] | None" = None,
+             encryption_key: "str | None" = None) -> DataFrame:
+        """Content diff between two dump versions (ops surface the
+        reference lacks): per table, exact MULTISET row deltas via
+        exceptAll plus a schema-change flag.
+
+        Returns one row per table — (table_name, rows_a, rows_b,
+        rows_added, rows_removed, schema_changed); a table absent from
+        one side reports its counts with the other side at 0 and
+        schema_changed TRUE.  exceptAll shuffles both sides once each —
+        the cost of exactness; for append-only tables the incremental
+        watermark chain already IS the delta, so diff big tables against
+        their direct child dump, not across the chain.  Schemas that
+        drifted are compared on the COMMON columns (the flag records the
+        drift).  Encrypted columns must be decrypted for a contentful
+        diff (AES-GCM's random IV re-ciphers identical plaintext on
+        every dump) — pass decrypt_columns/encryption_key through, or
+        those columns will count every row as changed."""
+        da = self.restore(a, decrypt_columns=decrypt_columns,
+                          encryption_key=encryption_key)
+        db = self.restore(b, decrypt_columns=decrypt_columns,
+                          encryption_key=encryption_key)
+        rows = []
+        for t in sorted(set(da) | set(db)):
+            fa, fb = da.get(t), db.get(t)
+            if fa is None or fb is None:
+                present = fa if fa is not None else fb
+                n = present.count()
+                rows.append((t, n if fa is not None else 0,
+                             n if fb is not None else 0,
+                             n if fb is not None else 0,
+                             n if fa is not None else 0, True))
+                continue
+            common = [c for c in fa.columns if c in set(fb.columns)]
+            schema_changed = (
+                dict(fa.dtypes) != dict(fb.dtypes))
+            pa, pb = fa.select(common), fb.select(common)
+            rows.append((t, fa.count(), fb.count(),
+                         pb.exceptAll(pa).count(),
+                         pa.exceptAll(pb).count(), schema_changed))
+        return self.spark.createDataFrame(
+            rows, "table_name string, rows_a long, rows_b long, "
+                  "rows_added long, rows_removed long, "
+                  "schema_changed boolean")
+
     def retain(self, *, keep_last: int | None = None,
                older_than_days: float | None = None) -> list[str]:
         """`--keep-last=N` / `--older-than=Nd` retention

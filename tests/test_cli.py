@@ -757,3 +757,19 @@ def test_cli_corpus_gopher(spark, tmp_path, capsys):
     # the short doc clears the lowered word floor but still has zero
     # required stop words, so only the good doc survives
     assert spark.read.parquet(out3).count() == 1
+
+
+def test_cli_dump_diff(spark, conf, capsys):
+    """`dump diff A B` prints the per-table delta table; unknown names
+    follow the error convention."""
+    assert main(["-c", conf, "dump", "create", "-n", "da"],
+                spark=spark) == 0
+    assert main(["-c", conf, "dump", "create", "-n", "db"],
+                spark=spark) == 0
+    capsys.readouterr()
+    assert main(["-c", conf, "dump", "diff", "da", "db"], spark=spark) == 0
+    got = capsys.readouterr().out
+    assert "table_name" in got and "rows_added" in got
+    assert main(["-c", conf, "dump", "diff", "da", "nope"],
+                spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
