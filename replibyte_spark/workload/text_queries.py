@@ -192,6 +192,71 @@ register(Query("segment_dedup_summary", segment_dedup_summary,
                _segment_dedup_oracle(), tags=("text", "dedup")), extra=True)
 
 
+def repetition_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText REPETITION rule set
+    (operators/repetition.py — the 13 rules the gopher_quality gate's 7
+    rules don't cover) at the published thresholds: per-source pass count
+    and per-rule failure counts.  All thresholds are integer
+    cross-multiplications — float-free parity.
+
+    The fixture text is single-line, so the gate runs the line rules at
+    ``line_sep=' '`` (word segments — non-degenerate on this corpus; the
+    segment_dedup_summary precedent) while paragraphs keep the published
+    blank-line split.  Short fixture docs (~55 words) legitimately fail
+    the top-n-gram rules — published Gopher composes these with the
+    >= 50-word quality rule; the gate reports, not filters."""
+    from ..operators.repetition import (REPETITION_RULES, repetition_flags)
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = repetition_flags(docs, line_sep=" ")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("repetition_pass"), 1).otherwise(0))
+            .cast("long").alias("n_pass")]
+    for rule in REPETITION_RULES:
+        aggs.append(
+            F.sum(F.when(~F.col("rep_" + rule), 1).otherwise(0))
+            .cast("long").alias("fail_" + rule))
+    return flagged.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _repetition_oracle() -> str:
+    from ..operators import repetition as R
+
+    d = D.DUCK
+    ctes = R.ngram_stats_oracle_ctes()
+    stat_cols = (["n_words", "word_chars"]
+                 + [f"top{n}_chars" for n in R.TOP_NS]
+                 + [f"dup{n}_chars" for n in R.DUP_NS])
+    flags = {**R.seg_flag_sqls(R.seg_rep_stats_sql(d, "d.text", " "),
+                               "line"),
+             **R.seg_flag_sqls(R.seg_rep_stats_sql(d, "d.text", "\n\n"),
+                               "para"),
+             **R.ngram_flag_sqls({c: f"s.{c}" for c in stat_cols})}
+    flag_cols = ",\n         ".join(
+        f"{sql} AS f_{rule}" for rule, sql in flags.items())
+    all_pass = " AND ".join(f"f_{r}" for r in R.REPETITION_RULES)
+    fail_aggs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN NOT f_{r} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS fail_{r}" for r in R.REPETITION_RULES)
+    return f"""
+WITH {ctes.strip()},
+flagged AS (
+  SELECT d.source,
+         {flag_cols}
+  FROM documents d JOIN rep_stats s ON d.doc_id = s.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       {fail_aggs}
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+register(Query("repetition_filter_summary", repetition_filter_summary,
+               _repetition_oracle(), tags=("text", "quality")), extra=True)
+
+
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
     pure-SQL rendering of the same ranking, so the Arrow grouped path is
