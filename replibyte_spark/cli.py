@@ -165,6 +165,29 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="override the published 50-word floor")
     gop.add_argument("--flags", action="store_true",
                      help="append gq_* flag columns, keep every row")
+    c4p = csub.add_parser(
+        "c4", help="C4 cleaning heuristics (terminal-punct line filter, "
+                   ">=5 sentences, lorem-ipsum/brace/bad-word page "
+                   "drops; --flags keeps per-rule columns)")
+    c4p.add_argument("-i", "--input", required=True)
+    c4p.add_argument("-o", "--output", required=True)
+    c4p.add_argument("--text-col", default="text")
+    c4p.add_argument("--bad-words", default="",
+                     help="comma-separated bad-word list (published "
+                          "filter uses a deployment wordlist)")
+    c4p.add_argument("--flags", action="store_true",
+                     help="append c4_* flag columns, keep every row")
+    rep = csub.add_parser(
+        "repetition", help="Gopher repetition rules (13 published "
+                           "thresholds: dup lines/paragraphs, top- and "
+                           "duplicated-n-gram char coverage; --flags "
+                           "keeps per-rule columns)")
+    rep.add_argument("-i", "--input", required=True)
+    rep.add_argument("-o", "--output", required=True)
+    rep.add_argument("--id-col", default="doc_id")
+    rep.add_argument("--text-col", default="text")
+    rep.add_argument("--flags", action="store_true",
+                     help="append rep_* flag columns, keep every row")
     chk = csub.add_parser(
         "chunk", help="overlapping token windows per doc (RAG ingestion)")
     chk.add_argument("-i", "--input", required=True)
@@ -565,6 +588,48 @@ def _cmd_corpus(spark, args) -> int:
             n_out = spark.read.parquet(args.output).count()
             print(f"kept {n_out}/{n_in} docs -> {args.output} "
                   f"({n_in - n_out} failed the Gopher rules)")
+        return 0
+    if args.corpus_cmd == "c4":
+        from .functions.c4 import c4_filter, c4_flags
+
+        docs = spark.read.parquet(args.input)
+        bad = tuple(w for w in args.bad_words.split(",") if w)
+        if args.flags:
+            out = c4_flags(docs, text_col=args.text_col, bad_words=bad)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output)
+            n_pass = n.filter("c4_pass").count()
+            print(f"flagged {n.count()} pages -> {args.output} "
+                  f"({n_pass} pass all page rules)")
+        else:
+            kept = c4_filter(docs, text_col=args.text_col, bad_words=bad)
+            kept.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            print(f"kept {n_out}/{n_in} pages -> {args.output} "
+                  f"(text replaced by surviving lines)")
+        return 0
+    if args.corpus_cmd == "repetition":
+        from .operators.repetition import (repetition_filter,
+                                           repetition_flags)
+
+        docs = spark.read.parquet(args.input)
+        if args.flags:
+            out = repetition_flags(docs, text_col=args.text_col,
+                                   id_col=args.id_col)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output)
+            n_pass = n.filter("repetition_pass").count()
+            print(f"flagged {n.count()} docs -> {args.output} "
+                  f"({n_pass} pass all repetition rules)")
+        else:
+            kept = repetition_filter(docs, text_col=args.text_col,
+                                     id_col=args.id_col)
+            kept.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            print(f"kept {n_out}/{n_in} docs -> {args.output} "
+                  f"({n_in - n_out} failed the repetition rules)")
         return 0
     if args.corpus_cmd == "chunk":
         from .operators.grouped import chunk_documents

@@ -257,6 +257,77 @@ register(Query("repetition_filter_summary", repetition_filter_summary,
                _repetition_oracle(), tags=("text", "quality")), extra=True)
 
 
+# fixture-driven C4 parameterization (the synthetic corpus has NO
+# sentence punctuation, so the published terminal-punct line rule and
+# 5-sentence floor are vacuously all-fail on it — the same degeneracy
+# the gopher gate documents for min_stop_hits): terminal punct disabled,
+# kept lines = lines of >= 50 words (differential: 277/500 docs at
+# sf0.01), bad-word list seeded with the corpus-rare token 'dup'.
+# The published defaults are exercised per-rule in tests/test_c4.py.
+_C4_GATE_PARAMS = dict(terminal_punct=None, min_words_per_line=50,
+                       min_sentences=1, bad_words=("dup",))
+
+
+def c4_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning heuristics (functions/c4.py) summarized
+    per source: doc and line survival plus per-page-rule failure counts.
+    Integer/boolean stats only — float-free parity."""
+    from ..functions.c4 import C4_DOC_RULES, c4_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = c4_flags(docs, **_C4_GATE_PARAMS)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("c4_pass"), 1).otherwise(0))
+            .cast("long").alias("n_pass"),
+            F.sum("c4_lines_total").cast("long").alias("lines_total"),
+            F.sum("c4_lines_kept").cast("long").alias("lines_kept")]
+    for rule in C4_DOC_RULES:
+        aggs.append(
+            F.sum(F.when(~F.col("c4_" + rule), 1).otherwise(0))
+            .cast("long").alias("fail_" + rule))
+    return flagged.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _c4_oracle() -> str:
+    from ..functions.c4 import (C4_DOC_RULES, c4_flag_sqls, c4_stats_sql,
+                                kept_lines_sql)
+
+    d = D.DUCK
+    p = _C4_GATE_PARAMS
+    kept = kept_lines_sql(d, "text", p["terminal_punct"],
+                          p["min_words_per_line"])
+    stats = c4_stats_sql(d, "text", kept=kept,
+                         terminal_punct=p["terminal_punct"],
+                         bad_words=p["bad_words"])
+    flags = c4_flag_sqls(stats, p["min_sentences"])
+    flag_cols = ",\n         ".join(
+        f"{sql} AS f_{rule}" for rule, sql in flags.items())
+    all_pass = " AND ".join(f"f_{r}" for r in C4_DOC_RULES)
+    fail_aggs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN NOT f_{r} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS fail_{r}" for r in C4_DOC_RULES)
+    return f"""
+WITH flagged AS (
+  SELECT source,
+         {stats['n_lines']} AS n_lines,
+         {stats['n_kept_lines']} AS n_kept,
+         {flag_cols}
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(sum(n_lines) AS BIGINT) AS lines_total,
+       CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+       {fail_aggs}
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+register(Query("c4_filter_summary", c4_filter_summary,
+               _c4_oracle(), tags=("text", "quality")), extra=True)
+
+
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
     pure-SQL rendering of the same ranking, so the Arrow grouped path is

@@ -759,6 +759,47 @@ def test_cli_corpus_gopher(spark, tmp_path, capsys):
     assert spark.read.parquet(out3).count() == 1
 
 
+def test_cli_corpus_c4_and_repetition(spark, tmp_path, capsys):
+    """`corpus c4` replaces text with surviving lines; `corpus
+    repetition` filters on the 13 published repetition rules."""
+    from tests.test_c4 import GOOD
+
+    src = str(tmp_path / "c4.parquet")
+    spark.createDataFrame(
+        [(1, GOOD + "\nnoise line without terminal punctuation"),
+         (2, "short page.")],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "c4_out.parquet")
+    assert main(["corpus", "c4", "-i", src, "-o", out], spark=spark) == 0
+    assert "kept 1/2" in capsys.readouterr().out
+    kept = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in kept] == [1] and kept[0].text == GOOD
+    out2 = str(tmp_path / "c4_flags.parquet")
+    assert main(["corpus", "c4", "-i", src, "-o", out2, "--flags",
+                 "--bad-words", "fox,zzz"], spark=spark) == 0
+    rows = {r.doc_id: r.c4_pass
+            for r in spark.read.parquet(out2).collect()}
+    assert rows == {1: False, 2: False}  # 'fox' is now a bad word
+
+    rsrc = str(tmp_path / "rep.parquet")
+    spark.createDataFrame(
+        [(1, " ".join("w%02d" % i for i in range(60))),
+         (2, "spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string").write.parquet(rsrc)
+    rout = str(tmp_path / "rep_out.parquet")
+    assert main(["corpus", "repetition", "-i", rsrc, "-o", rout],
+                spark=spark) == 0
+    assert "kept 1/2" in capsys.readouterr().out
+    assert [r.doc_id
+            for r in spark.read.parquet(rout).collect()] == [1]
+    rout2 = str(tmp_path / "rep_flags.parquet")
+    assert main(["corpus", "repetition", "-i", rsrc, "-o", rout2,
+                 "--flags"], spark=spark) == 0
+    rows = {r.doc_id: r.repetition_pass
+            for r in spark.read.parquet(rout2).collect()}
+    assert rows == {1: True, 2: False}
+
+
 def test_cli_dump_diff(spark, conf, capsys):
     """`dump diff A B` prints the per-table delta table; unknown names
     follow the error convention."""
