@@ -165,6 +165,21 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="override the published 50-word floor")
     gop.add_argument("--flags", action="store_true",
                      help="append gq_* flag columns, keep every row")
+    dsr = csub.add_parser(
+        "dsir", help="DSIR importance resampling: select raw docs whose "
+                     "hashed-n-gram profile matches a target corpus "
+                     "(Gumbel top-k, deterministic seed)")
+    dsr.add_argument("-i", "--input", required=True,
+                     help="raw corpus parquet")
+    dsr.add_argument("--target", required=True,
+                     help="target-domain corpus parquet")
+    dsr.add_argument("-o", "--output", required=True)
+    dsr.add_argument("-k", type=int, required=True,
+                     help="number of documents to select")
+    dsr.add_argument("--buckets", type=int, default=10_000)
+    dsr.add_argument("--seed", default="dsir")
+    dsr.add_argument("--id-col", default="doc_id")
+    dsr.add_argument("--text-col", default="text")
     c4p = csub.add_parser(
         "c4", help="C4 cleaning heuristics (terminal-punct line filter, "
                    ">=5 sentences, lorem-ipsum/brace/bad-word page "
@@ -588,6 +603,22 @@ def _cmd_corpus(spark, args) -> int:
             n_out = spark.read.parquet(args.output).count()
             print(f"kept {n_out}/{n_in} docs -> {args.output} "
                   f"({n_in - n_out} failed the Gopher rules)")
+        return 0
+    if args.corpus_cmd == "dsir":
+        from .operators.dsir import dsir_select
+
+        raw = spark.read.parquet(args.input)
+        target = spark.read.parquet(args.target)
+        sel = dsir_select(raw, target, k=args.k, id_col=args.id_col,
+                          text_col=args.text_col, m=args.buckets,
+                          seed=args.seed)
+        # join payload columns back on the id (the scored frame is
+        # kept narrow for the TakeOrdered)
+        out = sel.join(raw, args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"selected {n}/{raw.count()} docs -> {args.output} "
+              f"(m={args.buckets}, seed={args.seed})")
         return 0
     if args.corpus_cmd == "c4":
         from .functions.c4 import c4_filter, c4_flags

@@ -328,6 +328,81 @@ register(Query("c4_filter_summary", c4_filter_summary,
                _c4_oracle(), tags=("text", "quality")), extra=True)
 
 
+# --- DSIR importance resampling (r10) ---------------------------------------
+
+_DSIR_M = 4096          # hashed-n-gram buckets (gate-sized; library: 10k)
+_DSIR_K = 100
+_DSIR_TARGET = "src3"   # the fixture source acting as the target domain
+_DSIR_SEED = "dsir"
+
+
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) end to end: treat one fixture source as
+    the target domain, weight every document by the hashed-n-gram
+    importance log-ratio, and Gumbel-top-k resample 100 docs.  The
+    weights are ln-of-exact-integer folds and the noise is seeded md5 —
+    deterministic cross-engine to the 6dp the contract rounds to."""
+    from ..operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == _DSIR_TARGET)
+    return dsir_select(docs, target, k=_DSIR_K, m=_DSIR_M,
+                       seed=_DSIR_SEED)
+
+
+def _dsir_oracle() -> str:
+    from ..operators.dsir import bucket_sql, features_sql, gumbel_sql
+
+    d = D.DUCK
+    m, k = _DSIR_M, _DSIR_K
+    toks = D.array_filter(
+        d, D.split_ws(d, "lower(text)"), "x -> x <> ''")
+    g = gumbel_sql(d, "doc_id", _DSIR_SEED)
+    return f"""
+WITH tok_r AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents),
+feat_r AS (
+  SELECT doc_id, source, unnest({features_sql(d, 'toks')}) AS feat
+  FROM tok_r),
+tf AS (
+  SELECT doc_id, source, {bucket_sql(d, 'feat', m)} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM feat_r GROUP BY doc_id, source, {bucket_sql(d, 'feat', m)}),
+btgt AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM tf
+  WHERE source = {D.q(_DSIR_TARGET)} GROUP BY bucket),
+braw AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM tf GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(ct) FROM btgt) AS t_total,
+         (SELECT sum(cr) FROM braw) AS r_total),
+dlr AS (
+  SELECT coalesce(btgt.bucket, braw.bucket) AS bucket,
+         ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE))
+           - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE)) AS dlr
+  FROM btgt FULL OUTER JOIN braw ON btgt.bucket = braw.bucket),
+perdoc AS (
+  SELECT tf.doc_id, CAST(sum(tf.cnt) AS BIGINT) AS n_feats,
+         list_reduce(
+           list(tf.cnt * coalesce(dlr.dlr, 0.0e0) ORDER BY tf.bucket),
+           (a, b) -> a + b) AS llr
+  FROM tf LEFT JOIN dlr ON tf.bucket = dlr.bucket
+  GROUP BY tf.doc_id),
+w AS (
+  SELECT doc_id, n_feats,
+         round(llr + n_feats
+               * (ln(CAST(r_total + {m} AS DOUBLE))
+                  - ln(CAST(t_total + {m} AS DOUBLE))), 6) AS logw
+  FROM perdoc, tot)
+SELECT doc_id, n_feats, logw, round(logw + {g}, 6) AS key
+FROM w ORDER BY key DESC, doc_id LIMIT {k}
+"""
+
+
+register(Query("dsir_select_topk", dsir_select_topk, _dsir_oracle(),
+               tags=("text", "sampling")), extra=True)
+
+
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
     pure-SQL rendering of the same ranking, so the Arrow grouped path is

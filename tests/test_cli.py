@@ -800,6 +800,32 @@ def test_cli_corpus_c4_and_repetition(spark, tmp_path, capsys):
     assert rows == {1: True, 2: False}
 
 
+def test_cli_corpus_dsir(spark, tmp_path, capsys):
+    """`corpus dsir` selects k raw docs toward the target profile and
+    joins the payload columns back."""
+    from tests.test_dsir import CAT, DOG
+
+    raw = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(
+        [(i, CAT + f" x{i}") for i in range(6)]
+        + [(10 + i, DOG + f" x{i}") for i in range(6)],
+        "doc_id long, text string").write.parquet(raw)
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame([(100, CAT)],
+                          "doc_id long, text string").write.parquet(tgt)
+    out = str(tmp_path / "sel.parquet")
+    assert main(["corpus", "dsir", "-i", raw, "--target", tgt,
+                 "-o", out, "-k", "4", "--buckets", "512"],
+                spark=spark) == 0
+    assert "selected 4/12" in capsys.readouterr().out
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    assert {"doc_id", "n_feats", "logw", "key", "text"} <= \
+        set(rows[0].asDict())
+    # the cat block dominates
+    assert sum(1 for r in rows if r["doc_id"] < 10) >= 3
+
+
 def test_cli_dump_diff(spark, conf, capsys):
     """`dump diff A B` prints the per-table delta table; unknown names
     follow the error convention."""

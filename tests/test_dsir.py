@@ -1,0 +1,158 @@
+"""DSIR importance resampling (operators/dsir.py): selection quality on
+a constructed separable corpus, weight math against an independent
+NumPy/Python oracle, determinism, degenerate inputs, and the broadcast
+guard.  (Fixture-label caveat: the sf* documents' lang/source labels are
+uncorrelated with text, so distributional quality is proven HERE on
+constructed corpora; the registered gate proves engine parity only.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from replibyte_spark.operators.dsir import (dsir_select, dsir_weights,
+                                            DEFAULT_BUCKETS)
+
+CAT = "the small cat sat near the warm fire and the cat purred softly"
+DOG = "a loud dog ran across the muddy yard while the dog barked"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark):
+    # raw: 10 cat-flavored + 10 dog-flavored docs (ids 0-9 cats)
+    rows = [(i, CAT + f" extra{i} token") for i in range(10)]
+    rows += [(10 + i, DOG + f" extra{i} token") for i in range(10)]
+    raw = _docs(spark, rows)
+    target = _docs(spark, [(100, CAT), (101, "the cat sat and purred")])
+    return raw, target
+
+
+def test_target_like_docs_get_higher_weights(spark):
+    raw, target = _corpus(spark)
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_weights(raw, target, m=512).collect()}
+    assert len(w) == 20
+    cat_min = min(w[i] for i in range(10))
+    dog_max = max(w[10 + i] for i in range(10))
+    assert cat_min > dog_max, (cat_min, dog_max)
+
+
+def test_select_prefers_target_like_docs(spark):
+    raw, target = _corpus(spark)
+    sel = dsir_select(raw, target, k=8, m=512).collect()
+    assert len(sel) == 8
+    picked = [r["doc_id"] for r in sel]
+    # Gumbel noise is stdev ~1.28 but the logw gap is large: the cat
+    # block must dominate the selection
+    assert sum(1 for i in picked if i < 10) >= 7
+    # ordered by key descending
+    keys = [r["key"] for r in sel]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_weights_match_independent_python_oracle(spark):
+    """Recompute log w in plain Python (own tokenizer + same md5 hash
+    via hashlib, own Laplace math) and compare to 6dp."""
+    import hashlib
+
+    m = 256
+    raw, target = _corpus(spark)
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(feat):
+        h = hashlib.md5(feat.encode()).hexdigest()[:15]
+        tr = h.translate(str.maketrans("abcdef", "123456"))
+        return (int(tr) % 2147483647) % m
+
+    def counts(rows):
+        out = {}
+        for _, text in rows:
+            for f_ in feats(text):
+                b = bucket(f_)
+                out[b] = out.get(b, 0) + 1
+        return out
+
+    raw_rows = [(r["doc_id"], r["text"]) for r in raw.collect()]
+    tgt_rows = [(r["doc_id"], r["text"]) for r in target.collect()]
+    ct, cr = counts(tgt_rows), counts(raw_rows)
+    T, R = sum(ct.values()), sum(cr.values())
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_weights(raw, target, m=m).collect()}
+    for doc_id, text in raw_rows:
+        per = {}
+        for f_ in feats(text):
+            b = bucket(f_)
+            per[b] = per.get(b, 0) + 1
+        n = sum(per.values())
+        llr = sum(c * (math.log(ct.get(b, 0) + 1)
+                       - math.log(cr.get(b, 0) + 1))
+                  for b, c in sorted(per.items()))
+        want = llr + n * (math.log(R + m) - math.log(T + m))
+        assert got[doc_id] == pytest.approx(want, abs=2e-6), doc_id
+
+
+def test_deterministic_and_seed_sensitive(spark):
+    raw, target = _corpus(spark)
+    a = [r["doc_id"] for r in dsir_select(raw, target, 5, m=512).collect()]
+    b = [r["doc_id"] for r in dsir_select(raw, target, 5, m=512).collect()]
+    assert a == b
+    c = [r["doc_id"] for r in
+         dsir_select(raw, target, 5, m=512, seed="other").collect()]
+    # same weights, different noise: keys differ even if the winning
+    # set happens to coincide
+    ka = {r["doc_id"]: r["key"]
+          for r in dsir_select(raw, target, 5, m=512).collect()}
+    kc = {r["doc_id"]: r["key"]
+          for r in dsir_select(raw, target, 5, m=512,
+                               seed="other").collect()}
+    common = set(ka) & set(kc)
+    assert any(ka[i] != kc[i] for i in common)
+
+
+def test_empty_target_raises(spark):
+    raw, _ = _corpus(spark)
+    empty = _docs(spark, []) if False else raw.filter(F.lit(False))
+    with pytest.raises(ValueError, match="non-empty feature"):
+        dsir_weights(raw, empty).collect()
+
+
+def test_zero_feature_docs_are_omitted(spark):
+    raw, target = _corpus(spark)
+    raw2 = raw.union(_docs(spark, [(99, "")]))
+    w = {r["doc_id"] for r in dsir_weights(raw2, target, m=512).collect()}
+    assert 99 not in w and len(w) == 20
+
+
+def test_broadcast_guard_bounds_buckets(spark):
+    """With auto-broadcast disabled the hint is the only broadcast path:
+    over the limit the scoring join must compile WITHOUT a
+    BroadcastExchange (shuffled join, not a forced driver OOM)."""
+    raw, target = _corpus(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = dsir_weights(raw, target, m=512)
+        hinted = small._jdf.queryExecution().executedPlan().toString()
+        big = dsir_weights(raw, target, m=512,
+                           broadcast_bucket_limit=100)
+        guarded = big._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" in hinted
+    assert "BroadcastExchange" not in guarded
+    # and the guarded plan still computes the same values
+    a = {r["doc_id"]: r["logw"] for r in small.collect()}
+    b = {r["doc_id"]: r["logw"] for r in big.collect()}
+    assert a == b
+
+
+def test_default_bucket_count_is_documented(spark):
+    assert DEFAULT_BUCKETS == 10_000
