@@ -53,8 +53,21 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # zh anchors on ideographs rare in Japanese prose (的/们/是).
     "ar": {" في ": 3, " من ": 3, " على ": 3, " إلى ": 2, " عن ": 2,
            " هذا ": 2, " أن ": 2, " و": 1, "ال": 1, " لا ": 2},
+    # late-r10 single-script additions (bn/el/he/th): like ar/hi/ko each
+    # is alone in its script class, so the profile's job is evidence > 0
+    # (vs 'und'); Thai writes without inter-word spaces, so its grams are
+    # bare substrings (no space anchors) — the only profile built so
+    "bn": {" এবং ": 3, " না ": 2, " এই ": 2, " করে ": 2, " থেকে ": 2,
+           " আমি ": 2, "ের ": 2, " যে ": 1, " হয় ": 2, " তার ": 1},
     "de": {" der ": 3, " die ": 3, " und ": 3, " das ": 2, " ist ": 2,
            " ein": 2, "sch": 2, "ich": 1, " nicht ": 3, "en ": 1},
+    # el grams deliberately avoid sigma: Greek final sigma 'ς' does not
+    # survive an upper→lower round trip under simple (non-contextual)
+    # Unicode case mapping — both engines' lower() would turn 'ΟΣ' into
+    # 'οσ', silently breaking the case-invariance contract for any
+    # sigma-bearing gram (caught by the invariance property test)
+    "el": {" και ": 3, " το ": 2, " που ": 2, " να ": 2, " του ": 2,
+           " είναι ": 3, " με ": 1, " την ": 2, " δεν ": 2, " για ": 2},
     "en": {" the ": 3, " and ": 3, " of ": 3, " is ": 2, " to ": 2,
            " in ": 1, "ing ": 2, "th": 1, " that ": 2, " are ": 2},
     "es": {" el ": 3, " la ": 2, " los ": 3, " las ": 2, " es ": 2,
@@ -67,6 +80,8 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # its bare "è" gram → it anchors on " è " at 3 plus per/gli/zione;
     # pt avoids the shared " os "-heavy route and anchors on its unique
     # orthography (ão/ções/não) and do/da contractions es lacks.
+    "he": {" של ": 3, " את ": 3, " על ": 2, " לא ": 2, " זה ": 2,
+           " הוא ": 2, " עם ": 1, "ים ": 2, " אני ": 2, " גם ": 1},
     "hi": {" है ": 3, " का ": 2, " की ": 2, " के ": 2, " में ": 3,
            " और ": 3, " से ": 2, " को ": 2, " एक ": 2, " यह ": 2},
     "it": {" il ": 3, " di ": 3, " che ": 2, " è ": 3, " per ": 2,
@@ -85,6 +100,8 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # involved; the profile is the standard top function words
     "ru": {" и ": 3, " не ": 3, " что ": 3, " на ": 2, " в ": 2,
            "ть ": 2, "ый": 2, "ого": 2, " это ": 2, " он ": 1},
+    "th": {"ที่": 3, "และ": 3, "การ": 2, "ของ": 2, "ไม่": 2,
+           "เป็น": 2, "ได้": 2, "ใน": 1, "มี": 1, "ว่า": 2},
     "zh": {"的": 3, "是": 2, "了": 2, "我": 2, "不": 2,
            "在": 2, "人": 1, "有": 1, "他": 1, "们": 2},
 }
@@ -134,19 +151,27 @@ LANGS = sorted(NGRAM_PROFILES)
 # Latin-language gram is pure Latin).
 SCRIPT_LANGS: "dict[str, tuple[str, ...]]" = {
     "arabic": ("ar",),
+    "bengali": ("bn",),
     # kana + ideographs: Japanese and Chinese share the class; their
     # profiles discriminate within it (hiragana vs ideograph anchors)
     "cjk": ("ja", "zh"),
     "cyrillic": ("ru",),
     "devanagari": ("hi",),
+    "greek": ("el",),
     "hangul": ("ko",),
+    "hebrew": ("he",),
+    "thai": ("th",),
 }
 _SCRIPT_RE = {  # Java + RE2 \x{...} syntax, identical in both engines
     "arabic": r"[\x{0600}-\x{06FF}]+",
+    "bengali": r"[\x{0980}-\x{09FF}]+",
     "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]+",
     "cyrillic": r"[\x{0400}-\x{04FF}]+",
     "devanagari": r"[\x{0900}-\x{097F}]+",
+    "greek": r"[\x{0370}-\x{03FF}\x{1F00}-\x{1FFF}]+",
     "hangul": r"[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]+",
+    "hebrew": r"[\x{0590}-\x{05FF}]+",
+    "thai": r"[\x{0E00}-\x{0E7F}]+",
 }
 LATIN_LANGS = tuple(L for L in LANGS
                     if all(L not in v for v in SCRIPT_LANGS.values()))
@@ -266,8 +291,9 @@ def identify_language(df: DataFrame, text_col: str = "text",
     pure-Latin row pays one probe regex plus its own Latin profiles,
     nothing else — the 13-language gate noop-materializes in 1.7-1.9 s
     at sf0.1 where flat-profile scaling would project ~2.7 s, and
-    further non-Latin languages are free for Latin rows — plan lock in
-    test_lid)."""
+    further non-Latin languages are free for Latin rows: late r10 grew
+    the set to 17 (el/he/th/bn, each alone in its script class) at
+    unchanged Latin-row cost — plan lock in test_lid)."""
     norm_col = f"__{pred_alias}_norm"
     arr_col = f"__{pred_alias}_scores"
     staged = (df.withColumn(norm_col,

@@ -38,6 +38,15 @@ SENTENCES = [
     ("ja", "私は本を読むのが好きで 毎日図書館に行きます"),
     ("ko", "고양이와 강아지가 정원에서 놀고 있다 오늘은 날씨가 좋다"),
     ("ko", "나는 책을 읽는 것을 좋아하고 매일 도서관에 간다"),
+    # late-r10 single-script additions
+    ("el", "η γάτα και ο σκύλος παίζουν στον κήπο του σπιτιού"),
+    ("el", "αυτή είναι μια όμορφη μέρα και δεν θέλω να μείνω στο σπίτι"),
+    ("he", "החתול והכלב משחקים בגן של הבית הגדול"),
+    ("he", "זה יום יפה ואני לא רוצה להישאר בבית עם הספרים"),
+    ("th", "แมวและสุนัขกำลังเล่นอยู่ในสวนของบ้านหลังใหญ่"),
+    ("th", "วันนี้อากาศดีและฉันไม่อยากอยู่ที่บ้าน"),
+    ("bn", "বিড়াল এবং কুকুর বাগানে খেলছে এবং এই দিনটি ভালো"),
+    ("bn", "আমি বই পড়তে ভালোবাসি এবং প্রতিদিন সে করে থাকে"),
 ]
 
 # the measured floor: profile edits that regress classification on the
@@ -153,7 +162,8 @@ def test_lid_script_gate_zeroes_out_of_class_scores(spark):
     assert all(v == 0.0 for i, v in enumerate(rows[1]) if i != ru_i)
     # latin row: ru/zh/ja/ko/ar/hi all literal zero
     assert rows[2][en_i] > 0
-    for lang in ("ar", "hi", "ja", "ko", "ru", "zh"):
+    for lang in ("ar", "bn", "el", "he", "hi", "ja", "ko", "ru",
+                 "th", "zh"):
         assert rows[2][LANGS.index(lang)] == 0.0
     # mixed row, cyrillic-dominant: stays in the cyrillic class
     assert rows[3][ru_i] > 0
