@@ -151,6 +151,61 @@ def gumbel_sql(d: str, id_expr: str, seed: str) -> str:
     return f"(-ln(-ln({u})))"
 
 
+def dsir_oracle_ctes(table: str, target_where: str, m: int,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB CTE chain mirroring :func:`dsir_weights` relationally over
+    ``table`` (a base table or prior CTE) with the target corpus defined
+    by ``target_where`` (a boolean SQL predicate over the table's
+    columns); terminal CTE ``dsir_w`` has (id, n_feats, logw).  Totals
+    are scalar subqueries — the same exact integers the Spark side
+    collects and inlines, so the ln() arguments agree."""
+    d = D.DUCK
+    toks = D.array_filter(
+        d, D.split_ws(d, f"lower({text_col})"), "x -> x <> ''")
+    b = bucket_sql(d, "feat", m)
+    return f"""
+dsir_tok AS (
+  SELECT {id_col}, ({target_where}) AS is_target, {toks} AS toks
+  FROM {table}),
+dsir_feat AS (
+  SELECT {id_col}, is_target, unnest({features_sql(d, 'toks')}) AS feat
+  FROM dsir_tok),
+dsir_tf AS (
+  SELECT {id_col}, is_target, {b} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM dsir_feat GROUP BY {id_col}, is_target, {b}),
+dsir_btgt AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM dsir_tf
+  WHERE is_target GROUP BY bucket),
+dsir_braw AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM dsir_tf
+  GROUP BY bucket),
+dsir_tot AS (
+  SELECT (SELECT sum(ct) FROM dsir_btgt) AS t_total,
+         (SELECT sum(cr) FROM dsir_braw) AS r_total),
+dsir_dlr AS (
+  SELECT coalesce(dsir_btgt.bucket, dsir_braw.bucket) AS bucket,
+         ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE))
+           - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE)) AS dlr
+  FROM dsir_btgt FULL OUTER JOIN dsir_braw
+    ON dsir_btgt.bucket = dsir_braw.bucket),
+dsir_perdoc AS (
+  SELECT t.{id_col}, CAST(sum(t.cnt) AS BIGINT) AS n_feats,
+         list_reduce(
+           list(t.cnt * coalesce(d.dlr, 0.0e0) ORDER BY t.bucket),
+           (a, b) -> a + b) AS llr
+  FROM dsir_tf t LEFT JOIN dsir_dlr d ON t.bucket = d.bucket
+  GROUP BY t.{id_col}),
+dsir_w AS (
+  SELECT {id_col}, n_feats,
+         round(llr + n_feats
+               * (ln(CAST(r_total + {m} AS DOUBLE))
+                  - ln(CAST(t_total + {m} AS DOUBLE))), 6) AS logw
+  FROM dsir_perdoc, dsir_tot)
+"""
+
+
 def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 m: int = DEFAULT_BUCKETS, seed: str = "dsir",

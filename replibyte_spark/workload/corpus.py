@@ -357,3 +357,88 @@ FROM p ORDER BY source, doc_id
 register(Query("curation_pipeline_v3", curation_pipeline_v3,
                _curation_v3_oracle(), tags=("text", "dedup", "pipeline")),
          extra=True)
+
+
+# --- v4 (late r10): published filters → model-based selection ---------------
+# repetition rules ∧ C4 page rules gate the corpus, then DSIR picks the
+# documents whose hashed-n-gram profile matches a target domain — the
+# modern curation shape (filter for quality, SELECT for distribution)
+# composed from three operators this round gates individually.
+
+V4_M = 2048        # DSIR hash buckets
+V4_K = 64          # selected docs
+V4_TARGET = "src3"
+V4_SEED = "v4"
+
+
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.c4 import c4_flags
+    from ..operators.dsir import dsir_select
+    from ..operators.repetition import repetition_flags
+    from .text_queries import _C4_GATE_PARAMS
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # published separators here (unlike the word-segment gate): on this
+    # corpus the differential repetition signal is the top-3/4-gram
+    # rules; the word-segment line rules would empty the corpus
+    rep = repetition_flags(docs)
+    both = c4_flags(rep, **_C4_GATE_PARAMS)
+    surv = (both.filter(F.col("repetition_pass") & F.col("c4_pass"))
+            .select("doc_id", "source", "text"))
+    target = surv.filter(F.col("source") == V4_TARGET)
+    sel = dsir_select(surv, target, k=V4_K, m=V4_M, seed=V4_SEED)
+    return (sel.join(surv.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_feats", "logw", "key")
+            .orderBy(F.col("key").desc(), "doc_id"))
+
+
+def _curation_v4_oracle() -> str:
+    from ..functions.c4 import c4_flag_sqls, c4_stats_sql, kept_lines_sql
+    from ..operators import repetition as R
+    from ..operators.dsir import dsir_oracle_ctes, gumbel_sql
+    from .text_queries import _C4_GATE_PARAMS
+
+    d = D.DUCK
+    rep_ctes = R.ngram_stats_oracle_ctes()
+    stat_cols = (["n_words", "word_chars"]
+                 + [f"top{n}_chars" for n in R.TOP_NS]
+                 + [f"dup{n}_chars" for n in R.DUP_NS])
+    rep_flags = {
+        **R.seg_flag_sqls(R.seg_rep_stats_sql(d, "d.text", "\n"),
+                          "line"),
+        **R.seg_flag_sqls(R.seg_rep_stats_sql(d, "d.text", "\n\n"),
+                          "para"),
+        **R.ngram_flag_sqls({c: f"s.{c}" for c in stat_cols})}
+    p = _C4_GATE_PARAMS
+    kept = kept_lines_sql(d, "d.text", p["terminal_punct"],
+                          p["min_words_per_line"])
+    c4 = c4_flag_sqls(
+        c4_stats_sql(d, "d.text", kept=kept,
+                     terminal_punct=p["terminal_punct"],
+                     bad_words=p["bad_words"]),
+        p["min_sentences"])
+    all_pass = " AND ".join([*rep_flags.values(), *c4.values()])
+    dsir = dsir_oracle_ctes("v4_surv", f"source = {D.q(V4_TARGET)}",
+                            V4_M)
+    g = gumbel_sql(d, "w.doc_id", V4_SEED)
+    return f"""
+WITH {rep_ctes.strip()},
+v4_surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN rep_stats s ON d.doc_id = s.doc_id
+  WHERE {all_pass}),
+{dsir.strip()}
+SELECT w.doc_id, s.source, w.n_feats, w.logw,
+       round(w.logw + {g}, 6) AS key
+FROM dsir_w w JOIN v4_surv s ON w.doc_id = s.doc_id
+ORDER BY key DESC, w.doc_id LIMIT {V4_K}
+"""
+
+
+# bench=True: the composed filter→select plan (repetition explode + C4
+# projection + two DSIR passes) — the end-to-end curation headline
+register(Query("curation_pipeline_v4", curation_pipeline_v4,
+               _curation_v4_oracle(),
+               tags=("text", "quality", "sampling", "pipeline"),
+               bench=True),
+         extra=True)

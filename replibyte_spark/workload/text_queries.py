@@ -253,8 +253,12 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+# bench=True: the one r10 text operator whose cost is NOT the scan — a
+# 9-grams-per-word explode plus doc-keyed aggregations; the bench row
+# tracks that the explode shape stays linear in corpus tokens
 register(Query("repetition_filter_summary", repetition_filter_summary,
-               _repetition_oracle(), tags=("text", "quality")), extra=True)
+               _repetition_oracle(), tags=("text", "quality"),
+               bench=True), extra=True)
 
 
 # fixture-driven C4 parameterization (the synthetic corpus has NO
@@ -351,56 +355,23 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_oracle() -> str:
-    from ..operators.dsir import bucket_sql, features_sql, gumbel_sql
+    from ..operators.dsir import dsir_oracle_ctes, gumbel_sql
 
     d = D.DUCK
-    m, k = _DSIR_M, _DSIR_K
-    toks = D.array_filter(
-        d, D.split_ws(d, "lower(text)"), "x -> x <> ''")
+    ctes = dsir_oracle_ctes("documents",
+                            f"source = {D.q(_DSIR_TARGET)}", _DSIR_M)
     g = gumbel_sql(d, "doc_id", _DSIR_SEED)
     return f"""
-WITH tok_r AS (
-  SELECT doc_id, source, {toks} AS toks FROM documents),
-feat_r AS (
-  SELECT doc_id, source, unnest({features_sql(d, 'toks')}) AS feat
-  FROM tok_r),
-tf AS (
-  SELECT doc_id, source, {bucket_sql(d, 'feat', m)} AS bucket,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM feat_r GROUP BY doc_id, source, {bucket_sql(d, 'feat', m)}),
-btgt AS (
-  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM tf
-  WHERE source = {D.q(_DSIR_TARGET)} GROUP BY bucket),
-braw AS (
-  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM tf GROUP BY bucket),
-tot AS (
-  SELECT (SELECT sum(ct) FROM btgt) AS t_total,
-         (SELECT sum(cr) FROM braw) AS r_total),
-dlr AS (
-  SELECT coalesce(btgt.bucket, braw.bucket) AS bucket,
-         ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE))
-           - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE)) AS dlr
-  FROM btgt FULL OUTER JOIN braw ON btgt.bucket = braw.bucket),
-perdoc AS (
-  SELECT tf.doc_id, CAST(sum(tf.cnt) AS BIGINT) AS n_feats,
-         list_reduce(
-           list(tf.cnt * coalesce(dlr.dlr, 0.0e0) ORDER BY tf.bucket),
-           (a, b) -> a + b) AS llr
-  FROM tf LEFT JOIN dlr ON tf.bucket = dlr.bucket
-  GROUP BY tf.doc_id),
-w AS (
-  SELECT doc_id, n_feats,
-         round(llr + n_feats
-               * (ln(CAST(r_total + {m} AS DOUBLE))
-                  - ln(CAST(t_total + {m} AS DOUBLE))), 6) AS logw
-  FROM perdoc, tot)
+WITH {ctes.strip()}
 SELECT doc_id, n_feats, logw, round(logw + {g}, 6) AS key
-FROM w ORDER BY key DESC, doc_id LIMIT {k}
+FROM dsir_w ORDER BY key DESC, doc_id LIMIT {_DSIR_K}
 """
 
 
+# bench=True: two corpus passes + a bucket-model broadcast join + a
+# TakeOrdered — the data-selection shape worth tracking round over round
 register(Query("dsir_select_topk", dsir_select_topk, _dsir_oracle(),
-               tags=("text", "sampling")), extra=True)
+               tags=("text", "sampling"), bench=True), extra=True)
 
 
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
