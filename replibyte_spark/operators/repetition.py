@@ -119,20 +119,27 @@ def _arr_distinct(d: str, arr: str) -> str:
             else f"list_distinct({arr})")
 
 
-def seg_rep_stats_sql(d: str, text: str, sep: str) -> dict[str, str]:
-    """Integer stats for one segment granularity: total / distinct counts
-    and total / distinct char sums.  Duplicate occurrences are then
-    ``n - nd`` and their chars ``tc - dc`` (first occurrences keep their
-    chars in the distinct sums, so the subtraction counts exactly the
-    2nd+ occurrences of each repeated segment)."""
-    seg = _split_lit(d, text, sep)
-    dseg = _arr_distinct(d, seg)
+def seg_rep_stats_from_arrays(d: str, seg: str, dseg: str
+                              ) -> dict[str, str]:
+    """Integer stats over STAGED segment/distinct-segment array refs —
+    the hot-path form (each array evaluated once, in its own column)."""
     return {
         "n": D.array_len(d, seg),
         "nd": D.array_len(d, dseg),
         "tc": _arr_char_sum(d, seg),
         "dc": _arr_char_sum(d, dseg),
     }
+
+
+def seg_rep_stats_sql(d: str, text: str, sep: str) -> dict[str, str]:
+    """Integer stats for one segment granularity: total / distinct counts
+    and total / distinct char sums.  Duplicate occurrences are then
+    ``n - nd`` and their chars ``tc - dc`` (first occurrences keep their
+    chars in the distinct sums, so the subtraction counts exactly the
+    2nd+ occurrences of each repeated segment).  Inline form (used by
+    the oracle; the Spark path stages the arrays into columns)."""
+    seg = _split_lit(d, text, sep)
+    return seg_rep_stats_from_arrays(d, seg, _arr_distinct(d, seg))
 
 
 def seg_flag_sqls(stats: dict[str, str], kind: str) -> dict[str, str]:
@@ -223,17 +230,29 @@ def repetition_flags(df: DataFrame, text_col: str = "text",
     d = D.SPARK
     stats = ngram_doc_stats(df, text_col, id_col)
 
+    # stage each segment array (and its distinct) in its own column so
+    # every split/array_distinct runs ONCE per row (the gopher_flags
+    # staging pattern), then derive the four integer stats per
+    # granularity from the staged arrays
     flagged = df.join(stats, id_col, "left")
-    line_stats = seg_rep_stats_sql(d, text_col, line_sep)
-    para_stats = seg_rep_stats_sql(d, text_col, para_sep)
-    flags = {**seg_flag_sqls(line_stats, "line"),
-             **seg_flag_sqls(para_stats, "para"),
+    seg_cols: list[str] = []
+    seg_stats: dict[str, dict[str, str]] = {}
+    for kind, sep in (("line", line_sep), ("para", para_sep)):
+        arr, darr = f"__rep_{kind}s", f"__rep_{kind}s_d"
+        flagged = (flagged
+                   .withColumn(arr, F.expr(_split_lit(d, text_col, sep)))
+                   .withColumn(darr, F.expr(_arr_distinct(d, arr))))
+        seg_cols += [arr, darr]
+        seg_stats[kind] = seg_rep_stats_from_arrays(d, arr, darr)
+    flags = {**seg_flag_sqls(seg_stats["line"], "line"),
+             **seg_flag_sqls(seg_stats["para"], "para"),
              **ngram_flag_sqls({c: c for c in stats.columns})}
     for rule in REPETITION_RULES:
         flagged = flagged.withColumn(prefix + rule, F.expr(flags[rule]))
     passed = " AND ".join(prefix + r for r in REPETITION_RULES)
     return (flagged.withColumn("repetition_pass", F.expr(passed))
-            .drop(*[c for c in stats.columns if c != id_col]))
+            .drop(*seg_cols,
+                  *[c for c in stats.columns if c != id_col]))
 
 
 def ngram_doc_stats(df: DataFrame, text_col: str = "text",

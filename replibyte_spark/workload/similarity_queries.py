@@ -52,8 +52,12 @@ SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
+# EXTRA (late r10): demoted from the driver window in favor of
+# repetition_filter_summary (text_queries) — the window already carries
+# four ANN rows (lsh/ivf/qivf/near_dup + index_admit); the exhaustive
+# baseline stays oracle-checked in pytest and in the bench set
 register(Query("ann_brute_force_topk", ann_brute_force, ANN_ORACLE,
-               tags=("similarity",), bench=True))
+               tags=("similarity",), bench=True), extra=True)
 
 
 BITS = 6

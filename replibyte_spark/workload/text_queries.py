@@ -253,12 +253,14 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
-# bench=True: the one r10 text operator whose cost is NOT the scan — a
-# 9-grams-per-word explode plus doc-keyed aggregations; the bench row
-# tracks that the explode shape stays linear in corpus tokens
+# DRIVER-GATED (late r10, swapped in for ann_brute_force_topk): the 13
+# published repetition rules are a first-class filter family.  bench=True:
+# the one r10 text operator whose cost is NOT the scan — a 9-grams-per-
+# word explode plus doc-keyed aggregations; the bench row tracks that
+# the explode shape stays linear in corpus tokens
 register(Query("repetition_filter_summary", repetition_filter_summary,
                _repetition_oracle(), tags=("text", "quality"),
-               bench=True), extra=True)
+               bench=True))
 
 
 # fixture-driven C4 parameterization (the synthetic corpus has NO

@@ -298,6 +298,29 @@ def test_bm25_broadcast_guard_bounds_vocabulary(spark):
     assert "BroadcastHashJoin" in hinted, hinted
 
 
+def test_late_r10_gates_prune_scans_and_avoid_nested_loops(spark, sf_dir):
+    """The late-r10 gates (repetition explode, C4 projection, DSIR
+    two-pass, and their v4 composition) must never compile a nested-loop
+    or cartesian join, keep Python out of the plan, and prune the unused
+    fixture columns from every documents scan."""
+    from replibyte_spark.workload import all_queries
+
+    qs = all_queries()
+    for name, unused in (
+            ("repetition_filter_summary", ("lang", "n_chars")),
+            ("c4_filter_summary", ("lang", "n_chars", "doc_id")),
+            ("dsir_select_topk", ("lang", "n_chars")),
+            ("curation_pipeline_v4", ("n_chars", "lang"))):
+        plan = _plan(qs[name].spark_fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan and "BatchEval" not in plan, name
+        for schema in plan.split("ReadSchema:")[1:]:
+            line = schema.splitlines()[0]
+            for col in unused:
+                assert col not in line, (name, col, line)
+
+
 def test_gopher_and_segment_gates_prune_scan_columns(spark, sf_dir):
     """The r10 text gates derive everything from (source, text): the scan
     must prune lang/n_chars (and doc_id), and neither plan may contain a
