@@ -222,8 +222,8 @@ def repetition_flags(df: DataFrame, text_col: str = "text",
     conjunction ``repetition_pass``.
 
     Segment rules ride the scan as projections; n-gram rules run one
-    explode → count → (semi-)join pipeline keyed by doc_id and join the
-    doc-id-sized stats frame back on the id.  ``line_sep``/``para_sep``
+    explode → count(+positions) → coverage pipeline keyed by doc_id and
+    join the doc-id-sized stats frame back on the id.  ``line_sep``/``para_sep``
     parameterize the segment granularity (published: newline / blank
     line) for corpora whose segmenting differs — same precedent as
     functions/text.py::dedup_lines_sql."""
@@ -276,8 +276,16 @@ def ngram_doc_stats(df: DataFrame, text_col: str = "text",
     ge = (w_df.selectExpr(id_col,
                           f"explode(flatten(array({gram_parts}))) AS g")
           .selectExpr(id_col, "g.n AS n", "g.pos AS pos", "g.gram AS gram"))
+    # carry the occurrence positions through the ONE gram aggregation:
+    # the coverage stage then explodes the stored position lists of the
+    # duplicated grams instead of re-deriving the whole gram stream for
+    # a semi-join — the explode subtree is evaluated once, not twice
+    # (ReuseExchange does not dedupe duplicated explode subtrees).  The
+    # position list is bounded by the gram's own multiplicity within one
+    # document — the same bound the per-doc text column already has.
     counts = ge.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list("pos").alias("poss"))
 
     # most common n-gram (ties -> lexicographically largest gram)
     mx = (counts.filter(F.col("n").isin(list(TOP_NS)))
@@ -292,10 +300,9 @@ def ngram_doc_stats(df: DataFrame, text_col: str = "text",
         .alias(f"top{n}_chars") for n in TOP_NS])
 
     # union coverage of duplicated n-grams (per n)
-    dupg = counts.filter((F.col("cnt") > 1)
-                         & F.col("n").isin(list(DUP_NS)))
-    dstart = ge.join(dupg.select(id_col, "n", "gram"),
-                     [id_col, "n", "gram"], "left_semi")
+    dstart = (counts.filter((F.col("cnt") > 1)
+                            & F.col("n").isin(list(DUP_NS)))
+              .select(id_col, "n", F.explode("poss").alias("pos")))
     cover = (dstart.selectExpr(
         id_col, "n", "explode(sequence(pos, pos + n - 1)) AS cpos")
         .distinct())

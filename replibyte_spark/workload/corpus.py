@@ -383,8 +383,13 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rules; the word-segment line rules would empty the corpus
     rep = repetition_flags(docs)
     both = c4_flags(rep, **_C4_GATE_PARAMS)
+    # DSIR reads the survivor frame four times (target model, raw model,
+    # scoring features, payload join) — persist + materialize it so the
+    # repetition explode upstream runs ONCE (the v3 persist pattern;
+    # the frame is the filtered corpus, the same bound v3 persists)
     surv = (both.filter(F.col("repetition_pass") & F.col("c4_pass"))
-            .select("doc_id", "source", "text"))
+            .select("doc_id", "source", "text").persist())
+    surv.write.mode("overwrite").format("noop").save()
     target = surv.filter(F.col("source") == V4_TARGET)
     sel = dsir_select(surv, target, k=V4_K, m=V4_M, seed=V4_SEED)
     return (sel.join(surv.select("doc_id", "source"), "doc_id")
