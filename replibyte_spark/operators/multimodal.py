@@ -192,6 +192,37 @@ def decode_audio(df: DataFrame, content_col: str = "content",
             .mapInPandas(batches, schema=AUDIO_SCHEMA))
 
 
+def payload_fingerprints(df: DataFrame, content_col: str = "content",
+                         ) -> DataFrame:
+    """Append ``payload_md5`` + ``payload_bytes`` for a binary column —
+    a pure projection (JVM md5 over the bytes, no Python), the universal
+    first index of any multimodal corpus: exact-duplicate detection,
+    shard-stable addressing, cache keys.  Scans still prune the binary
+    column wherever only the fingerprint is consumed downstream."""
+    c = F.col(content_col)
+    return (df.withColumn("payload_md5", F.md5(c))
+            .withColumn("payload_bytes", F.octet_length(c).cast("long")))
+
+
+def dedup_binary_exact(df: DataFrame, content_col: str = "content",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate removal over a binary payload column: one
+    canonical row (minimum id) survives per distinct payload — the
+    byte-level first tier every image/audio pipeline runs before any
+    perceptual matching (which needs real codecs; see decode_images).
+
+    Scale shape: one md5 projection + one (digest → min id) aggregation
+    + one semi-join — the exact-dedup shape of operators/dedup.py lifted
+    to binary.  A viral payload repeated millions of times is absorbed
+    by map-side partial min() before the shuffle, so hot payloads cost
+    one partial per map task, not one shuffled row per copy."""
+    fp = payload_fingerprints(df, content_col)
+    keep = (fp.groupBy("payload_md5")
+            .agg(F.min(id_col).alias(id_col)))
+    return (fp.join(keep, [id_col, "payload_md5"], "left_semi")
+            .drop("payload_md5", "payload_bytes"))
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64,
                   content_col: str = "content", id_col: str = "doc_id",
                   max_frames: int = 8) -> DataFrame:

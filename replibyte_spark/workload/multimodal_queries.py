@@ -124,3 +124,52 @@ FROM f ORDER BY doc_id
 # of the driver-visible image_decode_stats (same mapInPandas plumbing)
 register(Query("audio_decode_stats", audio_decode_stats, AUDIO_DECODE_ORACLE,
                tags=("multimodal",)), extra=True)
+
+
+def binary_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level exact dedup over a binary payload column (the first
+    tier of every image/audio pipeline) proven on the events table,
+    whose props payloads are heavily duplicated (100 distinct among 10k
+    at sf0.01): per event_type, rows/bytes before and after keeping one
+    canonical row (min event_id) per distinct payload."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.col("props").cast("binary").alias("content")))
+    kept = MM.dedup_binary_exact(ev, id_col="event_id")
+    size = F.octet_length(F.col("content"))
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(size).cast("long").alias("bytes_total"))
+    k = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(size).cast("long").alias("bytes_kept"))
+    return tot.join(k, "event_type").orderBy("event_type")
+
+
+BINARY_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT event_id, event_type, md5(props) AS h,
+         CAST(strlen(props) AS BIGINT) AS nb
+  FROM events
+), keep AS (
+  SELECT h, min(event_id) AS event_id FROM fp GROUP BY h
+), kept AS (
+  SELECT fp.event_type, fp.nb
+  FROM fp JOIN keep ON fp.h = keep.h AND fp.event_id = keep.event_id
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(nb) AS BIGINT) AS bytes_total
+  FROM fp GROUP BY event_type
+), k AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(nb) AS BIGINT) AS bytes_kept
+  FROM kept GROUP BY event_type
+)
+SELECT tot.event_type, n_rows, bytes_total, n_kept, bytes_kept
+FROM tot JOIN k ON tot.event_type = k.event_type
+ORDER BY tot.event_type
+"""
+
+register(Query("binary_payload_dedup", binary_payload_dedup,
+               BINARY_DEDUP_ORACLE, tags=("multimodal", "dedup")),
+         extra=True)

@@ -116,6 +116,46 @@ def test_duckdb_flags_match_spark(spark):
             assert got[doc_id][f"c4_{rule}"] is bool(v), (doc_id, rule)
 
 
+def test_cross_engine_fuzz_quotes_unicode_controls(spark):
+    """Dialect-fuzz invariant for every C4 flag + the kept-line count on
+    quote/unicode/control-heavy pages."""
+    import random
+    import string
+
+    rng = random.Random(20260816)
+    alphabet = (string.ascii_letters + " '\"\\;,.!?{}()\t\x0b"
+                + "żółćüéñ中文🙂")
+    pages = [(0, ""), (1, "'"), (2, '"'), (3, "{"), (4, "\n\n"),
+             (5, 'he said "stop."'), (6, "🙂 emoji line ends here!")]
+    i = len(pages)
+    while i < 80:
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            words = ["".join(rng.choice(alphabet)
+                             for _ in range(rng.randint(1, 7)))
+                     for _ in range(rng.randint(0, 8))]
+            lines.append(" ".join(words)
+                         + rng.choice([".", "!", "?", '"', "", " "]))
+        pages.append((i, "\n".join(lines)))
+        i += 1
+    got = _flags(spark, pages, bad_words=("中文", "zzz"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", pages)
+    d = D.DUCK
+    stats = c4_stats_sql(d, "text", bad_words=("中文", "zzz"))
+    flags = c4_flag_sqls(stats)
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in flags.items())
+    sql = (f"SELECT doc_id, {stats['n_kept_lines']} AS k, {cols} "
+           f"FROM documents ORDER BY doc_id")
+    for doc_id, k, *vals in con.execute(sql).fetchall():
+        assert got[doc_id]["c4_lines_kept"] == k, \
+            (doc_id, repr(dict(pages)[doc_id]))
+        for rule, v in zip(flags, vals):
+            assert got[doc_id][f"c4_{rule}"] is bool(v), \
+                (doc_id, rule, repr(dict(pages)[doc_id]))
+
+
 def test_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
     plan = c4_flags(df)._jdf.queryExecution().executedPlan().toString()

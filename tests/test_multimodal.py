@@ -103,3 +103,37 @@ def test_decode_audio_real_wav_via_stdlib(spark):
             real.n_frames, real.duration_ms) == ("audio/wav", 16000, 2,
                                                  8000, 500)
     assert rows[2].codec == "audio/fake"
+
+
+def test_payload_fingerprints_match_hashlib(spark):
+    import hashlib
+
+    payloads = [b"", b"abc", b"\x00\xff\x10" * 40, "unicode 🙂".encode()]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, content binary")
+    rows = {r.doc_id: r for r in MM.payload_fingerprints(df).collect()}
+    for i, p in enumerate(payloads):
+        assert rows[i].payload_md5 == hashlib.md5(p).hexdigest()
+        assert rows[i].payload_bytes == len(p)
+
+
+def test_dedup_binary_exact_keeps_min_id_per_payload(spark):
+    rows = [(5, b"dup"), (2, b"dup"), (9, b"dup"),
+            (3, b"unique"), (7, b"\x00\x00"), (8, b"\x00\x00")]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows],
+        "doc_id long, content binary")
+    kept = sorted(r.doc_id for r in MM.dedup_binary_exact(df).collect())
+    assert kept == [2, 3, 7]
+    out = MM.dedup_binary_exact(df)
+    assert out.columns == ["doc_id", "content"]
+
+
+def test_dedup_binary_plan_has_no_nested_loop(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "doc_id long, content binary")
+    plan = MM.dedup_binary_exact(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan

@@ -224,6 +224,46 @@ def test_separator_parameterization(spark):
     assert _one_flag(spark, text, "dup_line_frac") is True  # single line
 
 
+def test_cross_engine_fuzz_quotes_unicode_controls(spark):
+    """The dialect-fuzz invariant applied to every repetition flag: on a
+    corpus mixing quotes, backslashes, unicode (incl. non-BMP), control
+    whitespace and repeated phrases, the Spark flags and the DuckDB
+    oracle CTE stats must agree bit-exactly."""
+    import string
+
+    rng = random.Random(20260815)
+    alphabet = (string.ascii_letters + " '\"\\;,.()\n\t\x0b"
+                + "żółćüéñ中文🙂")
+    docs = [(0, ""), (1, "'"), (2, "\\"), (3, "\n\n\n"), (4, "\x0b"),
+            (5, '"" "" "" "" ""'), (6, "🙂 🙂 🙂 🙂 🙂 🙂"),
+            (7, "中文 字 中文 字 中文 字")]
+    i = len(docs)
+    while i < 80:
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 8)))
+                 for _ in range(rng.randint(0, 15))]
+        if rng.random() < 0.4 and words:
+            words = words + words  # force repetition
+        docs.append((i, " ".join(words)))
+        i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in R.ngram_doc_stats(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    sql = (f"WITH {R.ngram_stats_oracle_ctes().strip()} "
+           f"SELECT * FROM rep_stats ORDER BY doc_id")
+    cols = [c[0] for c in con.execute(sql).description]
+    for row in con.execute(sql).fetchall():
+        want = dict(zip(cols, row))
+        have = got[want["doc_id"]]
+        for k in cols:
+            assert have[k] == want[k], \
+                (want["doc_id"], k, have[k], want[k],
+                 repr(dict(docs)[want["doc_id"]]))
+
+
 def test_plan_has_no_nested_loop_or_cartesian(spark):
     docs = _fuzz_docs(seed=3, n_docs=8)
     df = spark.createDataFrame(docs, "doc_id long, text string")
