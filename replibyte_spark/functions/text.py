@@ -48,6 +48,43 @@ def char_count_sql(d: str, text: str) -> str:
     return f"length({text})"
 
 
+#: scripts written WITHOUT inter-word spaces (kana, CJK ideographs,
+#: Thai) — whitespace tokenization sees a whole sentence as one "token"
+#: there, silently destroying token budgets, packing and mixing ratios
+#: on multilingual corpora.  Same \x{...} class syntax as functions/lid.py
+#: (identical in Java regex and RE2).
+NOSPACE_SCRIPT_RE = r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{0E00}-\x{0E7F}]"
+
+
+def nospace_char_count_sql(d: str, text: str) -> str:
+    """Exact count of no-space-script chars (strip-and-diff, one regexp
+    scan)."""
+    t = f"coalesce({text}, '')"
+    stripped = D.regexp_replace(d, t, NOSPACE_SCRIPT_RE + "+", "")
+    return f"(length({t}) - length({stripped}))"
+
+
+def token_count_multiscript_sql(d: str, text: str,
+                                toks: str | None = None) -> str:
+    """Script-aware token estimate for mixed-script corpora (pinned
+    definition, identical both engines):
+
+        n = (# whitespace tokens containing >= 1 spaced-script char)
+          + (# no-space-script chars in the text)
+
+    A pure-Latin text gives exactly the whitespace count; a pure-CJK
+    sentence counts one token per character (the standard char-level
+    estimate for unsegmented scripts); a mixed token ("漢字abc") counts
+    its Latin remainder once plus each CJK char.  NULL → NULL, '' → 0,
+    same contract as token_count_sql."""
+    toks = toks or D.split_ws(d, text)
+    spaced_pred = (f"x -> length({D.regexp_replace(d, 'x', NOSPACE_SCRIPT_RE + '+', '')}) > 0")
+    spaced = D.array_len(d, D.array_filter(d, toks, spaced_pred))
+    return (f"CASE WHEN {text} IS NULL THEN NULL "
+            f"WHEN length(trim({text})) = 0 THEN 0 "
+            f"ELSE {spaced} + {nospace_char_count_sql(d, text)} END")
+
+
 def subword_token_count_sql(d: str, text: str) -> str:
     """BPE-ish subword token count: the GPT-2-style pre-tokenization
     restated without lookahead so ONE pattern means the same thing in

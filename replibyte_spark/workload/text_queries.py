@@ -334,6 +334,50 @@ register(Query("c4_filter_summary", c4_filter_summary,
                _c4_oracle(), tags=("text", "quality")), extra=True)
 
 
+def multiscript_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware token counting (functions/text.py::
+    token_count_multiscript_sql) next to the plain whitespace count, per
+    source.  The fixture is pure-Latin, so the two counts must agree
+    exactly — the gate proves the strip/filter path is a no-op precisely
+    when it should be (CJK/Thai behavior is unit-tested on constructed
+    corpora in test_text_multiscript.py)."""
+    from ..util import fan_out
+
+    d = D.SPARK
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.selectExpr(
+        "source",
+        f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS ws",
+        f"CAST({T.token_count_multiscript_sql(d, 'text')} AS BIGINT)"
+        f" AS ms",
+        f"CAST({T.nospace_char_count_sql(d, 'text')} AS BIGINT) AS ns")
+    return (per.groupBy("source")
+            .agg(F.sum("ws").alias("ws_tokens"),
+                 F.sum("ms").alias("multiscript_tokens"),
+                 F.sum("ns").alias("nospace_chars"))
+            .orderBy("source"))
+
+
+def _multiscript_oracle() -> str:
+    d = D.DUCK
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS ws,
+         CAST({T.token_count_multiscript_sql(d, 'text')} AS BIGINT) AS ms,
+         CAST({T.nospace_char_count_sql(d, 'text')} AS BIGINT) AS ns
+  FROM documents
+)
+SELECT source, sum(ws) AS ws_tokens, sum(ms) AS multiscript_tokens,
+       sum(ns) AS nospace_chars
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+register(Query("multiscript_token_summary", multiscript_token_summary,
+               _multiscript_oracle(), tags=("text",)), extra=True)
+
+
 # --- DSIR importance resampling (r10) ---------------------------------------
 
 _DSIR_M = 4096          # hashed-n-gram buckets (gate-sized; library: 10k)
