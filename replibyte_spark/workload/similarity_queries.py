@@ -298,6 +298,62 @@ register(Query("ivf_topk", ivf_topk_query, _ivf_oracle(),
                tags=("similarity",), bench=True))
 
 
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing index quality (late r10): recall@k of the IVF probe
+    path against the exact ranking, per query — the approximation ERROR
+    is itself an oracle-checked quantity, not a trusted claim.  Both
+    sides reuse the gate plans verbatim; the oracle composes both gate
+    oracles as subqueries, so any drift in either path breaks this gate
+    too.  Counts are integers; recall is one int/int division.
+
+    Expected values on THIS fixture: avg recall ≈ 0.37 at n_probe=2/16
+    — the synthetic embeddings are isotropic random vectors, whose
+    cosine neighborhoods barely cluster into cells (real embedding
+    spaces cluster far better, and recall rises with n_probe: the
+    quality/price knob this gate makes measurable)."""
+    brute = ann_brute_force(spark, sf_dir).select("query_id",
+                                                  "neighbor_id")
+    ivf = ivf_topk_query(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (brute.join(ivf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (brute.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("recall",
+                        F.round(F.col("n_hits")
+                                / F.lit(K).cast("double"), 6))
+            .orderBy("query_id"))
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM ({ANN_ORACLE.strip()}) t
+), ivf AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_oracle().strip()}) t
+), hits AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM brute b JOIN ivf i
+    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+             / CAST({K} AS DOUBLE), 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN hits ON q.query_id = hits.query_id
+ORDER BY q.query_id
+"""
+
+
+register(Query("ivf_recall_audit", ivf_recall_audit,
+               _ivf_recall_oracle(), tags=("similarity",)), extra=True)
+
+
 # ---------------------------------------------------------------------------
 # ANN scale trio: the same brute/LSH/IVF comparison on a ×SCALE_MULT
 # amplified corpus (zipf-pair pattern), where pair-scoring COMPUTE — not
