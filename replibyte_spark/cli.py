@@ -170,9 +170,17 @@ def _build_parser() -> argparse.ArgumentParser:
                      "hashed-n-gram profile matches a target corpus "
                      "(Gumbel top-k, deterministic seed)")
     dsr.add_argument("-i", "--input", required=True,
-                     help="raw corpus parquet")
-    dsr.add_argument("--target", required=True,
-                     help="target-domain corpus parquet")
+                     help="raw corpus parquet (or the new batch with "
+                          "--model)")
+    dsr.add_argument("--target",
+                     help="target-domain corpus parquet (fit mode; "
+                          "omit when scoring with --model)")
+    dsr.add_argument("--model",
+                     help="stored model layout to score against "
+                          "(skips fitting entirely)")
+    dsr.add_argument("--save-model",
+                     help="after fitting, persist the model layout "
+                          "here for later --model scoring")
     dsr.add_argument("-o", "--output", required=True)
     dsr.add_argument("-k", type=int, required=True,
                      help="number of documents to select")
@@ -605,20 +613,42 @@ def _cmd_corpus(spark, args) -> int:
                   f"({n_in - n_out} failed the Gopher rules)")
         return 0
     if args.corpus_cmd == "dsir":
-        from .operators.dsir import dsir_select
+        from .operators.dsir import (build_dsir_model, dsir_select,
+                                     dsir_select_from_model)
 
         raw = spark.read.parquet(args.input)
-        target = spark.read.parquet(args.target)
-        sel = dsir_select(raw, target, k=args.k, id_col=args.id_col,
-                          text_col=args.text_col, m=args.buckets,
-                          seed=args.seed)
+        if bool(args.model) == bool(args.target):
+            print("error: corpus dsir needs exactly one of --target "
+                  "(fit) or --model (score stored)", file=sys.stderr)
+            return 2
+        if args.model:
+            sel = dsir_select_from_model(
+                raw, args.model, k=args.k, id_col=args.id_col,
+                text_col=args.text_col, seed=args.seed)
+            fitted = "stored model"
+        else:
+            target = spark.read.parquet(args.target)
+            if args.save_model:
+                build_dsir_model(target, raw, args.save_model,
+                                 id_col=args.id_col,
+                                 text_col=args.text_col, m=args.buckets)
+                sel = dsir_select_from_model(
+                    raw, args.save_model, k=args.k, id_col=args.id_col,
+                    text_col=args.text_col, seed=args.seed)
+                fitted = f"model saved -> {args.save_model}"
+            else:
+                sel = dsir_select(raw, target, k=args.k,
+                                  id_col=args.id_col,
+                                  text_col=args.text_col,
+                                  m=args.buckets, seed=args.seed)
+                fitted = f"m={args.buckets}"
         # join payload columns back on the id (the scored frame is
         # kept narrow for the TakeOrdered)
         out = sel.join(raw, args.id_col)
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"selected {n}/{raw.count()} docs -> {args.output} "
-              f"(m={args.buckets}, seed={args.seed})")
+              f"({fitted}, seed={args.seed})")
         return 0
     if args.corpus_cmd == "c4":
         from .functions.c4 import c4_filter, c4_flags

@@ -151,6 +151,105 @@ def gumbel_sql(d: str, id_expr: str, seed: str) -> str:
     return f"(-ln(-ln({u})))"
 
 
+def build_dsir_model(target_docs: DataFrame, raw_docs: DataFrame,
+                     path: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     m: int = DEFAULT_BUCKETS) -> dict:
+    """Materialize the fitted DSIR model AS A STORAGE LAYOUT (the ANN /
+    minhash index-layout pattern): ``buckets`` parquet holding the
+    integer count pair (bucket, ct, cr) — the exact-arithmetic primitive
+    the log-ratio derives from — plus a one-row ``meta`` parquet with
+    (m, t_total, r_total).  Fit ONCE over the target + raw corpora at
+    curation time; every subsequent batch scores against storage without
+    re-scanning either corpus — the production shape at 100 TB, where
+    the raw corpus is the 100 TB and the model is <= m rows.
+
+    Counts are stored, not log-ratios: ints survive storage bit-exactly
+    on any engine; ln() is re-derived in-plan at score time, keeping the
+    whole path on the repo's ln-of-exact-integer parity convention."""
+    import os
+
+    spark = raw_docs.sparkSession
+    tgt = bucket_model(target_docs, id_col, text_col, m)
+    raw = bucket_model(raw_docs, id_col, text_col, m)
+    buckets = (tgt.withColumnRenamed("n", "ct")
+               .join(raw.withColumnRenamed("n", "cr"),
+                     "bucket", "full_outer")
+               .select("bucket",
+                       F.coalesce(F.col("ct"), F.lit(0)).cast("long")
+                       .alias("ct"),
+                       F.coalesce(F.col("cr"), F.lit(0)).cast("long")
+                       .alias("cr")))
+    buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    stored = spark.read.parquet(os.path.join(path, "buckets"))
+    tot = stored.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r")) \
+        .collect()[0]
+    if not tot["t"] or not tot["r"]:
+        raise ValueError(
+            "DSIR model fit over empty feature streams "
+            f"(target={tot['t']}, raw={tot['r']})")
+    meta = {"m": m, "t_total": int(tot["t"]), "r_total": int(tot["r"])}
+    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "meta"))
+    return meta
+
+
+def load_dsir_model(spark, path: str) -> "tuple[DataFrame, dict]":
+    import os
+
+    meta_row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    meta = {k: int(meta_row[k]) for k in ("m", "t_total", "r_total")}
+    return spark.read.parquet(os.path.join(path, "buckets")), meta
+
+
+def dsir_weights_from_model(batch_docs: DataFrame, path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            broadcast_bucket_limit: int =
+                            BROADCAST_BUCKET_LIMIT) -> DataFrame:
+    """Score a NEW batch against a stored model — no corpus re-scan.
+    Identical arithmetic to :func:`dsir_weights` (the weight of a doc is
+    a pure function of its text and the stored integer counts), so a
+    batch drawn from the fitted corpus gets bit-identical weights."""
+    spark = batch_docs.sparkSession
+    buckets, meta = load_dsir_model(spark, path)
+    m, T, R = meta["m"], meta["t_total"], meta["r_total"]
+    dlr = buckets.select(
+        "bucket",
+        (F.log(F.col("ct") + F.lit(1)) - F.log(F.col("cr") + F.lit(1)))
+        .alias("dlr"))
+    dlr_side = F.broadcast(dlr) if m <= broadcast_bucket_limit else dlr
+    const = F.log(F.lit(R + m).cast("double")) \
+        - F.log(F.lit(T + m).cast("double"))
+    tf = _doc_features(batch_docs, id_col, text_col, m)
+    joined = (tf.join(dlr_side, "bucket", "left")
+              .withColumn("dlr", F.coalesce(F.col("dlr"), F.lit(0.0))))
+    entry = F.struct(F.col("bucket"),
+                     (F.col("cnt") * F.col("dlr")).alias("v"))
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.sum("cnt").cast("long").alias("n_feats"),
+                    F.aggregate(F.array_sort(F.collect_list(entry)),
+                                F.lit(0.0),
+                                lambda acc, e: acc + e["v"])
+                    .alias("__llr")))
+    logw = F.col("__llr") + F.col("n_feats") * const
+    return per_doc.select(F.col(id_col), F.col("n_feats"),
+                          F.round(logw, 6).alias("logw"))
+
+
+def dsir_select_from_model(batch_docs: DataFrame, path: str, k: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           seed: str = "dsir") -> DataFrame:
+    """Gumbel-top-k over stored-model weights (see dsir_select)."""
+    w = dsir_weights_from_model(batch_docs, path, id_col, text_col)
+    key = F.round(
+        F.col("logw") + F.expr(gumbel_sql(D.SPARK, id_col, seed)), 6)
+    return (w.withColumn("key", key)
+            .orderBy(F.col("key").desc(), F.col(id_col))
+            .limit(k))
+
+
 def dsir_oracle_ctes(table: str, target_where: str, m: int,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> str:

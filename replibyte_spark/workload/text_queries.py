@@ -420,6 +420,83 @@ register(Query("dsir_select_topk", dsir_select_topk, _dsir_oracle(),
                tags=("text", "sampling"), bench=True), extra=True)
 
 
+_DSIR_MODEL_PATHS: dict[str, str] = {}
+_DSIRM_K = 50
+_DSIRM_SEED = "dsirm"
+_DSIRM_BATCH_MOD = 3   # the "new batch": doc_id % 3 == 0
+
+
+def _dsir_model(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-cached stored DSIR model layout (the _ann_index
+    pattern): fit once per (dataset, m), scored from storage after."""
+    import os
+    import tempfile
+
+    from ..operators.dsir import build_dsir_model, load_dsir_model
+    from .pipeline import _dataset_fingerprint
+    from .similarity_queries import _build_cached_dir
+
+    key = (sf_dir.strip("/").replace("/", "_") + "_"
+           + _dataset_fingerprint(sf_dir, "documents") + f"_m{_DSIR_M}")
+    path = _DSIR_MODEL_PATHS.get(key)
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), f"rs_dsir_model_{key}")
+
+        def build(tmp: str) -> None:
+            docs = load_table(spark, sf_dir, "documents")
+            build_dsir_model(docs.filter(F.col("source") == _DSIR_TARGET),
+                             docs, tmp, m=_DSIR_M)
+
+        _build_cached_dir(path, build)
+        try:
+            _, meta = load_dsir_model(spark, path)
+            assert meta["m"] == _DSIR_M, meta
+        except Exception:
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
+            _build_cached_dir(path, build)
+            _, meta = load_dsir_model(spark, path)
+            assert meta["m"] == _DSIR_M, meta
+        _DSIR_MODEL_PATHS[key] = path
+    return path
+
+
+def dsir_stored_model_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scored OFF STORAGE: the model (integer bucket counts + meta)
+    is a fitted layout, and a 'new batch' (doc_id % 3 == 0) is selected
+    against it without touching the fitting corpora — the incremental
+    ingest shape.  The oracle refits from scratch relationally: stored
+    and refit weights must agree bit-for-bit because the stored
+    primitive is the exact integer counts."""
+    from ..operators.dsir import dsir_select_from_model
+
+    path = _dsir_model(spark, sf_dir)
+    batch = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % _DSIRM_BATCH_MOD == 0))
+    return dsir_select_from_model(batch, path, k=_DSIRM_K,
+                                  seed=_DSIRM_SEED)
+
+
+def _dsir_stored_oracle() -> str:
+    from ..operators.dsir import dsir_oracle_ctes, gumbel_sql
+
+    d = D.DUCK
+    ctes = dsir_oracle_ctes("documents",
+                            f"source = {D.q(_DSIR_TARGET)}", _DSIR_M)
+    g = gumbel_sql(d, "doc_id", _DSIRM_SEED)
+    return f"""
+WITH {ctes.strip()}
+SELECT doc_id, n_feats, logw, round(logw + {g}, 6) AS key
+FROM dsir_w WHERE doc_id % {_DSIRM_BATCH_MOD} = 0
+ORDER BY key DESC, doc_id LIMIT {_DSIRM_K}
+"""
+
+
+register(Query("dsir_stored_model_topk", dsir_stored_model_topk,
+               _dsir_stored_oracle(), tags=("text", "sampling")),
+         extra=True)
+
+
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source top-5 tokens. The oracle is the
     pure-SQL rendering of the same ranking, so the Arrow grouped path is

@@ -824,6 +824,24 @@ def test_cli_corpus_dsir(spark, tmp_path, capsys):
         set(rows[0].asDict())
     # the cat block dominates
     assert sum(1 for r in rows if r["doc_id"] < 10) >= 3
+    # fit-and-save, then score a batch off the stored model: the same
+    # corpus selects the same ids via either path
+    model = str(tmp_path / "model")
+    out2 = str(tmp_path / "sel2.parquet")
+    assert main(["corpus", "dsir", "-i", raw, "--target", tgt,
+                 "-o", out2, "-k", "4", "--buckets", "512",
+                 "--save-model", model], spark=spark) == 0
+    assert "model saved" in capsys.readouterr().out
+    out3 = str(tmp_path / "sel3.parquet")
+    assert main(["corpus", "dsir", "-i", raw, "--model", model,
+                 "-o", out3, "-k", "4"], spark=spark) == 0
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(out2).collect())
+    ids3 = sorted(r.doc_id for r in spark.read.parquet(out3).collect())
+    assert ids2 == ids3
+    # exactly one of --target / --model
+    assert main(["corpus", "dsir", "-i", raw, "-o", out3, "-k", "1"],
+                spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
 
 
 def test_cli_dump_diff(spark, conf, capsys):

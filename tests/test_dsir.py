@@ -156,3 +156,79 @@ def test_broadcast_guard_bounds_buckets(spark):
 
 def test_default_bucket_count_is_documented(spark):
     assert DEFAULT_BUCKETS == 10_000
+
+
+def test_stored_model_weights_match_direct(spark, tmp_path):
+    """Fit → store → score must equal the one-shot path bit-for-bit
+    (the stored primitive is the exact integer counts)."""
+    from replibyte_spark.operators.dsir import (build_dsir_model,
+                                                dsir_weights_from_model,
+                                                load_dsir_model)
+
+    raw, target = _corpus(spark)
+    path = str(tmp_path / "model")
+    meta = build_dsir_model(target, raw, path, m=512)
+    assert meta["m"] == 512 and meta["t_total"] > 0
+    direct = {r["doc_id"]: (r["n_feats"], r["logw"])
+              for r in dsir_weights(raw, target, m=512).collect()}
+    stored = {r["doc_id"]: (r["n_feats"], r["logw"])
+              for r in dsir_weights_from_model(raw, path).collect()}
+    assert direct == stored
+    buckets, meta2 = load_dsir_model(spark, path)
+    assert meta2 == meta and buckets.count() <= 512
+
+
+def test_stored_model_scores_unseen_batch(spark, tmp_path):
+    """A batch with buckets the fit never saw scores with zero
+    contribution from them (dlr defaults to ln1 - ln1 = 0) — never an
+    error, never a NULL weight."""
+    from replibyte_spark.operators.dsir import (build_dsir_model,
+                                                dsir_select_from_model)
+
+    raw, target = _corpus(spark)
+    path = str(tmp_path / "model")
+    build_dsir_model(target, raw, path, m=512)
+    batch = _docs(spark, [(500, "entirely novel vocabulary appears"),
+                          (501, CAT)])
+    sel = dsir_select_from_model(batch, path, k=2).collect()
+    got = {r["doc_id"]: (r["n_feats"], r["logw"]) for r in sel}
+    assert set(got) == {500, 501}
+    # recompute the novel doc's weight in plain Python from the STORED
+    # integer bucket table (hashed DSIR: "unseen" features still land in
+    # whatever bucket their hash collides into — the model is the
+    # buckets, not the features)
+    import hashlib
+
+    from replibyte_spark.operators.dsir import load_dsir_model
+    buckets_df, meta = load_dsir_model(spark, path)
+    table = {r["bucket"]: (r["ct"], r["cr"])
+             for r in buckets_df.collect()}
+
+    def bucket(feat):
+        h = hashlib.md5(feat.encode()).hexdigest()[:15]
+        tr = h.translate(str.maketrans("abcdef", "123456"))
+        return (int(tr) % 2147483647) % 512
+
+    toks = "entirely novel vocabulary appears".split()
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    per = {}
+    for f_ in feats:
+        b = bucket(f_)
+        per[b] = per.get(b, 0) + 1
+    llr = sum(c * (math.log(table.get(b, (0, 0))[0] + 1)
+                   - math.log(table.get(b, (0, 0))[1] + 1))
+              for b, c in sorted(per.items()))
+    want = llr + len(feats) * (math.log(meta["r_total"] + 512)
+                               - math.log(meta["t_total"] + 512))
+    n, logw = got[500]
+    assert n == len(feats)
+    assert logw == pytest.approx(want, abs=2e-6)
+
+
+def test_build_model_empty_target_raises(spark, tmp_path):
+    from replibyte_spark.operators.dsir import build_dsir_model
+
+    raw, _ = _corpus(spark)
+    with pytest.raises(ValueError, match="empty feature"):
+        build_dsir_model(raw.filter(F.lit(False)), raw,
+                         str(tmp_path / "m"), m=64)
