@@ -94,6 +94,16 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            "다 ": 2, "에 ": 2, "고 ": 1, "하": 1, "니": 1},
     "nl": {" het ": 3, " een ": 3, " van ": 3, " niet ": 2, " de ": 1,
            "ij": 2, " en ": 1, " op ": 1, " dat ": 1, "aa": 1},
+    # pl/tr/vi (late r10) ride the EXTENDED-LATIN diacritic gate: their
+    # profiles are only evaluated on rows carrying a Latin Extended-A/B
+    # or Vietnamese-additional char (ł/ż/ğ/ş/đ/ơ/… — é/ñ/ü stay Latin-1
+    # and do NOT trigger it), so plain-ASCII and Western-European rows
+    # pay one find-first probe and skip all three.  Turkish grams avoid
+    # dotless ı entirely: 'ı'.upper() is 'I' under simple case mapping,
+    # which lowercases back to 'i' — the same round-trip trap as Greek
+    # final sigma (caught by the case-invariance property test).
+    "pl": {" nie ": 3, " się ": 3, " jest ": 2, " że ": 2, " to ": 1,
+           "ł": 2, "ż": 2, "ą": 2, "ę": 2, " już ": 2},
     "pt": {" não ": 3, "ção": 3, " do ": 2, " da ": 2, " uma ": 2,
            " em ": 2, " para ": 2, "ão ": 2, "õe": 3, " os ": 1},
     # Cyrillic grams collide with nothing Latin — no transliteration
@@ -102,6 +112,11 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            "ть ": 2, "ый": 2, "ого": 2, " это ": 2, " он ": 1},
     "th": {"ที่": 3, "และ": 3, "การ": 2, "ของ": 2, "ไม่": 2,
            "เป็น": 2, "ได้": 2, "ใน": 1, "มี": 1, "ว่า": 2},
+    "tr": {" bir ": 3, " ve ": 2, " bu ": 2, " için ": 3, " değil ": 3,
+           "ğ": 2, "ş": 2, " çok ": 2, " gibi ": 2, "yor": 2},
+    "vi": {" không ": 3, " của ": 3, " là ": 2, " và ": 2, " có ": 2,
+           " người ": 2, " một ": 2, " được ": 2, " đã ": 2,
+           " cũng ": 2},
     "zh": {"的": 3, "是": 2, "了": 2, "我": 2, "不": 2,
            "在": 2, "人": 1, "有": 1, "他": 1, "们": 2},
 }
@@ -175,6 +190,19 @@ _SCRIPT_RE = {  # Java + RE2 \x{...} syntax, identical in both engines
 }
 LATIN_LANGS = tuple(L for L in LANGS
                     if all(L not in v for v in SCRIPT_LANGS.values()))
+
+# Second-level gate WITHIN the Latin branch (late r10): pl/tr/vi need a
+# Latin Extended-A/B or Vietnamese-additional character to be evaluated
+# at all.  Western-European orthography (é ñ ü ç à …) lives in Latin-1
+# Supplement (U+00C0–U+00FF) and never triggers it, so en/de/fr/es/it/
+# nl/pt rows — and all plain ASCII — pay exactly one find-first probe
+# for the three added languages.  The honest limitation, recorded: a
+# pl/tr/vi document typed WITHOUT any of its diacritics falls back to
+# the core-Latin profiles (same trade as the per-script classes).
+EXTENDED_LATIN_LANGS = ("pl", "tr", "vi")
+CORE_LATIN_LANGS = tuple(L for L in LATIN_LANGS
+                         if L not in EXTENDED_LATIN_LANGS)
+_EXT_LATIN_PROBE = r"[\x{0100}-\x{024F}\x{1EA0}-\x{1EF9}]"
 # a script class claims the row when > 30% of normalized chars are in it
 # (integer cross-multiplication — no float threshold to diverge on)
 SCRIPT_FRAC_NUM, SCRIPT_FRAC_DEN = 3, 10
@@ -193,6 +221,15 @@ def _script_count_sql(d: str, t: str, script: str) -> str:
     the gate lets the row skip)."""
     stripped = D.regexp_replace(d, t, _SCRIPT_RE[script], "")
     return f"(length({t}) - length({stripped}))"
+
+
+def _ext_latin_probe_sql(d: str, t: str) -> str:
+    """TRUE when `t` carries an extended-Latin diacritic char (the
+    pl/tr/vi gate) — find-first, one short scan."""
+    if d == D.SPARK:
+        pat = _EXT_LATIN_PROBE.replace("\\", "\\\\")
+        return f"({t} RLIKE '{pat}')"
+    return f"regexp_matches({t}, '{_EXT_LATIN_PROBE}')"
 
 
 def _non_latin_probe_sql(d: str, t: str) -> str:
@@ -234,10 +271,19 @@ def lang_scores_array_sql(d: str, text: str,
         f"WHEN {SCRIPT_FRAC_DEN} * {_script_count_sql(d, norm, s)} > "
         f"{SCRIPT_FRAC_NUM} * length({norm}) THEN {arr(langs)}"
         for s, langs in sorted(SCRIPT_LANGS.items()))
-    latin = arr(LATIN_LANGS)
+    # the Latin branch itself is diacritic-gated (late r10): only rows
+    # carrying an extended-Latin char evaluate pl/tr/vi on top of the
+    # core seven — ASCII and Latin-1-accented rows take one probe
+    latin = (f"CASE WHEN {_ext_latin_probe_sql(d, norm)} "
+             f"THEN {arr(LATIN_LANGS)} "
+             f"ELSE {arr(CORE_LATIN_LANGS)} END")
     # ASCII fast path: no non-Latin char at all → Latin branch directly,
     # zero per-script counting (equivalent result — all counts would be
-    # 0 — but one probe instead of |scripts| strip-scans per row)
+    # 0 — but one probe instead of |scripts| strip-scans per row).
+    # (Extended-Latin diacritics sit BELOW U+0370, so pl/tr rows take
+    # this fast path too and are caught by the nested diacritic gate;
+    # Vietnamese-additional chars are above it and arrive via the final
+    # ELSE after the script counts all miss.)
     return (f"CASE WHEN NOT {_non_latin_probe_sql(d, norm)} THEN {latin} "
             f"{branches} ELSE {latin} END")
 
@@ -293,7 +339,9 @@ def identify_language(df: DataFrame, text_col: str = "text",
     at sf0.1 where flat-profile scaling would project ~2.7 s, and
     further non-Latin languages are free for Latin rows: late r10 grew
     the set to 17 (el/he/th/bn, each alone in its script class) at
-    unchanged Latin-row cost — plan lock in test_lid)."""
+    unchanged Latin-row cost, then to 20 (pl/tr/vi behind the nested
+    extended-Latin diacritic gate — ASCII rows pay one probe) — plan
+    lock in test_lid)."""
     norm_col = f"__{pred_alias}_norm"
     arr_col = f"__{pred_alias}_scores"
     staged = (df.withColumn(norm_col,

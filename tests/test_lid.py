@@ -47,6 +47,14 @@ SENTENCES = [
     ("th", "วันนี้อากาศดีและฉันไม่อยากอยู่ที่บ้าน"),
     ("bn", "বিড়াল এবং কুকুর বাগানে খেলছে এবং এই দিনটি ভালো"),
     ("bn", "আমি বই পড়তে ভালোবাসি এবং প্রতিদিন সে করে থাকে"),
+    # late-r10 extended-Latin (diacritic-gated) additions; tr sentences
+    # avoid dotless ı (case-mapping round-trip trap, see lid.py)
+    ("pl", "kot i pies bawią się w ogrodzie ale to nie jest dobry dzień"),
+    ("pl", "ona już wie że nie można tego zrobić łatwo"),
+    ("tr", "bu bir kedi ve köpek için güzel bahçe değil mi"),
+    ("tr", "o çok güzel bir akşam gibi görünüyor ve ben evde"),
+    ("vi", "con mèo và con chó đang chơi trong vườn của ngôi nhà"),
+    ("vi", "hôm nay là một ngày đẹp và tôi không muốn ở nhà"),
 ]
 
 # the measured floor: profile edits that regress classification on the
@@ -163,7 +171,7 @@ def test_lid_script_gate_zeroes_out_of_class_scores(spark):
     # latin row: ru/zh/ja/ko/ar/hi all literal zero
     assert rows[2][en_i] > 0
     for lang in ("ar", "bn", "el", "he", "hi", "ja", "ko", "ru",
-                 "th", "zh"):
+                 "th", "zh", "pl", "tr", "vi"):
         assert rows[2][LANGS.index(lang)] == 0.0
     # mixed row, cyrillic-dominant: stays in the cyrillic class
     assert rows[3][ru_i] > 0
@@ -182,3 +190,40 @@ def test_lid_ja_zh_split_within_cjk_class(spark):
             for r in identify_language(df).collect()}
     assert rows[1] == "ja", rows
     assert rows[2] == "zh", rows
+
+
+def test_lid_extended_latin_diacritic_gate(spark):
+    """pl/tr/vi are evaluated ONLY on rows carrying an extended-Latin
+    diacritic: a Latin-1-accented French row and a plain-ASCII row keep
+    them at literal 0.0, while one ł / ğ / đ unlocks the profiles —
+    and a Polish sentence typed without its diacritics falls back to
+    the core-Latin profiles (the documented trade)."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions.lid import (LANGS,
+                                               lang_scores_array_sql)
+
+    df = spark.createDataFrame(
+        [(1, "le café est déjà prêt à côté"),          # Latin-1 accents
+         (2, "the plain ascii row stays cheap"),
+         (3, "ona już wie że nie można tego zrobić łatwo"),
+         (4, "bu bir kedi ve köpek için güzel bahçe değil mi"),
+         (5, "hôm nay là một ngày đẹp và tôi không muốn ở nhà"),
+         (6, "ona juz wie ze nie mozna tego zrobic latwo")],  # stripped pl
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", F.expr(lang_scores_array_sql(D.SPARK, "text"))
+        .alias("s")).collect()}
+    ext = [LANGS.index(L) for L in ("pl", "tr", "vi")]
+    for doc in (1, 2, 6):
+        for i in ext:
+            assert rows[doc][i] == 0.0, (doc, LANGS[i])
+    assert rows[3][LANGS.index("pl")] > 0
+    assert rows[4][LANGS.index("tr")] > 0
+    assert rows[5][LANGS.index("vi")] > 0
+    # preds still resolve to the right language on the gated rows
+    preds = {r.doc_id: r.pred_lang
+             for r in identify_language(df).collect()}
+    assert preds[3] == "pl" and preds[4] == "tr" and preds[5] == "vi"
+    assert preds[1] == "fr"
