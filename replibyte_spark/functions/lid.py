@@ -261,10 +261,26 @@ def lang_scores_array_sql(d: str, text: str,
     the row's own script family, not the union of all languages."""
     norm = norm or _norm_sql(d, text)
 
-    def arr(langs: "tuple[str, ...]") -> str:
-        scores = ", ".join(
-            lang_ngram_score_sql(d, text, L, norm) if L in langs
-            else "CAST(0.0 AS DOUBLE)" for L in LANGS)
+    def arr(langs: "tuple[str, ...]",
+            gated: "tuple[str, ...]" = ()) -> str:
+        """Scores array; langs in `gated` are wrapped per-SLOT in the
+        extended-Latin probe instead of duplicating the whole array
+        under a nested CASE — at 20 languages the duplicated-array form
+        exceeds the JVM 64KB method limit and silently drops the whole
+        projection to interpreted mode (measured 2× on the sf0.1 gate;
+        the per-slot form compiles)."""
+        zero = "CAST(0.0 AS DOUBLE)"
+        parts = []
+        for L in LANGS:
+            if L not in langs:
+                parts.append(zero)
+                continue
+            s = lang_ngram_score_sql(d, text, L, norm)
+            if L in gated:
+                s = (f"CASE WHEN {_ext_latin_probe_sql(d, norm)} "
+                     f"THEN {s} ELSE {zero} END")
+            parts.append(s)
+        scores = ", ".join(parts)
         return (f"array({scores})" if d == D.SPARK else f"[{scores}]")
 
     branches = " ".join(
@@ -274,9 +290,7 @@ def lang_scores_array_sql(d: str, text: str,
     # the Latin branch itself is diacritic-gated (late r10): only rows
     # carrying an extended-Latin char evaluate pl/tr/vi on top of the
     # core seven — ASCII and Latin-1-accented rows take one probe
-    latin = (f"CASE WHEN {_ext_latin_probe_sql(d, norm)} "
-             f"THEN {arr(LATIN_LANGS)} "
-             f"ELSE {arr(CORE_LATIN_LANGS)} END")
+    latin = arr(LATIN_LANGS, gated=EXTENDED_LATIN_LANGS)
     # ASCII fast path: no non-Latin char at all → Latin branch directly,
     # zero per-script counting (equivalent result — all counts would be
     # 0 — but one probe instead of |scripts| strip-scans per row).
