@@ -115,7 +115,7 @@ def c4_stats_sql(d: str, text: str, kept: str | None = None,
         # sentences = terminal punctuation marks in kept lines
         per_line = " + ".join(
             f"(length(x) - length(replace(x, {D.q(p)}, '')))"
-            for p in TERMINAL_PUNCT if p != '"')
+            for p in terminal_punct if p != '"')
         if d == D.SPARK:
             n_sent = (f"aggregate(transform({k}, x -> {per_line}), 0, "
                       f"(acc, x) -> acc + x)")

@@ -239,12 +239,14 @@ def dedup_lines_sql(d: str, text: str, sep: str = "\n") -> str:
     import re as _re
 
     if d == D.SPARK:
-        # Spark's split takes a REGEX — escape the literal separator
-        pat = _re.escape(sep).replace("\\", "\\\\")
+        # Spark's split takes a REGEX — escape the literal separator;
+        # re.escape leaves ' alone, so double it for the SQL literal too
+        pat = _re.escape(sep).replace("\\", "\\\\").replace("'", "''")
         ln = f"split(coalesce({text}, ''), '{pat}')"
         idx = (f"filter(sequence(1, size({ln})), "
                f"i -> array_position({ln}, element_at({ln}, i)) = i)")
-        joiner = sep.replace("\\", "\\\\").replace("\n", "\\n")
+        joiner = (sep.replace("\\", "\\\\").replace("\n", "\\n")
+                  .replace("'", "''"))
         return (f"array_join(transform({idx}, "
                 f"i -> element_at({ln}, i)), '{joiner}')")
     sep_d = "chr(10)" if sep == "\n" else D.q(sep)

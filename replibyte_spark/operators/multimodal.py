@@ -215,11 +215,18 @@ def dedup_binary_exact(df: DataFrame, content_col: str = "content",
     + one semi-join — the exact-dedup shape of operators/dedup.py lifted
     to binary.  A viral payload repeated millions of times is absorbed
     by map-side partial min() before the shuffle, so hot payloads cost
-    one partial per map task, not one shuffled row per copy."""
+    one partial per map task, not one shuffled row per copy.
+
+    Rows whose payload is NULL are kept unconditionally (no content, so
+    nothing to be a duplicate OF — md5(NULL) is NULL, and the null-
+    unsafe semi-join used to drop them silently, the r10 ADVICE
+    finding); they ride a filter+union around the dedup subtree."""
     fp = payload_fingerprints(df, content_col)
-    keep = (fp.groupBy("payload_md5")
+    nn = fp.filter(F.col("payload_md5").isNotNull())
+    keep = (nn.groupBy("payload_md5")
             .agg(F.min(id_col).alias(id_col)))
-    return (fp.join(keep, [id_col, "payload_md5"], "left_semi")
+    return (nn.join(keep, [id_col, "payload_md5"], "left_semi")
+            .unionByName(fp.filter(F.col("payload_md5").isNull()))
             .drop("payload_md5", "payload_bytes"))
 
 

@@ -154,8 +154,12 @@ WITH fp AS (
 ), keep AS (
   SELECT h, min(event_id) AS event_id FROM fp GROUP BY h
 ), kept AS (
+  -- NULL payloads are kept unconditionally (nothing to duplicate);
+  -- mirrors dedup_binary_exact's filter+union around the semi-join
   SELECT fp.event_type, fp.nb
   FROM fp JOIN keep ON fp.h = keep.h AND fp.event_id = keep.event_id
+  UNION ALL
+  SELECT event_type, nb FROM fp WHERE h IS NULL
 ), tot AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(nb) AS BIGINT) AS bytes_total

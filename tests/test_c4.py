@@ -89,6 +89,25 @@ def test_filter_replaces_text_with_kept_lines(spark):
     assert c4_filter(df).columns == ["doc_id", "text"]
 
 
+def test_custom_terminal_punct_drives_sentence_count(spark):
+    """r11 ADVICE fix: c4_stats_sql must count sentences over the
+    CALLER's terminal_punct, not the module default — a '!'-only caller
+    used to get line-filtering on '!' but sentence counts on '.?!"'."""
+    # three lines each ending in '!', each also containing enough words;
+    # the '.' marks inside must NOT count as sentences
+    page = ("alpha. beta. gamma delta epsilon keeps this line going on!\n"
+            "zeta. eta. theta iota kappa keeps this line going onward!\n"
+            "lambda mu nu xi omicron pi rho sigma tau ends right here!")
+    out = _flags(spark, [(1, page)], terminal_punct=("!",),
+                 min_sentences=3)[1]
+    assert out["c4_lines_kept"] == 3
+    assert out["c4_min_sentences"] is True  # exactly 3 '!' marks
+    out2 = _flags(spark, [(1, page)], terminal_punct=("!",),
+                  min_sentences=4)[1]
+    # 4 would require counting the '.' marks — the old bug's behavior
+    assert out2["c4_min_sentences"] is False
+
+
 def test_terminal_punct_none_counts_kept_lines(spark):
     page = "alpha beta gamma delta\nepsilon zeta eta theta"
     out = _flags(spark, [(1, page)], terminal_punct=None,

@@ -173,7 +173,7 @@ def test_fuzz_pq_lut_adc_cross_dialect(spark):
     assert not bad, f"{len(bad)} divergent, first: {next(iter(bad.items()))}"
 
 
-@pytest.mark.parametrize("sep", ["\n", " "])
+@pytest.mark.parametrize("sep", ["\n", " ", "'"])
 def test_fuzz_dedup_lines_cross_dialect(spark, sep):
     """Intra-document first-occurrence segment dedup: identical output
     for arbitrary strings in both engines, for the newline (published

@@ -130,6 +130,19 @@ def test_dedup_binary_exact_keeps_min_id_per_payload(spark):
     assert out.columns == ["doc_id", "content"]
 
 
+def test_dedup_binary_exact_keeps_null_payloads(spark):
+    """r11 ADVICE fix: md5(NULL) is NULL, and the null-unsafe semi-join
+    used to silently DROP every NULL-payload row — they must all be
+    kept (no content means nothing to be a duplicate of), while the
+    non-null dedup is unaffected."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"dup")), (2, bytearray(b"dup")),
+         (3, None), (4, None)],
+        "doc_id long, content binary")
+    kept = sorted(r.doc_id for r in MM.dedup_binary_exact(df).collect())
+    assert kept == [1, 3, 4]
+
+
 def test_dedup_binary_plan_has_no_nested_loop(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))],
                                "doc_id long, content binary")
