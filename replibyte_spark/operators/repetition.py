@@ -100,9 +100,10 @@ REPETITION_RULES = {
 def _split_lit(d: str, text: str, sep: str) -> str:
     """Literal-separator split (NULL -> one empty segment)."""
     if d == D.SPARK:
-        # Spark split() takes a REGEX — quote the separator
+        # Spark split() takes a REGEX — quote the separator; re.escape
+        # leaves ' alone, so double it for the SQL literal too
         import re
-        pat = re.escape(sep).replace("\\", "\\\\")
+        pat = re.escape(sep).replace("\\", "\\\\").replace("'", "''")
         return f"split(coalesce({text}, ''), '{pat}')"
     return f"string_split(coalesce({text}, ''), {D.q(sep)})"
 
@@ -221,20 +222,21 @@ def repetition_flags(df: DataFrame, text_col: str = "text",
     """Append one boolean per repetition rule (``rep_<rule>``) plus the
     conjunction ``repetition_pass``.
 
-    Segment rules ride the scan as projections; n-gram rules run one
-    explode → count(+positions) → coverage pipeline keyed by doc_id and
-    join the doc-id-sized stats frame back on the id.  ``line_sep``/``para_sep``
-    parameterize the segment granularity (published: newline / blank
-    line) for corpora whose segmenting differs — same precedent as
+    The ENTIRE filter is projections riding one scan — segment rules
+    from staged split arrays, n-gram rules from the zero-shuffle
+    :func:`_with_ngram_stats` columns; no explode, no aggregation, no
+    join anywhere (the r10 plan shuffled the corpus gram stream and
+    joined stats back by id).  ``line_sep``/``para_sep`` parameterize
+    the segment granularity (published: newline / blank line) for
+    corpora whose segmenting differs — same precedent as
     functions/text.py::dedup_lines_sql."""
     d = D.SPARK
-    stats = ngram_doc_stats(df, text_col, id_col)
 
     # stage each segment array (and its distinct) in its own column so
     # every split/array_distinct runs ONCE per row (the gopher_flags
     # staging pattern), then derive the four integer stats per
     # granularity from the staged arrays
-    flagged = df.join(stats, id_col, "left")
+    flagged = _with_ngram_stats(df, text_col)
     seg_cols: list[str] = []
     seg_stats: dict[str, dict[str, str]] = {}
     for kind, sep in (("line", line_sep), ("para", para_sep)):
@@ -246,79 +248,121 @@ def repetition_flags(df: DataFrame, text_col: str = "text",
         seg_stats[kind] = seg_rep_stats_from_arrays(d, arr, darr)
     flags = {**seg_flag_sqls(seg_stats["line"], "line"),
              **seg_flag_sqls(seg_stats["para"], "para"),
-             **ngram_flag_sqls({c: c for c in stats.columns})}
+             **ngram_flag_sqls({c: c for c in NGRAM_STAT_COLS})}
     for rule in REPETITION_RULES:
         flagged = flagged.withColumn(prefix + rule, F.expr(flags[rule]))
     passed = " AND ".join(prefix + r for r in REPETITION_RULES)
     return (flagged.withColumn("repetition_pass", F.expr(passed))
-            .drop(*seg_cols,
-                  *[c for c in stats.columns if c != id_col]))
+            .drop(*seg_cols, *NGRAM_STAT_COLS))
+
+
+#: stats columns _with_ngram_stats appends (and repetition_flags drops)
+NGRAM_STAT_COLS = ("n_words", "word_chars",
+                   *[f"top{n}_chars" for n in TOP_NS],
+                   *[f"dup{n}_chars" for n in DUP_NS])
+
+
+def _let(val: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``val`` ONCE, bind it as lambda variable
+    ``var`` inside ``body`` (``transform`` over a one-element array is
+    the binder).  This is load-bearing, not style: Catalyst's alias
+    substitution (filter pushdown, project collapse) duplicates an
+    alias's WHOLE TREE per reference, so a chain of staged columns each
+    referencing the previous 2-5× explodes exponentially when a filter
+    predicate inlines it — measured 150 s PER ROW for the repetition
+    conjunction before this rewrite.  A lambda variable reference cannot
+    be substituted, so even a fully-inlined predicate contains ``val``
+    exactly once."""
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _with_ngram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the per-document n-gram stat columns as PURE PROJECTIONS —
+    no explode, no shuffle, no join.
+
+    The published repetition stats are per-document functions of the
+    text, so distributing them as a corpus-wide gram explode + groupBy
+    (the r9/r10 implementation) shuffled ~9·W gram rows per document for
+    something each row can compute locally.  Per n, the doc's sorted
+    (gram, pos) array is let-bound (:func:`_let`) and both stats derive
+    from runs in the sorted order:
+
+    - top{n}_chars: run boundaries are indices whose gram differs from
+      the previous; run lengths are boundary diffs; the winner is
+      ``array_max`` over (cnt, gram) structs — max count, ties to the
+      lexicographically largest gram, bit-identical to the old
+      ``max(struct(cnt, gram))`` aggregation and the DuckDB oracle.
+    - dup{n}_chars: a gram occurrence is duplicated iff a sorted
+      neighbor has the same gram; union coverage is ``array_distinct``
+      over the flattened position ranges, summed through the doc's
+      word-length array.
+
+    O(G log G) per document per n; the plan is scan → projections
+    (ZERO exchanges — measured ~2× faster than the explode+groupBy
+    chain at sf0.1 and strictly better at scale: nothing leaves the
+    row, so a viral duplicated document costs its own length, never a
+    hot shuffle key).  Intermediates are lambda-bound rather than
+    staged columns so a consumer's filter predicate can inline the
+    stats without exponential re-expansion (see :func:`_let`)."""
+    d = D.SPARK
+    st = (df.withColumn("__rw", F.expr(words_sql(d, text_col)))
+          .withColumn("n_words", F.expr("size(__rw)"))
+          .withColumn("word_chars", F.expr(
+              "aggregate(__rw, 0, (acc, x) -> acc + length(x))")))
+
+    def sp_val(n: int) -> str:
+        # sorted (gram, pos) array for this n (struct order: gram first)
+        return (f"CASE WHEN size(__rw) >= {n} THEN "
+                f"array_sort(transform(sequence(1, size(__rw) - {n} + 1), "
+                f"i -> named_struct("
+                f"'gram', array_join(slice(__rw, i, {n}), ' '), "
+                f"'pos', i - 1))) "
+                f"ELSE CAST(array() AS array<struct<gram: string, pos: int>>) "
+                f"END")
+
+    for n in TOP_NS:
+        # run boundaries: 1-based indices starting a new gram run
+        b_val = ("CASE WHEN size(sp) >= 1 THEN "
+                 "filter(sequence(1, size(sp)), j -> j = 1 "
+                 "OR element_at(sp, j).gram != element_at(sp, j - 1).gram) "
+                 "ELSE CAST(array() AS array<int>) END")
+        runs = ("transform(sequence(1, size(b0)), k -> named_struct("
+                "'cnt', CAST((CASE WHEN k < size(b0) "
+                "THEN element_at(b0, k + 1) "
+                "ELSE size(sp) + 1 END) - element_at(b0, k) AS BIGINT), "
+                "'gram', element_at(sp, element_at(b0, k)).gram))")
+        top_body = ("CASE WHEN size(sp) >= 1 THEN "
+                    + _let(f"array_max({runs})", "mx",
+                           "CAST(mx.cnt * length(mx.gram) AS BIGINT)")
+                    + " ELSE 0L END")
+        st = st.withColumn(f"top{n}_chars", F.expr(
+            _let(sp_val(n), "sp", _let(b_val, "b0", top_body))))
+    for n in DUP_NS:
+        dpos = ("transform(filter(sequence(1, size(sp)), "
+                "j -> (j > 1 AND element_at(sp, j).gram = "
+                "element_at(sp, j - 1).gram) "
+                "OR (j < size(sp) AND element_at(sp, j).gram = "
+                "element_at(sp, j + 1).gram)), "
+                "j -> element_at(sp, j).pos)")
+        cov = (f"array_distinct(flatten(transform({dpos}, "
+               f"p -> sequence(p, p + {n} - 1))))")
+        dup_body = (f"CASE WHEN size(sp) >= 2 THEN "
+                    f"CAST(aggregate({cov}, 0, "
+                    f"(acc, cp) -> acc + element_at(wl0, cp + 1)) AS BIGINT) "
+                    f"ELSE 0L END")
+        st = st.withColumn(f"dup{n}_chars", F.expr(
+            _let("transform(__rw, x -> length(x))", "wl0",
+                 _let(sp_val(n), "sp", dup_body))))
+    return st.drop("__rw")
 
 
 def ngram_doc_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document n-gram stats: ``n_words``, ``word_chars``, and for
-    each configured n a 0-coalesced ``top{n}_chars`` / ``dup{n}_chars``.
-
-    One gram explode serves every n (the gram structs carry their n);
-    every aggregation and join downstream is keyed by doc_id, so group
-    and join state is document-local — the 100 TB shape."""
-    d = D.SPARK
-    w_df = df.selectExpr(f"{id_col}", f"{words_sql(d, text_col)} AS w")
-
-    base = w_df.selectExpr(
-        id_col,
-        "size(w) AS n_words",
-        f"{_arr_char_sum(d, 'w')} AS word_chars")
-
-    gram_parts = ", ".join(grams_array_sql(d, "w", n)
-                           for n in (*TOP_NS, *DUP_NS))
-    ge = (w_df.selectExpr(id_col,
-                          f"explode(flatten(array({gram_parts}))) AS g")
-          .selectExpr(id_col, "g.n AS n", "g.pos AS pos", "g.gram AS gram"))
-    # carry the occurrence positions through the ONE gram aggregation:
-    # the coverage stage then explodes the stored position lists of the
-    # duplicated grams instead of re-deriving the whole gram stream for
-    # a semi-join — the explode subtree is evaluated once, not twice
-    # (ReuseExchange does not dedupe duplicated explode subtrees).  The
-    # position list is bounded by the gram's own multiplicity within one
-    # document — the same bound the per-doc text column already has.
-    counts = ge.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.collect_list("pos").alias("poss"))
-
-    # most common n-gram (ties -> lexicographically largest gram)
-    mx = (counts.filter(F.col("n").isin(list(TOP_NS)))
-          .groupBy(id_col, "n").agg(F.max("cnt").alias("mx")))
-    topg = (counts.join(mx, [id_col, "n"])
-            .filter(F.col("cnt") == F.col("mx"))
-            .groupBy(id_col, "n")
-            .agg(F.max("gram").alias("gram"), F.max("cnt").alias("cnt")))
-    tops = topg.groupBy(id_col).agg(*[
-        F.max(F.when(F.col("n") == n,
-                     F.col("cnt") * F.length("gram"))).cast("long")
-        .alias(f"top{n}_chars") for n in TOP_NS])
-
-    # union coverage of duplicated n-grams (per n)
-    dstart = (counts.filter((F.col("cnt") > 1)
-                            & F.col("n").isin(list(DUP_NS)))
-              .select(id_col, "n", F.explode("poss").alias("pos")))
-    cover = (dstart.selectExpr(
-        id_col, "n", "explode(sequence(pos, pos + n - 1)) AS cpos")
-        .distinct())
-    wpe = (w_df.selectExpr(
-        id_col, f"explode({word_pos_array_sql(d, 'w')}) AS p")
-        .selectExpr(id_col, "p.pos AS cpos", "p.wlen AS wlen"))
-    cov = (cover.join(wpe, [id_col, "cpos"])
-           .groupBy(id_col, "n").agg(F.sum("wlen").alias("cov_chars")))
-    covs = cov.groupBy(id_col).agg(*[
-        F.max(F.when(F.col("n") == n, F.col("cov_chars"))).cast("long")
-        .alias(f"dup{n}_chars") for n in DUP_NS])
-
-    out = base.join(tops, id_col, "left").join(covs, id_col, "left")
-    fills = {f"top{n}_chars": 0 for n in TOP_NS}
-    fills.update({f"dup{n}_chars": 0 for n in DUP_NS})
-    return out.fillna(fills)
+    each configured n a 0-coalesced ``top{n}_chars`` / ``dup{n}_chars``
+    — see :func:`_with_ngram_stats` for the zero-shuffle plan shape."""
+    return (_with_ngram_stats(df.select(id_col, text_col), text_col)
+            .select(id_col, *NGRAM_STAT_COLS))
 
 
 def repetition_filter(df: DataFrame, text_col: str = "text",

@@ -224,6 +224,16 @@ def test_separator_parameterization(spark):
     assert _one_flag(spark, text, "dup_line_frac") is True  # single line
 
 
+def test_separator_with_single_quote(spark):
+    """r11 ADVICE fix: a separator containing ' must produce a valid
+    Spark split literal (re.escape leaves quotes alone — they need SQL
+    doubling), and the segment semantics must hold."""
+    text = "dup'dup'dup'dup'u1 u2 u3 u4 u5 u6"
+    assert _one_flag(spark, text, "dup_line_frac", line_sep="'") is False
+    assert _one_flag(spark, "a'b'c'd", "dup_line_frac",
+                     line_sep="'") is True
+
+
 def test_cross_engine_fuzz_quotes_unicode_controls(spark):
     """The dialect-fuzz invariant applied to every repetition flag: on a
     corpus mixing quotes, backslashes, unicode (incl. non-BMP), control
