@@ -371,8 +371,12 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
 ORDER BY c_custkey
 """
 
+# EXTRA since round 11 (still oracle-checked by pytest): its REGISTRY
+# slot went to curation_pipeline_v4 — anti-join coverage overlaps the
+# gated q3/asof join family, while v4 is the end-to-end curation
+# headline (and a bench row) that was previously driver-invisible
 register(Query("customers_without_orders", customers_without_orders, ANTI_ORACLE,
-               tags=("join", "anti")))
+               tags=("join", "anti")), extra=True)
 
 
 # --- rollup: multi-level revenue aggregation --------------------------------
@@ -426,5 +430,9 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# EXTRA since round 11 (still oracle-checked by pytest): its REGISTRY
+# slot went to gopher_quality_summary — this is a 5-row JSON projection
+# check, while the Gopher filter is a first-class LLM-pipeline component
+# the driver window should gate directly
 register(Query("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE,
-               tags=("json",)))
+               tags=("json",)), extra=True)

@@ -442,8 +442,9 @@ ORDER BY key DESC, w.doc_id LIMIT {V4_K}
 
 # bench=True: the composed filter→select plan (repetition explode + C4
 # projection + two DSIR passes) — the end-to-end curation headline
+# driver-gated since round 11 (swapped in for customers_without_orders):
+# the end-to-end curation headline belongs in the driver window
 register(Query("curation_pipeline_v4", curation_pipeline_v4,
                _curation_v4_oracle(),
                tags=("text", "quality", "sampling", "pipeline"),
-               bench=True),
-         extra=True)
+               bench=True))

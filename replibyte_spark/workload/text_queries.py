@@ -136,8 +136,10 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+# driver-gated since round 11 (swapped in for events_json_extract): the
+# published 7-rule quality filter is a first-class pipeline component
 register(Query("gopher_quality_summary", gopher_quality_summary,
-               _gopher_oracle(), tags=("text", "quality")), extra=True)
+               _gopher_oracle(), tags=("text", "quality")))
 
 
 def segment_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,39 +1183,60 @@ register(Query("bigram_heldout_perplexity", bigram_heldout_perplexity,
 # source — the per-dataset fingerprint a mixing decision actually reads.
 
 TFIDF_K = 5
+# the broadcast side (dfreq) is one row per DISTINCT CORPUS TOKEN — a
+# 100 TB web crawl's vocabulary is billions of rows, so the hint must be
+# conditional on the measured vocab, never unconditional (the r10
+# verdict's finding; same guard as operators/retrieval.py::bm25_scores)
+TFIDF_BROADCAST_VOCAB_LIMIT = 5_000_000
 
 
-def salient_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, token, tf, tfidf, rank): top-5 tokens per source by
+def tfidf_salient_terms(docs: DataFrame, k: int = TFIDF_K,
+                        broadcast_vocab_limit: int =
+                        TFIDF_BROADCAST_VOCAB_LIMIT) -> DataFrame:
+    """(source, token, tf, tfidf, rank): top-k tokens per source by
     tf·ln(n_sources/df), df = sources containing the token.  Two
     word-count-shaped aggregations (map-side partial agg; the raw token
-    stream never shuffles) + a vocabulary-bounded broadcast join; ranking
-    happens on the 6dp-ROUNDED score so the oracle's window agrees
-    bit-for-bit."""
+    stream never shuffles); the df table is vocabulary-bounded and
+    broadcast only when the measured vocabulary fits under
+    `broadcast_vocab_limit` (otherwise the join shuffles — correct and
+    boring beats a driver OOM).  Ranking happens on the 6dp-ROUNDED
+    score so the oracle's window agrees bit-for-bit."""
     from pyspark.sql.window import Window
 
-    from ..util import fan_out
-
     d = D.SPARK
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = (docs.select("source", F.explode(
         F.expr(D.split_ws(d, "lower(text)"))).alias("token"))
         .filter(F.col("token") != ""))
     counts = (toks.groupBy("source", "token")
               .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    # n_sources comes from the RAW docs frame (a source whose texts are
+    # all empty still counts — oracle parity), so the vocab scalar needs
+    # its own pass over the (source, token) aggregate; both are bounded
+    # scalar jobs, never a corpus collect
     n_sources = docs.select("source").distinct().count()
+    vocab = int(counts.agg(
+        F.countDistinct("token").alias("v")).collect()[0]["v"] or 0)
     dfreq = (counts.groupBy("token")
              .agg(F.count(F.lit(1)).cast("long").alias("df")))
-    scored = (counts.join(F.broadcast(dfreq), on="token")
+    df_side = (F.broadcast(dfreq)
+               if vocab <= broadcast_vocab_limit else dfreq)
+    scored = (counts.join(df_side, on="token")
               .withColumn("tfidf", F.expr(
                   f"round(tf * ln(CAST({n_sources} AS DOUBLE) / df), 6)")))
     w = Window.partitionBy("source").orderBy(
         F.desc("tfidf"), F.asc("token"))
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TFIDF_K)
+            .filter(F.col("rank") <= k)
             .select("source", "token", "tf", "tfidf",
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("source", "rank"))
+
+
+def salient_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..util import fan_out
+
+    return tfidf_salient_terms(fan_out(load_table(spark, sf_dir,
+                                                  "documents")))
 
 
 def _tfidf_oracle() -> str:

@@ -298,6 +298,54 @@ def test_bm25_broadcast_guard_bounds_vocabulary(spark):
     assert "BroadcastHashJoin" in hinted, hinted
 
 
+def test_ngram_doc_stats_single_scan_zero_shuffle(spark, sf_dir):
+    """r11 lock for the r10 verdict finding: the repetition stats are
+    per-document functions of the text, so the plan must read the
+    corpus parquet exactly ONCE and shuffle NOTHING — the old
+    base/ge/wpe fan-out re-scanned and re-tokenized the text column 5×
+    and pushed ~9·W gram rows per document through a corpus-wide
+    groupBy (shared Spark subtrees re-execute per consumer; column
+    pruning defeats exchange reuse).  Projections riding one scan are
+    the shape that survives 100 TB: nothing leaves the row, so a viral
+    duplicated document costs its own length, never a hot shuffle
+    key."""
+    from replibyte_spark.operators.repetition import (ngram_doc_stats,
+                                                      repetition_flags)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for frame in (ngram_doc_stats(docs), repetition_flags(docs)):
+        plan = _plan(frame)
+        assert plan.count("Scan parquet") == 1, plan
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan  # no explode either
+
+
+def test_tfidf_broadcast_guard_bounds_vocabulary(spark):
+    """r11 lock for the r10 verdict finding: salient_terms_per_source's
+    dfreq broadcast (one row per distinct corpus token) must key on the
+    measured vocabulary, exactly like the BM25 guard above — an
+    unconditional F.broadcast there is a driver OOM at web-crawl vocab.
+    With auto-broadcast off, a vocab over the limit must compile without
+    any BroadcastExchange; under a generous limit the hint keeps the
+    BroadcastHashJoin fast path."""
+    from replibyte_spark.workload.text_queries import tfidf_salient_terms
+
+    docs = spark.createDataFrame(
+        [("a", " ".join(f"tok{i}" for i in range(20))),
+         ("b", " ".join(f"tok{i}" for i in range(20, 40)))],
+        "source string, text string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = _plan(tfidf_salient_terms(docs, broadcast_vocab_limit=8))
+        hinted = _plan(tfidf_salient_terms(docs,
+                                           broadcast_vocab_limit=1_000))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in guarded, guarded
+    assert "BroadcastHashJoin" in hinted, hinted
+
+
 def test_late_r10_gates_prune_scans_and_avoid_nested_loops(spark, sf_dir):
     """The late-r10 gates (repetition explode, C4 projection, DSIR
     two-pass, and their v4 composition) must never compile a nested-loop
