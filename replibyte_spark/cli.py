@@ -245,6 +245,10 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="PQ subspace count (default 8)")
     eidx.add_argument("--pq-ks", type=int, default=16,
                       help="PQ codebook entries per subspace (default 16)")
+    eidx.add_argument("--target-recall", type=float, default=None,
+                      help="measure the IVF recall curve at build time "
+                           "and record the smallest n_probe reaching "
+                           "this recall@k in the meta sidecar")
     eadm = csub.add_parser(
         "eadmit", help="keep only batch vectors that are NOT semantic "
                        "near-dups of an indexed embedding corpus")
@@ -714,12 +718,19 @@ def _cmd_corpus(spark, args) -> int:
         build_ann_index(df, args.output, bits=args.bits, id_col=args.id_col,
                         vec_col=args.vec_col, dim=args.dim,
                         quantize=args.quantize, pq=args.pq,
-                        pq_m=args.pq_m, pq_ks=args.pq_ks)
+                        pq_m=args.pq_m, pq_ks=args.pq_ks,
+                        target_recall=args.target_recall)
+        tuned = ""
+        if args.target_recall is not None:
+            from .operators.similarity import load_ann_index_meta
+            tuned = (f", tuned n_probe="
+                     f"{load_ann_index_meta(spark, args.output)['n_probe']}"
+                     f" at recall>={args.target_recall}")
         print(f"indexed {df.count()} vectors -> {args.output} "
               f"(bits={args.bits}"
               + (", int8 codes stored" if args.quantize else "")
               + (f", pq codes stored (m={args.pq_m}, ks={args.pq_ks})"
-                 if args.pq else "") + ")")
+                 if args.pq else "") + tuned + ")")
         return 0
     if args.corpus_cmd == "eadmit":
         from .operators.similarity import (append_ann_index,

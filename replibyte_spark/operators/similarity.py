@@ -472,6 +472,36 @@ def ivf_probe_expr(vec_col: str, cents, n_probe: int) -> str:
         + f")), 1, {n_probe}), s -> s.centroid_id)")
 
 
+def ivf_probe_col(vec_col: str, cents, n_probe: int):
+    """:func:`ivf_probe_expr` as a DSL Column whose centroid set rides in
+    TWO literal NODES (``F.lit`` of the id list / coefficient matrix)
+    instead of n_cells·dim inlined literal expressions — the same
+    plan-size lever as :func:`~.quantize.pq_lut_col` (inlined centroid
+    literals cost Catalyst analysis per CALL; the probe projection runs
+    on the handful of query rows, so constant-folding buys nothing).
+    Numerics are bit-identical to the inlined form: ``zip_with`` +
+    ``aggregate`` walk the same index order with the same
+    CAST(float AS DOUBLE) · double products and 0.0D init as
+    :func:`_lit_dot_sql`, and the struct sort keeps the d DESC /
+    centroid_id ASC tie-break.  The CORPUS-side assignment
+    (:func:`_assign_expr`) intentionally stays literal-inlined — it runs
+    per corpus row, where codegen constant-folding pays."""
+    ids = F.lit([cid for cid, _ in cents])
+    cvs = F.lit([[float(x) for x in cv] for _, cv in cents])
+
+    def entry(i):
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), F.element_at(cvs, i),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.struct((-dot).alias("nd"),
+                        F.element_at(ids, i).alias("centroid_id"))
+
+    arr = F.transform(F.sequence(F.lit(1), F.lit(len(cents))), entry)
+    return F.transform(F.slice(F.array_sort(arr), 1, n_probe),
+                       lambda s: s["centroid_id"])
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -512,9 +542,9 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     else:
         corpus = fan_out(vectors).withColumn(
             "centroid_id", F.expr(_assign_expr(vec_col, cents)))
-    probe_expr = ivf_probe_expr(vec_col, cents, n_probe)
     qc = (queries
-          .withColumn("centroid_id", F.explode(F.expr(probe_expr)))
+          .withColumn("centroid_id",
+                      F.explode(ivf_probe_col(vec_col, cents, n_probe)))
           .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                   F.expr(norm_sql(D.SPARK, vec_col)).alias("qn"),
                   "centroid_id"))
@@ -549,7 +579,9 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                     refine_deterministic: bool = False,
                     quantize: bool = False,
                     pq: bool = False, pq_m: int = 8,
-                    pq_ks: int = 16) -> "list":
+                    pq_ks: int = 16,
+                    target_recall: "float | None" = None,
+                    tune_k: int = 5) -> "list":
     """Materialize the ANN index AS A STORAGE LAYOUT: the corpus written to
     parquet with its RP-LSH `bucket`, IVF `centroid_id` and `norm` columns
     precomputed, plus a `centroids` sidecar table — built ONCE at ingest,
@@ -575,6 +607,11 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
     centroid refinement belongs at 100 TB: paid once when the layout is
     written, amortized over every query.  The refined set is what gets
     assigned against, stored in the sidecar, and returned.
+
+    `target_recall` (r11) runs :func:`pick_ivf_n_probe` over the
+    just-written layout at build time and records the smallest probe
+    count meeting it as `n_probe` in the meta sidecar — readers pick the
+    tuned default off storage instead of hand-setting the quality knob.
 
     `quantize=True` additionally stores the int8 SQ8 columns (`q` codes +
     `qscale`, operators/quantize.py) so quantized query paths
@@ -659,12 +696,24 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                     .agg(F.avg(F.expr(_assign_cos_expr(vec_col, cents)))
                          .alias("m")).collect()[0]["m"])
         mean_cos = None if mean_cos is None else float(mean_cos)
+    # probe-count autotune (r11): measure the recall curve on a bounded
+    # sample of the just-written layout (centroid assignments come off
+    # storage, no re-assign) and record the smallest n_probe meeting the
+    # target in the meta sidecar — build-time work, like refinement; the
+    # quality knob ivf_recall_audit made measurable now has a regulator.
+    n_probe = None
+    if target_recall is not None and cents:
+        layout = spark.read.parquet(os.path.join(path, "corpus"))
+        n_probe, _ = pick_ivf_n_probe(
+            layout, layout, centroids=cents, k=tune_k,
+            target_recall=target_recall, id_col=id_col, vec_col=vec_col)
     (spark.createDataFrame(
         [(bits, seed, n_centroids, dim, refine_iterations, mean_cos,
-          quantize, pq_m if pq else None, pq_ks if pq else None)],
+          quantize, pq_m if pq else None, pq_ks if pq else None,
+          n_probe)],
         "bits int, seed string, n_centroids int, dim int, "
         "refine_iterations int, mean_assign_cos double, quantized boolean, "
-        "pq_m int, pq_ks int")
+        "pq_m int, pq_ks int, n_probe int")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "meta")))
     # write-through: a rebuild at the same path in one process must not
@@ -677,7 +726,8 @@ def build_ann_index(vectors: DataFrame, path: str, bits: int = 8,
                          "mean_assign_cos": mean_cos,
                          "quantized": quantize,
                          "pq_m": pq_m if pq else None,
-                         "pq_ks": pq_ks if pq else None}
+                         "pq_ks": pq_ks if pq else None,
+                         "n_probe": n_probe}
     return cents
 
 
@@ -986,6 +1036,68 @@ def pick_rp_params(target_cosine: float, target_recall: float = 0.8,
             f"no (bits <= {max_bits}, multi_probe <= {max_probe}) reaches "
             f"recall >= {target_recall} at cosine {target_cosine}")
     return best[1]
+
+
+def pick_ivf_n_probe(vectors: DataFrame, queries: DataFrame,
+                     centroids=None, k: int = 5,
+                     target_recall: float = 0.8, n_centroids: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_queries: int = 64
+                     ) -> "tuple[int, dict[int, float]]":
+    """Smallest ``n_probe`` whose measured recall@k reaches
+    ``target_recall`` on a held-out query sample, plus the whole recall
+    curve ``{n_probe: recall}`` — the IVF member of the param-picker
+    family (dedup.pick_lsh_params / :func:`pick_rp_params`), closing the
+    r10 gap where :func:`~..workload.similarity_queries.ivf_recall_audit`
+    measured the probe path's recall (0.37 at 2/16 on the isotropic
+    fixture) and nothing consumed the gauge.
+
+    Unlike the LSH pickers there is no closed form — IVF recall depends
+    on how the data clusters — so this is the empirical tune FAISS-style
+    deployments run at index-build time, in ONE pass: with exact
+    scoring inside probed cells, a true top-k neighbor is retrieved iff
+    its cell is probed (its exact cosine beats every non-top-k
+    candidate), so recall(p) = fraction of exact-top-k neighbors whose
+    cell sits within the query's first p probe ranks.  One bounded
+    brute-force pass over a ≤``max_queries`` md5-deterministic query
+    sample yields EVERY point of the curve — no per-candidate-p rerun.
+
+    Cost shape at 100 TB: the brute pass over the sample is index-BUILD
+    work (amortized like centroid refinement), never per-query; every
+    collect is ≤ max_queries·k rows.  Always terminates: probing all
+    cells is recall 1.0 by construction, so the returned n_probe is at
+    most n_cells."""
+    import bisect
+
+    cents = _collect_centroids(
+        centroids if centroids is not None
+        else default_centroids(vectors, n_centroids, id_col, vec_col))
+    q = (queries.orderBy(F.md5(F.col(id_col).cast("string")),
+                         F.col(id_col))
+         .limit(max_queries))
+    brute = brute_force_topk(vectors, q, k=k, id_col=id_col,
+                             vec_col=vec_col)
+    cells = (vectors if "centroid_id" in vectors.columns
+             else fan_out(vectors).withColumn(
+                 "centroid_id", F.expr(_assign_expr(vec_col, cents))))
+    order = q.select(F.col(id_col).alias("query_id"),
+                     ivf_probe_col(vec_col, cents,
+                                   len(cents)).alias("__cells"))
+    ranks = (brute.select("query_id", "neighbor_id")
+             .join(cells.select(F.col(id_col).alias("neighbor_id"),
+                                "centroid_id"), "neighbor_id")
+             .join(order, "query_id")
+             .select(F.expr("CAST(array_position(__cells, centroid_id) "
+                            "AS INT)").alias("pr")))
+    prs = sorted(r["pr"] for r in ranks.collect())
+    curve: "dict[int, float]" = {}
+    best = None
+    for p in range(1, len(cents) + 1):
+        r = (bisect.bisect_right(prs, p) / len(prs)) if prs else 1.0
+        curve[p] = round(r, 6)
+        if best is None and r >= target_recall:
+            best = p
+    return (best if best is not None else len(cents)), curve
 
 
 def plan_size_bytes(df: DataFrame) -> int:

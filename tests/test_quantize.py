@@ -309,6 +309,23 @@ def test_pq_refined_books_do_not_hurt_recall(spark, sf_dir):
     assert r_ref >= r_raw, (r_raw, r_ref)
 
 
+def test_pq_refine_books_default_needs_no_id_column(spark):
+    """r11 ADVICE fix: the default (deterministic=False) refinement path
+    must not require `id_col` — it exists only as the deterministic
+    fold's sort key, and an external frame of bare embeddings has no
+    vec_id."""
+    from replibyte_spark.operators.quantize import (pq_codebooks,
+                                                    pq_refine_books)
+
+    df = spark.createDataFrame(
+        [([float(i % 3), float(i % 5), float(i), 1.0],)
+         for i in range(32)], "embedding array<float>")
+    books = pq_codebooks(df.withColumn("vec_id", F.monotonically_increasing_id()),
+                         m=2, ks=4, dim=4)
+    refined = pq_refine_books(df, books, iterations=1)
+    assert len(refined) == 2 and len(refined[0]) == 4
+
+
 def test_pq_parameter_errors(spark):
     import pytest as _pytest
 

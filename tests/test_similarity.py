@@ -215,3 +215,47 @@ def test_ann_index_drift_pre_r9_meta(spark, tmp_path):
     assert out == {"build_mean_assign_cos": None,
                    "current_mean_assign_cos": None,
                    "drift": None, "rebuild_recommended": None}
+
+
+def test_ivf_n_probe_picker_matches_recall_audit(spark, sf_dir):
+    """r11: the picker's curve point at the gate's (k, n_probe, cells)
+    must EQUAL ivf_recall_audit's average recall — the gauge and the
+    regulator read the same instrument — and the curve must be
+    monotone, ending at exactly 1.0 (probing every cell is exhaustive
+    by construction)."""
+    from pyspark.sql import functions as F
+    from replibyte_spark.operators import similarity as S
+    from replibyte_spark.workload import all_queries
+    from replibyte_spark.workload.similarity_queries import IVF_PROBE, K
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    picked, curve = S.pick_ivf_n_probe(
+        emb, queries, k=K, target_recall=0.35,
+        max_queries=1_000_000)  # cover every audit query
+    audit = all_queries()["ivf_recall_audit"].spark_fn(spark, sf_dir)
+    avg = audit.agg(F.avg("recall").alias("r")).collect()[0]["r"]
+    assert abs(curve[IVF_PROBE] - avg) < 1e-6, (curve[IVF_PROBE], avg)
+    # the fixture's audit average is ~0.37, so a 0.35 target picks the
+    # gate's own default
+    assert picked == IVF_PROBE
+    ps = sorted(curve)
+    assert all(curve[a] <= curve[b] for a, b in zip(ps, ps[1:]))
+    assert curve[ps[-1]] == 1.0
+
+
+def test_build_ann_index_records_tuned_n_probe(spark, tmp_path, sf_dir):
+    """target_recall at build time stores the picked n_probe in the meta
+    sidecar (and the in-process cache); omitting it stores NULL."""
+    from replibyte_spark.operators import similarity as S
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter("vec_id < 300"))
+    path = str(tmp_path / "ann_tuned")
+    S.build_ann_index(emb, path, n_centroids=4, dim=64,
+                      target_recall=0.9)
+    meta = S.load_ann_index_meta(spark, path)
+    assert 1 <= meta["n_probe"] <= 4
+    path2 = str(tmp_path / "ann_untuned")
+    S.build_ann_index(emb, path2, n_centroids=4, dim=64)
+    assert S.load_ann_index_meta(spark, path2)["n_probe"] is None
