@@ -53,6 +53,13 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # zh anchors on ideographs rare in Japanese prose (的/们/是).
     "ar": {" في ": 3, " من ": 3, " على ": 3, " إلى ": 2, " عن ": 2,
            " هذا ": 2, " أن ": 2, " و": 1, "ال": 1, " لا ": 2},
+    # r11 within-class splits: bg/uk join ru in the Cyrillic class,
+    # fa/ur join ar in the Arabic class — profiles discriminate WITHIN
+    # the script (the ja/zh precedent).  bg anchors on the ъ-heavy
+    # orthography (ът/да/се/ще) Russian lacks; uk on і/ї/є (U+0454-57,
+    # absent from Russian and Bulgarian) and its own function words.
+    "bg": {" да ": 3, " се ": 3, "ът ": 3, " не ": 1, " на ": 1,
+           " за ": 2, " това ": 2, " ще ": 2, " от ": 1, " съм ": 2},
     # late-r10 single-script additions (bn/el/he/th): like ar/hi/ko each
     # is alone in its script class, so the profile's job is evidence > 0
     # (vs 'und'); Thai writes without inter-word spaces, so its grams are
@@ -72,6 +79,12 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            " in ": 1, "ing ": 2, "th": 1, " that ": 2, " are ": 2},
     "es": {" el ": 3, " la ": 2, " los ": 3, " las ": 2, " es ": 2,
            " y ": 2, "ción": 3, "ñ": 3, " una ": 2, "os ": 1},
+    # fa (Persian) anchors: its own function words (که/است/را spelled
+    # with Persian ک U+06A9) plus the four Persian-specific letters
+    # پ چ ژ گ — Arabic text contains none of them.  No case trap:
+    # the Arabic script is caseless.
+    "fa": {" که ": 3, " است ": 3, " را ": 3, " این ": 2, " در ": 2,
+           " به ": 2, "پ": 2, "چ": 1, "ژ": 2, "گ": 2},
     "fr": {" le ": 3, " les ": 3, " des ": 3, " est ": 2, " une ": 2,
            " et ": 2, "eau": 2, "é": 2, "è": 2, " dans ": 3},
     # r9 additions.  Collision notes (why these weights): " de " is also
@@ -84,6 +97,16 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            " הוא ": 2, " עם ": 1, "ים ": 2, " אני ": 2, " גם ": 1},
     "hi": {" है ": 3, " का ": 2, " की ": 2, " के ": 2, " में ": 3,
            " और ": 3, " से ": 2, " को ": 2, " एक ": 2, " यह ": 2},
+    # id/ms (r11) are CORE Latin — no diacritic to gate on, so they are
+    # the first additions that cost Latin rows anything since r9 (+2 of
+    # now 9 core profiles).  The pair shares most function words; the
+    # split anchors: id on adalah/ini/itu/dari, ms on ialah/boleh/
+    # kerana — the standard id-vs-ms markers.  " di " is weight 1 (it
+    # is also Italian's weight-3 " di "; Italian's own anchors dominate
+    # Italian text, and id text carries yang/dan besides).
+    "id": {" yang ": 3, " dan ": 2, " ini ": 2, " itu ": 2,
+           " dengan ": 2, " untuk ": 2, " tidak ": 2, " adalah ": 3,
+           " dari ": 2, " di ": 1},
     "it": {" il ": 3, " di ": 3, " che ": 2, " è ": 3, " per ": 2,
            "zione": 3, "gli": 2, " non ": 2, " con ": 1, " sono ": 2},
     # hiragana function characters — unique to Japanese, absent from
@@ -92,6 +115,9 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            "で": 1, "て": 1, "た": 1, "です": 2, "する": 2},
     "ko": {"는 ": 2, "의 ": 2, "을 ": 2, "이 ": 2, "가 ": 2,
            "다 ": 2, "에 ": 2, "고 ": 1, "하": 1, "니": 1},
+    "ms": {" yang ": 2, " dan ": 2, " ialah ": 3, " boleh ": 3,
+           " kerana ": 3, " dalam ": 2, " anda ": 2, " tidak ": 1,
+           " untuk ": 1, " dengan ": 1},
     "nl": {" het ": 3, " een ": 3, " van ": 3, " niet ": 2, " de ": 1,
            "ij": 2, " en ": 1, " op ": 1, " dat ": 1, "aa": 1},
     # pl/tr/vi (late r10) ride the EXTENDED-LATIN diacritic gate: their
@@ -114,6 +140,17 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            "เป็น": 2, "ได้": 2, "ใน": 1, "มี": 1, "ว่า": 2},
     "tr": {" bir ": 3, " ve ": 2, " bu ": 2, " için ": 3, " değil ": 3,
            "ğ": 2, "ş": 2, " çok ": 2, " gibi ": 2, "yor": 2},
+    # uk anchors on і/ї/є + та/що/це/він; і collides with nothing (the
+    # Ukrainian-specific U+0456, not Latin i); upper→lower round trips
+    # are simple for all three (І Ї Є)
+    "uk": {" і ": 3, "ї": 3, "є": 2, " та ": 3, " що ": 1, " це ": 2,
+           " як ": 2, "ння": 2, " до ": 1, " він ": 2},
+    # ur (Urdu) anchors: ہے with U+06C1, yeh barree ے U+06D2 (ubiquitous
+    # in Urdu, absent from Persian/Arabic) and the retroflex ٹ ڈ ڑ;
+    # گ also appears in Urdu, so fa's گ gram contributes a small fa
+    # score to Urdu text — the Urdu anchors outweigh it
+    "ur": {" ہے ": 3, " کے ": 2, " میں ": 2, " اور ": 3, "ے": 2,
+           "ٹ": 2, "ڈ": 2, "ڑ": 2, " نہیں ": 3, " یہ ": 2},
     "vi": {" không ": 3, " của ": 3, " là ": 2, " và ": 2, " có ": 2,
            " người ": 2, " một ": 2, " được ": 2, " đã ": 2,
            " cũng ": 2},
@@ -165,12 +202,17 @@ LANGS = sorted(NGRAM_PROFILES)
 # scored 0 anyway: every ru/zh gram is pure Cyrillic/CJK and every
 # Latin-language gram is pure Latin).
 SCRIPT_LANGS: "dict[str, tuple[str, ...]]" = {
-    "arabic": ("ar",),
+    # ar/fa/ur share the Arabic script class (r11): fa anchors on
+    # Persian-specific letters + function words, ur on its retroflex
+    # letters + ہے/ے — the ja/zh within-class discrimination pattern
+    "arabic": ("ar", "fa", "ur"),
     "bengali": ("bn",),
     # kana + ideographs: Japanese and Chinese share the class; their
     # profiles discriminate within it (hiragana vs ideograph anchors)
     "cjk": ("ja", "zh"),
-    "cyrillic": ("ru",),
+    # bg/ru/uk share Cyrillic (r11): bg's ъ-orthography and uk's і/ї/є
+    # split the class
+    "cyrillic": ("bg", "ru", "uk"),
     "devanagari": ("hi",),
     "greek": ("el",),
     "hangul": ("ko",),

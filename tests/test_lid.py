@@ -55,6 +55,20 @@ SENTENCES = [
     ("tr", "o çok güzel bir akşam gibi görünüyor ve ben evde"),
     ("vi", "con mèo và con chó đang chơi trong vườn của ngôi nhà"),
     ("vi", "hôm nay là một ngày đẹp và tôi không muốn ở nhà"),
+    # r11 within-class splits (bg/uk inside Cyrillic, fa/ur inside
+    # Arabic) and the id/ms core-Latin pair
+    ("bg", "котката се радва и иска да играе в градината от сутринта"),
+    ("bg", "градът е красив и това е хубаво място за всички хора"),
+    ("uk", "кіт і пес граються в саду і це дуже гарний день"),
+    ("uk", "вона вже знає що це не можна зробити і він теж"),
+    ("fa", "این یک روز زیباست که گربه در باغ بازی می کند"),
+    ("fa", "او کتاب را می خواند و این کار را دوست دارد"),
+    ("ur", "یہ ایک اچھا دن ہے اور بلی باغ میں کھیلتی ہے"),
+    ("ur", "وہ کتاب پڑھنا چاہتا ہے اور یہ نہیں جانتا"),
+    ("id", "kucing dan anjing ini adalah hewan yang bermain di taman"),
+    ("id", "ini adalah hari yang indah dan saya tidak mau di rumah"),
+    ("ms", "anda boleh bermain dalam taman kerana hari ini cerah"),
+    ("ms", "buku itu ialah hadiah dan anda boleh membacanya kerana ia bagus"),
 ]
 
 # the measured floor: profile edits that regress classification on the
