@@ -738,36 +738,56 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
       characters (overlapping occurrences counted per occurrence — a
       repetition SIGNAL, not a partition of the text).
 
-    Both are per-doc aggregations over exploded grams — two shuffles on
-    the doc id, nothing pairwise; filter on them to drop the
-    gibberish/repetition tail of a crawl."""
-    chars = docs.select(F.col(id_col),
-                        F.length(F.col(text_col)).alias("__chars"))
+    Both are per-document functions of the text, so (r11, the
+    operators/repetition.py precedent) they are PURE PROJECTIONS riding
+    one scan — the doc's sorted gram array is let-bound, counts fall out
+    of run-length boundaries in the sorted order, and nothing shuffles
+    (the previous form exploded the gram stream twice and aggregated on
+    the doc id).  Tie-break and arithmetic are unchanged (array_max over
+    (cnt, gram) = the old max(struct(c, gram))); filter on the fractions
+    to drop the gibberish/repetition tail of a crawl."""
+    from .repetition import _let
 
-    tc = (_exploded_grams(docs, id_col, text_col, top_n)
-          .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-          .groupBy(id_col)
-          .agg(F.max(F.struct(F.col("c"), F.col("gram"))).alias("__top"))
-          .select(F.col(id_col),
-                  (F.col("__top.c") * F.length("__top.gram"))
-                  .alias("__top_chars")))
-    dc = (_exploded_grams(docs, id_col, text_col, dup_n)
-          .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-          .filter(F.col("c") >= 2)
-          .groupBy(id_col)
-          .agg(F.sum(F.col("c") * F.length("gram")).alias("__dup_chars")))
-    return (chars.join(tc, on=id_col, how="left")
-            .join(dc, on=id_col, how="left")
+    d = D.SPARK
+    toks = D.split_ws(d, text_col)
+
+    def runs_parts(sp: str) -> "tuple[str, str]":
+        b = (f"CASE WHEN size({sp}) >= 1 THEN "
+             f"filter(sequence(1, size({sp})), j -> j = 1 "
+             f"OR element_at({sp}, j) != element_at({sp}, j - 1)) "
+             f"ELSE CAST(array() AS array<int>) END")
+        runs = (f"transform(sequence(1, size(b0)), k -> named_struct("
+                f"'cnt', CAST((CASE WHEN k < size(b0) "
+                f"THEN element_at(b0, k + 1) "
+                f"ELSE size({sp}) + 1 END) - element_at(b0, k) AS BIGINT), "
+                f"'gram', element_at({sp}, element_at(b0, k))))")
+        return b, runs
+
+    def sorted_grams(n: int) -> str:
+        return _let(toks, "tk",
+                    f"array_sort({word_ngrams_from_tokens_sql(d, 'tk', n)})")
+
+    b, runs = runs_parts("sp")
+    top_body = ("CASE WHEN size(sp) >= 1 THEN "
+                + _let(f"array_max({runs})", "mx",
+                       "mx.cnt * length(mx.gram)")
+                + " ELSE 0L END")
+    dup_body = (f"CASE WHEN size(sp) >= 2 THEN "
+                f"aggregate({runs}, 0L, (acc, r) -> acc + "
+                f"CASE WHEN r.cnt >= 2 THEN r.cnt * length(r.gram) "
+                f"ELSE 0L END) ELSE 0L END")
+    top = _let(sorted_grams(top_n), "sp", _let(b, "b0", top_body))
+    dup = _let(sorted_grams(dup_n), "sp", _let(b, "b0", dup_body))
+    chars = f"length({text_col})"
+    return (fan_out(docs.select(F.col(id_col), F.col(text_col)))
             .select(
                 F.col(id_col),
-                F.when(F.col("__chars") > 0, F.round(
-                    F.coalesce(F.col("__top_chars"), F.lit(0))
-                    / F.col("__chars"), 6)).otherwise(0.0)
-                .alias("top_ngram_frac"),
-                F.when(F.col("__chars") > 0, F.round(
-                    F.coalesce(F.col("__dup_chars"), F.lit(0))
-                    / F.col("__chars"), 6)).otherwise(0.0)
-                .alias("dup_ngram_frac"))
+                F.expr(f"CASE WHEN {chars} > 0 THEN "
+                       f"round(({top}) / {chars}, 6) "
+                       f"ELSE 0.0D END").alias("top_ngram_frac"),
+                F.expr(f"CASE WHEN {chars} > 0 THEN "
+                       f"round(({dup}) / {chars}, 6) "
+                       f"ELSE 0.0D END").alias("dup_ngram_frac"))
             .orderBy(id_col))
 
 
