@@ -383,13 +383,22 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rules; the word-segment line rules would empty the corpus
     rep = repetition_flags(docs)
     both = c4_flags(rep, **_C4_GATE_PARAMS)
-    # DSIR reads the survivor frame four times (target model, raw model,
-    # scoring features, payload join) — persist + materialize it so the
-    # repetition explode upstream runs ONCE (the v3 persist pattern;
-    # the frame is the filtered corpus, the same bound v3 persists)
-    surv = (both.filter(F.col("repetition_pass") & F.col("c4_pass"))
-            .select("doc_id", "source", "text").persist())
-    surv.write.mode("overwrite").format("noop").save()
+    # persist + materialize the FLAGGED frame, then filter FROM CACHE:
+    # DSIR reads the survivors four times (target model, raw model,
+    # scoring features, payload join), and filtering the lazy frame
+    # would push the pass-conjunction down through the staged flag
+    # projections — Catalyst inlines the per-rule expressions into one
+    # predicate whose interpreted higher-order functions re-evaluate
+    # per row at ~2× the staged projection cost (and 10× before the
+    # repetition _let hardening).  Above an InMemoryRelation the filter
+    # is a cached-boolean scan.  (r10 persisted the filtered survivors
+    # for the same four-reads reason; the flagged frame is the same
+    # corpus plus booleans.)
+    flagged = (both.select("doc_id", "source", "text",
+                           "repetition_pass", "c4_pass").persist())
+    flagged.write.mode("overwrite").format("noop").save()
+    surv = (flagged.filter(F.col("repetition_pass") & F.col("c4_pass"))
+            .select("doc_id", "source", "text"))
     target = surv.filter(F.col("source") == V4_TARGET)
     sel = dsir_select(surv, target, k=V4_K, m=V4_M, seed=V4_SEED)
     return (sel.join(surv.select("doc_id", "source"), "doc_id")
