@@ -109,6 +109,13 @@ def array_contains_lit(d: str, items: list[str], e: str) -> str:
     return f"list_contains([{lits}], {e})"
 
 
+def int_div(d: str, a: str, b: str) -> str:
+    """Integer division for NON-NEGATIVE integer operands (Spark `div`
+    truncates toward zero, DuckDB `//` floors — identical on >= 0, the
+    only domain the millionths-score convention uses)."""
+    return f"(({a}) div ({b}))" if d == SPARK else f"(({a}) // ({b}))"
+
+
 def pick_from_list(d: str, items: list[str], idx_expr: str) -> str:
     """1-based index into a literal string list."""
     lits = ", ".join(q(i) for i in items)

@@ -314,3 +314,88 @@ def temperature_mix(docs: DataFrame, total_budget: int,
         thr[s] = int(min(1.0, budget / t) * 1_000_000)
     return token_budget_mix(docs, {}, total_budget, stratum_col, key_col,
                             text_col, salt, thresholds=thr)
+
+
+def per_group_cap(df: DataFrame, group_col: str, key_col: str, cap: int,
+                  salt: str = "group-cap",
+                  broadcast_group_limit: int = 1_000_000) -> DataFrame:
+    """Cap each group at `cap` rows (per-domain document caps — the
+    anti-SEO/anti-boilerplate balancing step of a web-crawl curation
+    pipeline), keeping a DETERMINISTIC hash-ranked subset so reruns,
+    retries and the oracle all pick the same rows.
+
+    :func:`stratified_sample_n` is the naive rendering: ONE window over
+    the whole corpus partitioned by group — every row pays the sort
+    shuffle, and at a 100 TB crawl with per-domain caps the overwhelming
+    majority of domains are already under cap and need no ranking at
+    all.  This is the two-phase scale path:
+
+    1. one group-keyed count aggregation (map-side partial) finds the
+       OVER-cap groups — at realistic caps a tiny fraction of groups;
+    2. rows in under-cap groups pass through untouched via an anti-join
+       against that (usually broadcast-able) group list — no sort, no
+       window, the join rides the scan;
+    3. only rows in over-cap groups — the skewed head — enter the
+       row_number window, so the expensive range-sort shuffle handles
+       the head's rows, not the corpus.
+
+    The broadcast is guarded by the measured over-cap group COUNT
+    (the BM25 vocabulary-guard pattern, operators/retrieval.py): above
+    `broadcast_group_limit` the planner falls back to a shuffled join
+    rather than an OOM'd driver.  The under/over split reads the input
+    twice; both reads push the same scan filters, and what the second
+    read costs is bought back many times over by the sort shuffle
+    shrinking from |corpus| to |head| (persist the input first if the
+    scan itself dominates).  Ordering inside a group is
+    (md5(salt||key), key) — the stratified_sample_n convention — so the
+    DuckDB oracle reproduces the exact kept set."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    counts = (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("__n")))
+    over = counts.filter(F.col("__n") > cap).select(group_col)
+    n_over = over.count()  # scalar; the agg is group-bounded metadata
+    over_side = (F.broadcast(over) if n_over <= broadcast_group_limit
+                 else over)
+    under_rows = df.join(over_side, on=group_col, how="left_anti")
+    h = F.expr(D.md5_hex(D.SPARK, key_col, salt))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    capped_head = (df.join(over_side, on=group_col, how="left_semi")
+                   .withColumn("__rk", F.row_number().over(w))
+                   .filter(F.col("__rk") <= cap)
+                   .drop("__rk"))
+    return under_rows.unionByName(capped_head)
+
+
+def per_group_cap_keep_sql(d: str, group_expr: str, key_expr: str,
+                           cap: int, salt: str = "group-cap") -> str:
+    """Oracle-side rendering of :func:`per_group_cap`'s kept set: a plain
+    per-group row_number over the SAME (md5, key) ordering — the naive
+    one-window plan the two-phase operator must match row-for-row.
+    Returns a window expression usable as `QUALIFY`/filter on rk."""
+    h = D.md5_hex(d, key_expr, salt)
+    return (f"row_number() OVER (PARTITION BY {group_expr} "
+            f"ORDER BY {h}, {key_expr})")
+
+
+def score_weighted_sql(d: str, key_expr: str, score_millionths_expr: str,
+                       salt: str = "score-w") -> str:
+    """Cross-dialect predicate: keep a row with probability
+    `score_millionths/1e6` — quality-WEIGHTED sampling (the soft
+    alternative to a hard quality cutoff: high-quality docs are kept at
+    ~1, mid-quality survive proportionally instead of cliff-dropping,
+    the FineWeb-Edu-style score→rate curriculum).  A pure per-row
+    uniform-hash draw against a per-row integer threshold: no shuffle,
+    no RNG state, reproducible across engines/retries, and the score
+    expression itself must be integer-exact in both dialects (millionths,
+    never floats — the repo's cross-engine convention)."""
+    draw = D.hash_uniform_mod(d, key_expr, salt, 1_000_000)
+    return f"{draw} < ({score_millionths_expr})"
+
+
+def score_weighted_filter(df: DataFrame, key_col: str,
+                          score_millionths_expr: str,
+                          salt: str = "score-w") -> DataFrame:
+    """Spark rendering of :func:`score_weighted_sql` (see there)."""
+    return df.filter(F.expr(score_weighted_sql(
+        D.SPARK, key_col, score_millionths_expr, salt)))

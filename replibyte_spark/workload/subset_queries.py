@@ -357,3 +357,108 @@ FROM assigned ORDER BY doc_id
 
 register(Query("leakage_free_split", leakage_free_split, _split_oracle(),
                tags=("sample", "dedup")), extra=True)
+
+
+# --- per-group document cap (round 11) ---------------------------------------
+# Per-domain caps are the crawl-balancing step of a web curation pipeline
+# (bound any one domain's share of the corpus).  The operator is the
+# two-phase skew-aware plan (operators/sample.py per_group_cap: only
+# OVER-cap groups pay the sort shuffle); the oracle is the naive
+# one-window rendering over the same deterministic (md5, key) order —
+# any row the phases misroute hash-fails.  The fixture's lang column is
+# naturally skewed (en ~44%, four tail langs ~13-15% each), so CAP=100
+# exercises BOTH paths at the gated sf: en is capped, the tail passes
+# through the anti-join untouched.
+
+DOC_CAP = 100
+DOC_CAP_SALT = "group-cap"
+
+
+def per_group_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators.sample import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = per_group_cap(docs, "lang", "doc_id", DOC_CAP,
+                         salt=DOC_CAP_SALT)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("lang"))
+
+
+def _doc_cap_oracle() -> str:
+    from ..operators.sample import per_group_cap_keep_sql
+
+    rk = per_group_cap_keep_sql(D.DUCK, "lang", "doc_id", DOC_CAP,
+                                salt=DOC_CAP_SALT)
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id, {rk} AS rk FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rk <= {DOC_CAP}
+GROUP BY lang ORDER BY lang
+"""
+
+
+register(Query("per_group_doc_cap", per_group_doc_cap, _doc_cap_oracle(),
+               tags=("sample",)), extra=True)
+
+
+# --- quality-weighted sampling (round 11) ------------------------------------
+# Soft quality curriculum: keep-probability proportional to an integer
+# quality score (stopword density in millionths) instead of a hard
+# cutoff — high-quality docs survive at ~1, mid-quality proportionally.
+# Score and draw are both integer-exact in the shared dialect, so the
+# oracle reproduces the kept set bit for bit.
+
+QW_SALT = "quality-w"
+
+
+def _quality_score_sql(d: str) -> str:
+    """Integer quality score in millionths: stopword density × 8 capped
+    at 1e6 — i.e. a doc whose words are >= 12.5% Gopher stopwords is
+    always kept, a 3% doc survives at ~0.24.  Built once for both
+    dialects (the drift-proof convention)."""
+    from ..functions.gopher import REQUIRED_STOPWORDS, words_sql
+
+    w = words_sql(d, "text")
+    stop_pred = f"x -> {D.array_contains_lit(d, list(REQUIRED_STOPWORDS), 'x')}"
+    n_stop = D.array_len(d, D.array_filter(d, w, stop_pred))
+    n_words = D.array_len(d, w)
+    density = D.int_div(d, f"CAST({n_stop} AS BIGINT) * 8000000",
+                        f"greatest({n_words}, 1)")
+    return f"least(1000000, {density})"
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators.sample import score_weighted_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = score_weighted_filter(docs, "doc_id",
+                                 _quality_score_sql(D.SPARK), salt=QW_SALT)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("source"))
+
+
+def _quality_weighted_oracle() -> str:
+    from ..operators.sample import score_weighted_sql
+
+    pred = score_weighted_sql(D.DUCK, "doc_id", _quality_score_sql(D.DUCK),
+                              salt=QW_SALT)
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+register(Query("quality_weighted_sample", quality_weighted_sample,
+               _quality_weighted_oracle(), tags=("sample", "text")),
+         extra=True)

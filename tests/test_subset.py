@@ -369,3 +369,85 @@ def test_temperature_mix_rejects_bad_temperature(spark):
                                  "doc_id long, lang string, text string")
     with _pytest.raises(ValueError, match="temperature"):
         temperature_mix(docs, 100, temperature=0.0)
+
+
+def test_per_group_cap_matches_naive_window(spark, sf_dir):
+    """The two-phase plan (anti-join bypass + head-only window) must keep
+    EXACTLY the rows the naive one-window rendering keeps."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import replibyte_spark.dialect as D
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.operators.sample import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 60  # en (~44%) lands over, the tail langs under
+    got = {r.doc_id for r in
+           per_group_cap(docs, "lang", "doc_id", cap).select("doc_id").collect()}
+    h = F.expr(D.md5_hex(D.SPARK, "doc_id", "group-cap"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    want = {r.doc_id for r in
+            docs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap).select("doc_id").collect()}
+    assert got == want
+    # under-cap groups pass through complete
+    per_lang = {r.lang: r.n for r in
+                docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_per_lang = {r.lang: r.n for r in
+                     per_group_cap(docs, "lang", "doc_id", cap)
+                     .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per_lang.items():
+        assert kept_per_lang.get(lang, 0) == min(n, cap), lang
+
+
+def test_per_group_cap_guard_and_edge_caps(spark, sf_dir):
+    """cap=0 empties every non-empty group; a zero broadcast_group_limit
+    compiles WITHOUT any BroadcastExchange (shuffled fallback, not a
+    forced driver OOM)."""
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.operators.sample import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert per_group_cap(docs, "lang", "doc_id", 0).count() == 0
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = per_group_cap(docs, "lang", "doc_id", 3,
+                                broadcast_group_limit=0)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        n_langs = docs.select("lang").distinct().count()
+        assert guarded.count() == 3 * n_langs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        per_group_cap(docs, "lang", "doc_id", -1)
+
+
+def test_score_weighted_filter_rates(spark, sf_dir):
+    """Constant scores reproduce their keep probability exactly at the
+    boundary values and approximately mid-range; both dialect renderings
+    keep the same rows."""
+    import replibyte_spark.dialect as D
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.operators.sample import (score_weighted_filter,
+                                                  score_weighted_sql)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert score_weighted_filter(docs, "doc_id", "1000000").count() == n
+    assert score_weighted_filter(docs, "doc_id", "0").count() == 0
+    mid = score_weighted_filter(docs, "doc_id", "500000").count()
+    assert 0.4 * n <= mid <= 0.6 * n, mid
+
+    import duckdb
+    con = duckdb.connect()
+    pred = score_weighted_sql(D.DUCK, "doc_id", "500000")
+    want = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' WHERE {pred}"
+    ).fetchone()[0]
+    assert mid == want
