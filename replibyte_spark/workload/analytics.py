@@ -436,3 +436,58 @@ ORDER BY event_type
 # the driver window should gate directly
 register(Query("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE,
                tags=("json",)), extra=True)
+
+
+# --- bucketed-layout co-located join (round 11) ------------------------------
+# The write-once-shuffle-never-again storage lever: orders and lineitem
+# bucketed INTO the same bucket count on the join key join exchange-free
+# (SortMergeJoin, both scans `Bucketed: true`, zero Exchange on the key —
+# locked by tests/test_plan_shapes.py).  The layout is transparent to
+# results, so the plain-parquet oracle must hash-match exactly; at this
+# fixture scale the planner rightly prefers a broadcast join (the test
+# disables it to expose the 100 TB fact-to-fact shape this layout buys).
+
+BKT_N = 8
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sinks.bucketed import ensure_bucketed_table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"rs_bucketed_{key}")
+    orders = ensure_bucketed_table(
+        spark, load_table(spark, sf_dir, "orders"),
+        f"rs_orders_bkt_{key}", os.path.join(base, "orders"),
+        "o_orderkey", BKT_N)
+    lineitem = ensure_bucketed_table(
+        spark, load_table(spark, sf_dir, "lineitem"),
+        f"rs_lineitem_bkt_{key}", os.path.join(base, "lineitem"),
+        "l_orderkey", BKT_N)
+    return orders, lineitem
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _bucketed_pair(spark, sf_dir)
+    j = lineitem.join(orders,
+                      lineitem.l_orderkey == orders.o_orderkey)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+register(Query("bucketed_join_revenue", bucketed_join_revenue,
+               BUCKETED_JOIN_ORACLE, tags=("join", "layout")), extra=True)

@@ -392,3 +392,66 @@ def test_gopher_and_segment_gates_prune_scan_columns(spark, sf_dir):
                  - plan.count("RoundRobinPartitioning"))
         assert extra <= 2, (name, plan.count("Exchange"))
         assert plan.count("RoundRobinPartitioning") <= 1, name
+
+
+def test_bucketed_join_is_exchange_free_on_the_key(spark, sf_dir):
+    """Both sides bucketed INTO the same count on the join key ⇒
+    SortMergeJoin with ZERO Exchange on the key and both scans
+    `Bucketed: true` — the write-once shuffle the layout buys.  Broadcast
+    is disabled to expose the fact-to-fact shape (at fixture scale the
+    planner rightly broadcasts the small side)."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.workload.analytics import _bucketed_pair
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders, lineitem = _bucketed_pair(spark, sf_dir)
+        res = (lineitem.join(orders,
+                             lineitem.l_orderkey == orders.o_orderkey)
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_items")))
+        plan = _plan(res)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        # the ONLY exchange is the groupBy on the non-bucket key
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_layout_reattaches_across_catalog_loss(spark, sf_dir):
+    """The catalog entry is metadata, the files are the layout: after a
+    DROP TABLE (a fresh session's empty in-memory catalog), ensure_
+    bucketed_table re-registers the SAME files and the read path is
+    still bucketed, with identical rows."""
+    import hashlib
+
+    from replibyte_spark.workload.analytics import (_bucketed_pair,
+                                                    bucketed_join_revenue)
+
+    from pyspark.sql import functions as F
+
+    before = [tuple(r) for r in
+              bucketed_join_revenue(spark, sf_dir).collect()]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.sql(f"DROP TABLE IF EXISTS rs_orders_bkt_{key}")
+    spark.sql(f"DROP TABLE IF EXISTS rs_lineitem_bkt_{key}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders, lineitem = _bucketed_pair(spark, sf_dir)  # register path
+        plan = _plan(lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items")))
+        assert plan.count("Bucketed: true") == 2, plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    after = [tuple(r) for r in
+             bucketed_join_revenue(spark, sf_dir).collect()]
+    assert before == after
