@@ -99,6 +99,14 @@ def _build_parser() -> argparse.ArgumentParser:
     source = sub.add_parser("source", help="all source commands")
     ssub = source.add_subparsers(dest="source_cmd", required=True)
     ssub.add_parser("schema", help="show the source schema")
+    sstats = ssub.add_parser(
+        "stats", help="distributed ANALYZE: per-column row/null/distinct "
+                      "counts and typed min/max, one pass per table")
+    sstats.add_argument("--approx", action="store_true",
+                        help="HLL distinct counts (the at-scale path; "
+                             "exact count(DISTINCT) is the default)")
+    sstats.add_argument("--tables", default=None,
+                        help="comma-separated subset (default: all)")
 
     corpus = sub.add_parser(
         "corpus", help="training-corpus curation over parquet (no config)")
@@ -107,6 +115,14 @@ def _build_parser() -> argparse.ArgumentParser:
     rep.add_argument("-i", "--input", required=True, help="parquet path")
     rep.add_argument("--group-col", default="source")
     rep.add_argument("--text-col", default="text")
+    gcap = csub.add_parser(
+        "cap", help="cap each group at N rows (per-domain balancing; "
+                    "deterministic hash-ranked keep, two-phase skew-aware)")
+    gcap.add_argument("-i", "--input", required=True)
+    gcap.add_argument("-o", "--output", required=True)
+    gcap.add_argument("--group-col", default="source")
+    gcap.add_argument("--id-col", default="doc_id")
+    gcap.add_argument("--cap", type=int, required=True)
     scrub = csub.add_parser("scrub", help="redact PII from text columns")
     scrub.add_argument("-i", "--input", required=True)
     scrub.add_argument("-o", "--output", required=True)
@@ -484,6 +500,20 @@ def _cmd_corpus(spark, args) -> int:
             f"AS n_tokens",
             f"round({T.quality_score_sql(d, args.text_col)}, 6) AS quality")
         _show(corpus_quality_report(docs, args.group_col))
+        return 0
+    if args.corpus_cmd == "cap":
+        from .operators.sample import per_group_cap
+
+        df = spark.read.parquet(args.input)
+        for c in (args.group_col, args.id_col):
+            if c not in df.columns:
+                print(f"error: column not in input: {c}", file=sys.stderr)
+                return 2
+        kept = per_group_cap(df, args.group_col, args.id_col, args.cap)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = df.count(), spark.read.parquet(args.output).count()
+        print(f"capped {args.group_col} at {args.cap}: {n_in} -> {n_out} "
+              f"rows ({args.output})")
         return 0
     if args.corpus_cmd == "scrub":
         from .functions.pii import scrub_pii
@@ -1027,6 +1057,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from .plans.pipeline import DumpPipeline
 
         tables = DumpPipeline(config).load_source_tables(spark)
+        if getattr(args, "source_cmd", None) == "stats":
+            from .introspect import table_stats
+
+            wanted = (set(args.tables.split(",")) if args.tables
+                      else set(tables))
+            out = None
+            for t in sorted(tables):
+                if t not in wanted:
+                    continue
+                part = table_stats(tables[t], t, approx=args.approx)
+                out = part if out is None else out.unionByName(part)
+            if out is None:
+                print("error: no matching tables", file=sys.stderr)
+                return 2
+            _show(out.orderBy("table_name", "column_name"))
+            return 0
         rows = [(t, f.name, i, f.dataType.simpleString())
                 for t in sorted(tables)
                 for i, f in enumerate(tables[t].schema.fields)]

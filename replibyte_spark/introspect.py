@@ -80,3 +80,99 @@ def infer_json_schema(spark: SparkSession, df: DataFrame, column: str,
               .limit(max_values))
     inferred = spark.read.json(sample.rdd.map(lambda r: r[0]))
     return inferred.schema.json()
+
+
+# --- distributed ANALYZE (SS2 upgraded from "obsolete by design") -----------
+
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def table_stats(df: DataFrame, table_name: str,
+                approx: bool = False) -> DataFrame:
+    """Distributed ANALYZE: one aggregation pass over the table yields a
+    long-format column-statistics profile — (column, type, row count,
+    null count, distinct count, typed min/max).
+
+    The reference's subset planner runs a per-table stats pass before
+    choosing what to walk (SURVEY §2 SS2, subset/src/postgres.rs); parquet
+    row-group stats made a row-count pass redundant here, but PLANNING
+    stats (ndv for join-order/broadcast decisions, null density for
+    anti-join rewrites, min/max for partition pruning sanity) still need a
+    scan, and this is that scan: every statistic for every column rides
+    ONE map-side-partial aggregation — no per-column jobs.
+
+    `approx=False` uses exact count(DISTINCT) — Catalyst plans multiple
+    distincts via Expand (rows × profiled columns), acceptable while the
+    table fits a fixture and REQUIRED for the DuckDB oracle.
+    `approx=True` is the 100 TB path: HLL++ approx_count_distinct in a
+    single Expand-free pass (asserted within tolerance of exact in the
+    unit tests, the corpus_quality_report convention).
+
+    Timestamps profile as epoch micros in the numeric min/max (formatting
+    a timestamp is engine-specific; an integer is not)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    per_col: list[tuple[str, str]] = []  # (name, simple type)
+    for f in df.schema.fields:
+        c, t = f.name, f.dataType.simpleString()
+        per_col.append((c, t))
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
+        ndv = (F.approx_count_distinct(F.col(c)) if approx
+               else F.countDistinct(F.col(c)))
+        aggs.append(ndv.cast("long").alias(f"__ndv_{c}"))
+        if t in _NUMERIC_TYPES:
+            num = F.col(c).cast("double")
+        elif t.startswith("timestamp"):
+            # NTZ → TIMESTAMP is value-preserving under the UTC session TZ
+            # (catalog.load_table pins it); unix_micros rejects NTZ input
+            num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.round(F.min(num), 6).alias(f"__min_num_{c}"))
+        aggs.append(F.round(F.max(num), 6).alias(f"__max_num_{c}"))
+        s = F.col(c) if t == "string" else F.lit(None).cast("string")
+        aggs.append(F.min(s).alias(f"__min_str_{c}"))
+        aggs.append(F.max(s).alias(f"__max_str_{c}"))
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.lit(t).alias("data_type"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_null"),
+            F.col(f"__ndv_{c}").alias("ndv"),
+            F.col(f"__min_num_{c}").alias("min_num"),
+            F.col(f"__max_num_{c}").alias("max_num"),
+            F.col(f"__min_str_{c}").alias("min_str"),
+            F.col(f"__max_str_{c}").alias("max_str"),
+        ) for c, t in per_col]
+    return (one.select(F.explode(F.array(*structs)).alias("s"))
+            .select(F.lit(table_name).alias("table_name"), "s.*"))
+
+
+def table_stats_oracle_sql(table: str, columns: list[tuple[str, str]]) -> str:
+    """DuckDB rendering of :func:`table_stats` (exact mode) for `columns`
+    as (name, spark simple type) pairs — one UNION ALL branch per column,
+    same long format, same rounding."""
+    branches = []
+    for c, t in columns:
+        if t in _NUMERIC_TYPES:
+            mn, mx = (f"round(min(CAST({c} AS DOUBLE)), 6)",
+                      f"round(max(CAST({c} AS DOUBLE)), 6)")
+        elif t.startswith("timestamp"):
+            mn, mx = (f"round(CAST(epoch_us(min({c})) AS DOUBLE), 6)",
+                      f"round(CAST(epoch_us(max({c})) AS DOUBLE), 6)")
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        if t == "string":
+            smn, smx = f"min({c})", f"max({c})"
+        else:
+            smn = smx = "CAST(NULL AS VARCHAR)"
+        branches.append(f"""
+SELECT '{table}' AS table_name, '{c}' AS column_name, '{t}' AS data_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       {mn} AS min_num, {mx} AS max_num,
+       {smn} AS min_str, {smx} AS max_str
+FROM {table}""")
+    return " UNION ALL ".join(branches)

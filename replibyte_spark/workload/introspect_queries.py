@@ -194,3 +194,57 @@ ORDER BY table_name, ordinal
 
 register(Query("source_schema_listing", source_schema_listing,
                _schema_oracle(), tags=("introspect",)))
+
+
+# --- distributed ANALYZE (round 11: SS2 made real) ---------------------------
+# Per-column planning statistics (row/null/distinct counts, typed min/max)
+# for a representative table trio, each table ONE aggregation pass.  The
+# oracle recomputes every statistic exactly in DuckDB; the HLL approx
+# variant (the 100 TB path) is tolerance-asserted in tests.
+
+STATS_TABLES = ("customer", "orders", "documents")
+
+
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..introspect import table_stats
+
+    out = None
+    for t in STATS_TABLES:
+        df = load_table(spark, sf_dir, t)
+        part = table_stats(df, t)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("table_name", "column_name")
+
+
+def _table_stats_oracle() -> str:
+    import duckdb
+
+    from ..catalog import DEFAULT_SF_DIR  # noqa: F401  (schema via test sf)
+    from ..introspect import table_stats_oracle_sql
+
+    # column lists must match Spark's parquet schema; derive them from the
+    # fixture footer once (driver + tests both pin sf dirs with identical
+    # schemas across scale factors)
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    pieces = []
+    _DUCK_TO_SPARK = {"BIGINT": "bigint", "INTEGER": "int",
+                      "DOUBLE": "double", "FLOAT": "float",
+                      "VARCHAR": "string",
+                      # tz-less parquet timestamps surface as NTZ in Spark
+                      "TIMESTAMP": "timestamp_ntz"}
+    for t in STATS_TABLES:
+        cols = []
+        for name, dtype, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM '{sf}/{t}.parquet'").fetchall():
+            cols.append((name, _DUCK_TO_SPARK.get(dtype, dtype.lower())))
+        pieces.append(table_stats_oracle_sql(t, cols))
+    return (" UNION ALL ".join(pieces)
+            + " ORDER BY table_name, column_name")
+
+
+register(Query("table_stats_profile", table_stats_profile,
+               _table_stats_oracle(), tags=("introspect",)), extra=True)

@@ -858,3 +858,38 @@ def test_cli_dump_diff(spark, conf, capsys):
     assert main(["-c", conf, "dump", "diff", "da", "nope"],
                 spark=spark) == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_source_stats(spark, conf, capsys):
+    """`source stats` runs the distributed ANALYZE over the configured
+    (only_tables-pruned) source; --tables narrows, --approx switches to
+    the HLL path, unknown tables error."""
+    assert main(["-c", conf, "source", "stats"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "n_nationkey" in out and "r_name" in out
+    assert "c_custkey" not in out     # only_tables pruned
+
+    assert main(["-c", conf, "source", "stats", "--tables", "region",
+                 "--approx"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "n_nationkey" not in out
+
+    assert main(["-c", conf, "source", "stats", "--tables", "nope"],
+                spark=spark) == 2
+    assert "no matching tables" in capsys.readouterr().err
+
+
+def test_cli_corpus_cap(spark, tmp_path, capsys, sf_dir):
+    out = str(tmp_path / "capped")
+    assert main(["corpus", "cap", "-i", f"{sf_dir}/documents.parquet",
+                 "-o", out, "--group-col", "lang", "--cap", "60"],
+                spark=spark) == 0
+    msg = capsys.readouterr().out
+    assert "capped lang at 60" in msg
+    got = spark.read.parquet(out)
+    per = {r.lang: r.n for r in got.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert max(per.values()) <= 60
+    assert main(["corpus", "cap", "-i", f"{sf_dir}/documents.parquet",
+                 "-o", out, "--group-col", "nope", "--cap", "1"],
+                spark=spark) == 2

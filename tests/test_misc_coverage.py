@@ -375,3 +375,35 @@ def test_bigram_empty_lm_fails_loudly(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no token transitions"):
         bigram_perplexity_scores(docs, lm)
+
+
+def test_table_stats_approx_is_expand_free_and_close_to_exact(spark, sf_dir):
+    """The ANALYZE pass: approx mode (the 100 TB path) must plan WITHOUT
+    the multi-distinct Expand (one pass over the rows) and land within
+    HLL tolerance of the exact ndv; the exact mode's typed min/max must
+    agree with a driver-side recompute, including the timestamp branch."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.introspect import table_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r.column_name: r for r in table_stats(orders, "orders").collect()}
+    approx = {r.column_name: r
+              for r in table_stats(orders, "orders", approx=True).collect()}
+    for c, e in exact.items():
+        a = approx[c]
+        assert a.n_rows == e.n_rows and a.n_null == e.n_null
+        assert abs(a.ndv - e.ndv) <= max(3, 0.1 * e.ndv), (c, a.ndv, e.ndv)
+
+    plan = (table_stats(orders, "orders", approx=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+    # timestamp min/max = epoch micros of the true extremes
+    lo, hi = orders.agg(
+        F.unix_micros(F.min(F.col("o_orderdate").cast("timestamp"))),
+        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp")))).first()
+    assert exact["o_orderdate"].min_num == float(lo)
+    assert exact["o_orderdate"].max_num == float(hi)
