@@ -211,8 +211,14 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+# EXTRA since round 11 (still oracle-checked by pytest and still a bench
+# row): its REGISTRY slot went to per_group_doc_cap — this is a plain
+# time-bucketed groupBy whose surface the driver already gates via
+# q1/q3/q5 (batch aggs) and session_stats/stateful_running_totals (event
+# time), while the two-phase cap has a real plan risk (phase misroute)
+# only an oracle catches
 register(Query("hourly_event_stats", hourly_event_stats, HOURLY_ORACLE,
-               tags=("agg", "time"), bench=True))
+               tags=("agg", "time"), bench=True), extra=True)
 
 
 # --- as-of join --------------------------------------------------------------

@@ -403,8 +403,12 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# DRIVER-GATED since round 11 (took hourly_event_stats' slot — that is a
+# plain time-bucketed groupBy already covered by the gated agg family,
+# while the cap's two-phase plan can only be misrouted in ways an oracle
+# catches: a lost under-cap group, a head row surviving past the cap)
 register(Query("per_group_doc_cap", per_group_doc_cap, _doc_cap_oracle(),
-               tags=("sample",)), extra=True)
+               tags=("sample",)))
 
 
 # --- quality-weighted sampling (round 11) ------------------------------------
