@@ -408,7 +408,7 @@ GROUP BY lang ORDER BY lang
 # while the cap's two-phase plan can only be misrouted in ways an oracle
 # catches: a lost under-cap group, a head row surviving past the cap)
 register(Query("per_group_doc_cap", per_group_doc_cap, _doc_cap_oracle(),
-               tags=("sample",)))
+               tags=("sample",), bench=True))
 
 
 # --- quality-weighted sampling (round 11) ------------------------------------
