@@ -509,3 +509,46 @@ from . import register_fixture_preparer  # noqa: E402
 @register_fixture_preparer
 def _prepare_archive_fixture(spark: SparkSession, sf_dir: str) -> None:
     _archive_fixture(spark, sf_dir)
+
+
+def federated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-source federation: the customer dimension lives in a
+    DATABASE (embedded Derby over JDBC — the reference's S1/S2 source
+    class) and the orders fact lives in parquet, joined in one Catalyst
+    plan.  This is the deployment the JDBC source exists for: dimensions
+    stay in the operational store, facts in the lake, and Spark pushes
+    the dimension filter down to the database (the JDBC scan carries a
+    PushedFilters entry — locked in test_plan_shapes) while the fact
+    scan prunes to the join/agg columns.  The oracle computes the same
+    join entirely from parquet, so any JDBC round-trip loss (row, type,
+    encoding) hash-fails."""
+    import tempfile
+
+    from ..sources.jdbc import read_jdbc_table, write_jdbc_tables
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    uri = (f"jdbc:derby:{tempfile.mkdtemp(prefix='rs_gate_fed_')}/db"
+           f";create=true")
+    cust = load_table(spark, sf_dir, "customer")
+    write_jdbc_tables({"customer": cust}, uri, driver=driver)
+    dim = (read_jdbc_table(spark, uri, "customer", driver=driver)
+           .filter(F.col("c_acctbal") > 0)
+           .select(F.col("c_custkey").cast("long").alias("o_custkey"),
+                   "c_mktsegment"))
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.join(F.broadcast(dim), on="o_custkey")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+register(Query("federated_join_revenue", federated_join_revenue,
+               """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+               tags=("pipeline", "jdbc", "join")), extra=True)

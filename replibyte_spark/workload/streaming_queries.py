@@ -464,3 +464,62 @@ register(Query("streaming_full_admit", streaming_full_admit,
                _streaming_full_admit_oracle(),
                tags=("streaming", "dedup", "similarity", "index")),
          extra=True)
+
+
+QUOTA_CAP = 100
+
+
+def streaming_quota_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL per-group quota stream (applyInPandasWithState,
+    availableNow) over documents: at most QUOTA_CAP docs admitted per
+    language across the stream's lifetime, first-come-first-admitted.
+    The fixture table is one parquet file, so the availableNow run is one
+    micro-batch and the in-batch id sort makes the admitted SET
+    deterministic — the oracle checks both the quota invariant
+    (n_admitted = least(cap, group size)) and the exact membership
+    (id_sum); the batch-count-insensitive invariant is what survives any
+    re-batching (unit-tested via direct state-function drives)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.quota import streaming_group_quota
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(path))
+              .parquet(os.path.dirname(path)))
+    admitted = streaming_group_quota(stream, QUOTA_CAP, group_col="lang",
+                                     id_col="doc_id")
+    name = f"gate_quota_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
+    q = (admitted.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    emitted = _drain_memory_sink(spark, q, name, ckpt)
+    return (emitted.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_admitted"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("lang"))
+
+
+QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_admitted,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rk <= {QUOTA_CAP}
+GROUP BY lang ORDER BY lang
+"""
+
+register(Query("streaming_quota_admit", streaming_quota_admit, QUOTA_ORACLE,
+               tags=("streaming", "stateful", "sample")), extra=True)

@@ -455,3 +455,23 @@ def test_bucketed_layout_reattaches_across_catalog_loss(spark, sf_dir):
     after = [tuple(r) for r in
              bucketed_join_revenue(spark, sf_dir).collect()]
     assert before == after
+
+
+def test_federated_join_pushes_filter_to_jdbc(spark, sf_dir):
+    """The dimension predicate must reach the DATABASE, not run in Spark:
+    the JDBC scan row carries the c_acctbal filter in PushedFilters, and
+    the parquet fact scan is pruned to the join/agg columns."""
+    from replibyte_spark.workload.pipeline import federated_join_revenue
+
+    df = federated_join_revenue(spark, sf_dir)
+    plan = _plan(df)
+    jdbc_rows = [ln for ln in plan.splitlines() if "JDBCRelation" in ln]
+    assert jdbc_rows, plan
+    assert any("PushedFilters" in ln and "c_acctbal" in ln
+               for ln in jdbc_rows), jdbc_rows
+    fact = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "o_custkey" in ln]
+    assert fact, plan
+    schema = fact[0].split("ReadSchema:")[1]
+    assert "o_orderdate" not in schema and "o_orderstatus" not in schema, \
+        schema

@@ -47,3 +47,75 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     got = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
     want = {r.user_id: (r.n_events, r.sum_value) for r in truth.collect()}
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the quota update function
+    batch-by-batch without a streaming query."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_quota_update_enforces_cap_across_batches():
+    """Multi-batch semantics, driven directly: arrival order wins across
+    batches, in-batch order is the id sort, and the admitted count per
+    group never exceeds the cap no matter how arrivals are chopped."""
+    import pandas as pd
+
+    from replibyte_spark.streaming.quota import _make_update
+
+    update = _make_update(3, "doc_id")
+    state = _FakeState()
+
+    def drive(ids):
+        out = list(update(("en",), [pd.DataFrame({"doc_id": ids})], state))
+        return sorted(out[0]["doc_id"].tolist()) if out else []
+
+    # batch 1: 2 of 3 slots used, ids admitted in sorted order
+    assert drive([10, 7]) == [7, 10]
+    assert state.get == (2, 2)
+    # batch 2: one slot left — the SMALLEST id of the batch takes it,
+    # already-admitted earlier arrivals are never evicted
+    assert drive([2, 1]) == [1]
+    assert state.get == (3, 4)
+    # batch 3: budget exhausted — nothing admitted, seen still advances
+    assert drive([99]) == []
+    assert state.get == (3, 5)
+
+
+def test_quota_update_zero_cap_and_multiple_chunks():
+    import pandas as pd
+
+    import pytest as _pytest
+
+    from replibyte_spark.streaming.quota import (_make_update,
+                                                 streaming_group_quota)
+
+    update = _make_update(0, "doc_id")
+    state = _FakeState()
+    assert list(update(("en",), [pd.DataFrame({"doc_id": [1]})], state)) == []
+    assert state.get == (0, 1)
+
+    # Arrow may hand a group as several chunks within one batch: the
+    # budget must apply across chunks, id-sorted within each
+    update = _make_update(3, "doc_id")
+    state = _FakeState()
+    chunks = [pd.DataFrame({"doc_id": [5, 4]}), pd.DataFrame({"doc_id": [3]})]
+    out = pd.concat(list(update(("en",), chunks, state)))
+    assert sorted(out["doc_id"].tolist()) == [3, 4, 5]
+    assert state.get == (3, 3)
+
+    with _pytest.raises(ValueError):
+        streaming_group_quota(None, -1)
