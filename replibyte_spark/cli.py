@@ -123,6 +123,10 @@ def _build_parser() -> argparse.ArgumentParser:
     gcap.add_argument("--group-col", default="source")
     gcap.add_argument("--id-col", default="doc_id")
     gcap.add_argument("--cap", type=int, required=True)
+    gcap.add_argument("--prefilter-margin", type=float, default=None,
+                      help="monster-group hash-quantile prefilter: the "
+                           "sort sees ~margin*cap rows per group instead "
+                           "of the group (kept set provably identical)")
     scrub = csub.add_parser("scrub", help="redact PII from text columns")
     scrub.add_argument("-i", "--input", required=True)
     scrub.add_argument("-o", "--output", required=True)
@@ -509,7 +513,8 @@ def _cmd_corpus(spark, args) -> int:
             if c not in df.columns:
                 print(f"error: column not in input: {c}", file=sys.stderr)
                 return 2
-        kept = per_group_cap(df, args.group_col, args.id_col, args.cap)
+        kept = per_group_cap(df, args.group_col, args.id_col, args.cap,
+                             head_prefilter_margin=args.prefilter_margin)
         kept.write.mode("overwrite").parquet(args.output)
         n_in, n_out = df.count(), spark.read.parquet(args.output).count()
         print(f"capped {args.group_col} at {args.cap}: {n_in} -> {n_out} "

@@ -318,7 +318,8 @@ def temperature_mix(docs: DataFrame, total_budget: int,
 
 def per_group_cap(df: DataFrame, group_col: str, key_col: str, cap: int,
                   salt: str = "group-cap",
-                  broadcast_group_limit: int = 1_000_000) -> DataFrame:
+                  broadcast_group_limit: int = 1_000_000,
+                  head_prefilter_margin: "float | None" = None) -> DataFrame:
     """Cap each group at `cap` rows (per-domain document caps — the
     anti-SEO/anti-boilerplate balancing step of a web-crawl curation
     pipeline), keeping a DETERMINISTIC hash-ranked subset so reruns,
@@ -348,23 +349,64 @@ def per_group_cap(df: DataFrame, group_col: str, key_col: str, cap: int,
     shrinking from |corpus| to |head| (persist the input first if the
     scan itself dominates).  Ordering inside a group is
     (md5(salt||key), key) — the stratified_sample_n convention — so the
-    DuckDB oracle reproduces the exact kept set."""
+    DuckDB oracle reproduces the exact kept set.
+
+    `head_prefilter_margin` (e.g. 4.0) adds the MONSTER-group lever: a
+    single spam domain with 10^8 pages would still funnel through one
+    sort partition (a per-group window is one partition per group).
+    Because the rank order is a UNIFORM hash, the true top-`cap` rows of
+    a group of n sit below the hash quantile cap/n, so a per-row
+    prefix cut at margin·cap/n·2^48 keeps ~margin·cap rows per group —
+    and the kept set is PROVABLY unchanged: every survivor's hash prefix
+    sorts strictly before every cut row's, so whenever a group retains
+    >= cap survivors its window result is identical to the unfiltered
+    one.  Groups where the margin failed (binomial tail odds at
+    margin >= 2) are detected by that exact count check and re-windowed
+    from their full rows — exactness never depends on the margin."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     counts = (df.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("__n")))
-    over = counts.filter(F.col("__n") > cap).select(group_col)
-    n_over = over.count()  # scalar; the agg is group-bounded metadata
-    over_side = (F.broadcast(over) if n_over <= broadcast_group_limit
-                 else over)
-    under_rows = df.join(over_side, on=group_col, how="left_anti")
+    over_n = counts.filter(F.col("__n") > cap)
+    n_over = over_n.count()  # scalar; the agg is group-bounded metadata
+    guard = n_over <= broadcast_group_limit
+
+    def _side(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if guard else frame
+
+    over = over_n.select(group_col)
+    under_rows = df.join(_side(over), on=group_col, how="left_anti")
     h = F.expr(D.md5_hex(D.SPARK, key_col, salt))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
-    capped_head = (df.join(over_side, on=group_col, how="left_semi")
-                   .withColumn("__rk", F.row_number().over(w))
-                   .filter(F.col("__rk") <= cap)
-                   .drop("__rk"))
-    return under_rows.unionByName(capped_head)
+    if head_prefilter_margin is not None and cap > 0:
+        if head_prefilter_margin <= 0:
+            raise ValueError("head_prefilter_margin must be > 0, got "
+                             f"{head_prefilter_margin}")
+        head = df.join(_side(over_n), on=group_col)  # carries __n
+        prefix = F.expr(D.hash_uniform_long(D.SPARK, key_col, salt))
+        cutoff = F.least(
+            F.lit(float(2 ** 48)),
+            F.ceil(F.lit(head_prefilter_margin * cap)
+                   * F.lit(float(2 ** 48)) / F.col("__n")))
+        surv = head.filter(prefix < cutoff)
+        ok = (surv.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("__sn"))
+              .filter(F.col("__sn") >= cap).select(group_col))
+        ranked_src = (surv.join(_side(ok), on=group_col, how="left_semi")
+                      .unionByName(
+                          head.join(_side(ok), on=group_col,
+                                    how="left_anti")))
+        capped_head = (ranked_src
+                       .withColumn("__rk", F.row_number().over(w))
+                       .filter(F.col("__rk") <= cap)
+                       .drop("__rk", "__n"))
+    else:
+        capped_head = (df.join(_side(over), on=group_col, how="left_semi")
+                       .withColumn("__rk", F.row_number().over(w))
+                       .filter(F.col("__rk") <= cap)
+                       .drop("__rk"))
+    # USING-joins float the group column to the front; restore df's order
+    return under_rows.unionByName(capped_head).select(*df.columns)
 
 
 def per_group_cap_keep_sql(d: str, group_expr: str, key_expr: str,

@@ -379,8 +379,10 @@ def per_group_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sample import per_group_cap
 
     docs = load_table(spark, sf_dir, "documents")
+    # margin 4: the monster-group hash-quantile prefilter runs under the
+    # oracle — provably identical kept set (operators/sample.py)
     kept = per_group_cap(docs, "lang", "doc_id", DOC_CAP,
-                         salt=DOC_CAP_SALT)
+                         salt=DOC_CAP_SALT, head_prefilter_margin=4.0)
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum("doc_id").alias("id_sum"))

@@ -451,3 +451,52 @@ def test_score_weighted_filter_rates(spark, sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet' WHERE {pred}"
     ).fetchone()[0]
     assert mid == want
+
+
+def test_per_group_cap_head_prefilter_is_exact(spark, sf_dir):
+    """The hash-quantile prefilter must keep the kept set IDENTICAL to
+    the unfiltered window — at a generous margin, at a margin so tight
+    the exactness check routes every group through the fallback, and
+    with the kept set verified row-for-row in all cases."""
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.operators.sample import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 40
+    base = {r.doc_id for r in
+            per_group_cap(docs, "lang", "doc_id", cap)
+            .select("doc_id").collect()}
+    for margin in (4.0, 1.5, 0.2):  # 0.2 < 1: every group under-survives
+        got = {r.doc_id for r in
+               per_group_cap(docs, "lang", "doc_id", cap,
+                             head_prefilter_margin=margin)
+               .select("doc_id").collect()}
+        assert got == base, margin
+    # schema must be unchanged (helper columns dropped)
+    out = per_group_cap(docs, "lang", "doc_id", cap,
+                        head_prefilter_margin=4.0)
+    assert out.columns == docs.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        per_group_cap(docs, "lang", "doc_id", cap,
+                      head_prefilter_margin=0.0)
+
+
+def test_per_group_cap_prefilter_shrinks_the_sort_input(spark):
+    """On a synthetic monster group the rows entering the window must be
+    ~margin*cap, not the group size — measured by running the survivor
+    subplan logic: with n=20000 and cap=50 at margin 4, the hash cut
+    keeps a few hundred rows, never the full group."""
+    from pyspark.sql import functions as F
+
+    import replibyte_spark.dialect as D
+
+    n, cap, margin = 20000, 50, 4.0
+    df = spark.range(n).select(F.lit("dom").alias("g"),
+                               F.col("id").alias("k"))
+    prefix = F.expr(D.hash_uniform_long(D.SPARK, "k", "group-cap"))
+    cutoff = float(2 ** 48) * margin * cap / n
+    surv = df.filter(prefix < F.lit(cutoff)).count()
+    # binomial(n, margin*cap/n): mean 200, sd ~14 — wide bounds
+    assert cap <= surv <= 3 * margin * cap, surv
