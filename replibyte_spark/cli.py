@@ -127,6 +127,20 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="monster-group hash-quantile prefilter: the "
                            "sort sees ~margin*cap rows per group instead "
                            "of the group (kept set provably identical)")
+    quo = csub.add_parser(
+        "quota", help="streaming per-group admission quota over a parquet "
+                      "directory; re-running with the same --checkpoint "
+                      "resumes state, so quotas hold across arrivals")
+    quo.add_argument("-i", "--input", required=True,
+                     help="directory parquet files arrive into")
+    quo.add_argument("-o", "--output", required=True,
+                     help="admitted rows (streaming parquet sink)")
+    quo.add_argument("--checkpoint", required=True,
+                     help="stream checkpoint dir (holds per-group state "
+                          "AND the processed-file log)")
+    quo.add_argument("--group-col", default="source")
+    quo.add_argument("--id-col", default="doc_id")
+    quo.add_argument("--cap", type=int, required=True)
     scrub = csub.add_parser("scrub", help="redact PII from text columns")
     scrub.add_argument("-i", "--input", required=True)
     scrub.add_argument("-o", "--output", required=True)
@@ -519,6 +533,29 @@ def _cmd_corpus(spark, args) -> int:
         n_in, n_out = df.count(), spark.read.parquet(args.output).count()
         print(f"capped {args.group_col} at {args.cap}: {n_in} -> {n_out} "
               f"rows ({args.output})")
+        return 0
+    if args.corpus_cmd == "quota":
+        from .streaming.quota import streaming_group_quota
+
+        schema = spark.read.parquet(args.input).schema
+        for c in (args.group_col, args.id_col):
+            if c not in schema.names:
+                print(f"error: column not in input: {c}", file=sys.stderr)
+                return 2
+        stream = spark.readStream.schema(schema).parquet(args.input)
+        admitted = streaming_group_quota(stream, args.cap,
+                                         group_col=args.group_col,
+                                         id_col=args.id_col)
+        q = (admitted.writeStream.format("parquet")
+             .option("path", args.output)
+             .option("checkpointLocation", args.checkpoint)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        n = spark.read.parquet(args.output).count()
+        print(f"quota {args.group_col}<={args.cap}: {n} rows admitted so "
+              f"far ({args.output})")
         return 0
     if args.corpus_cmd == "scrub":
         from .functions.pii import scrub_pii

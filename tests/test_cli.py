@@ -893,3 +893,39 @@ def test_cli_corpus_cap(spark, tmp_path, capsys, sf_dir):
     assert main(["corpus", "cap", "-i", f"{sf_dir}/documents.parquet",
                  "-o", out, "--group-col", "nope", "--cap", "1"],
                 spark=spark) == 2
+
+
+def test_cli_corpus_quota_resumes_state_across_runs(spark, tmp_path, capsys):
+    """The production property: re-running `corpus quota` with the same
+    checkpoint processes only NEW files and the per-group budget carries
+    over — earlier admissions are never evicted, later arrivals only get
+    the remaining slots."""
+    import pandas as pd
+
+    src = tmp_path / "arrivals"
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def arrive(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "source"]).to_parquet(
+            src / name, index=False)
+
+    # batch 1: en has 3 docs against a cap of 4 — all admitted
+    arrive("b1.parquet", [(1, "en"), (2, "en"), (3, "en"), (10, "de")])
+    assert main(["corpus", "quota", "-i", str(src), "-o", out,
+                 "--checkpoint", ckpt, "--group-col", "source",
+                 "--cap", "4"], spark=spark) == 0
+    assert "4 rows admitted" in capsys.readouterr().out
+
+    # batch 2: en has 3 more — only ONE slot left, smallest id takes it
+    arrive("b2.parquet", [(4, "en"), (5, "en"), (6, "en"), (11, "de")])
+    assert main(["corpus", "quota", "-i", str(src), "-o", out,
+                 "--checkpoint", ckpt, "--group-col", "source",
+                 "--cap", "4"], spark=spark) == 0
+    assert "6 rows admitted" in capsys.readouterr().out
+
+    got = {(r.source, r.doc_id)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("en", 1), ("en", 2), ("en", 3), ("en", 4),
+                   ("de", 10), ("de", 11)}
