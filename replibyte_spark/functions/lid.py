@@ -97,6 +97,11 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
            " הוא ": 2, " עם ": 1, "ים ": 2, " אני ": 2, " גם ": 1},
     "hi": {" है ": 3, " का ": 2, " की ": 2, " के ": 2, " में ": 3,
            " और ": 3, " से ": 2, " को ": 2, " एक ": 2, " यह ": 2},
+    # hy (Armenian, r11): alone in its script class.  Grams avoid the
+    # և ligature (U+0587): its uppercase is the TWO-char 'ԵՎ', which
+    # lowercases to 'եվ' — the Greek-final-sigma case-round-trip trap.
+    "hy": {" է ": 3, " որ ": 2, " այս ": 2, " նա ": 2, " մի ": 2,
+           " են ": 2, "ում ": 2, " այն ": 2, " չի ": 2, " ես ": 1},
     # id/ms (r11) are CORE Latin — no diacritic to gate on, so they are
     # the first additions that cost Latin rows anything since r9 (+2 of
     # now 9 core profiles).  The pair shares most function words; the
@@ -113,8 +118,17 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # Chinese text, so they cleanly split the shared CJK script class
     "ja": {"の": 3, "を": 3, "に": 2, "は": 2, "が": 2,
            "で": 1, "て": 1, "た": 1, "です": 2, "する": 2},
+    # ka (Georgian, r11): Mkhedruli is what lowercased text contains
+    # (Mtavruli capitals lowercase back to it under full case mapping —
+    # verified by the case-invariance property test)
+    "ka": {" და ": 3, " არის ": 3, " არ ": 2, " ეს ": 2, " რომ ": 2,
+           " იყო ": 2, "ების": 2, " ის ": 2, " ერთი ": 2, " მე ": 1},
     "ko": {"는 ": 2, "의 ": 2, "을 ": 2, "이 ": 2, "가 ": 2,
            "다 ": 2, "에 ": 2, "고 ": 1, "하": 1, "니": 1},
+    # ml (Malayalam, r11): alone in its script class — the profile's job
+    # is evidence > 0; the script is caseless (no round-trip traps)
+    "ml": {" ഒരു ": 3, " ആണ് ": 3, " എന്ന് ": 2, " ഈ ": 2, " അത് ": 2,
+           " ഇല്ല ": 2, "ങ്ങൾ": 2, " ഉണ്ട് ": 2, "ത്തിൽ": 2, " അല്ല ": 1},
     "ms": {" yang ": 2, " dan ": 2, " ialah ": 3, " boleh ": 3,
            " kerana ": 3, " dalam ": 2, " anda ": 2, " tidak ": 1,
            " untuk ": 1, " dengan ": 1},
@@ -136,6 +150,14 @@ NGRAM_PROFILES: dict[str, dict[str, int]] = {
     # involved; the profile is the standard top function words
     "ru": {" и ": 3, " не ": 3, " что ": 3, " на ": 2, " в ": 2,
            "ть ": 2, "ый": 2, "ого": 2, " это ": 2, " он ": 1},
+    # ta (Tamil, r11): caseless single-script class
+    "ta": {" மற்றும் ": 3, " ஒரு ": 3, " இது ": 2, " என்று ": 2,
+           " அது ": 2, " இல்லை ": 2, "ங்கள்": 2, " அந்த ": 2,
+           "த்தில்": 2, " உள்ளது ": 2},
+    # te (Telugu, r11): caseless single-script class
+    "te": {" మరియు ": 3, " ఒక ": 3, " ఇది ": 2, " అని ": 2,
+           " కాదు ": 2, " ఈ ": 1, " ఉంది ": 2, "ంది ": 2,
+           " లో ": 1, " ఆ ": 1},
     "th": {"ที่": 3, "และ": 3, "การ": 2, "ของ": 2, "ไม่": 2,
            "เป็น": 2, "ได้": 2, "ใน": 1, "มี": 1, "ว่า": 2},
     "tr": {" bir ": 3, " ve ": 2, " bu ": 2, " için ": 3, " değil ": 3,
@@ -214,9 +236,14 @@ SCRIPT_LANGS: "dict[str, tuple[str, ...]]" = {
     # split the class
     "cyrillic": ("bg", "ru", "uk"),
     "devanagari": ("hi",),
+    "armenian": ("hy",),
+    "georgian": ("ka",),
     "greek": ("el",),
     "hangul": ("ko",),
     "hebrew": ("he",),
+    "malayalam": ("ml",),
+    "tamil": ("ta",),
+    "telugu": ("te",),
     "thai": ("th",),
 }
 _SCRIPT_RE = {  # Java + RE2 \x{...} syntax, identical in both engines
@@ -225,9 +252,14 @@ _SCRIPT_RE = {  # Java + RE2 \x{...} syntax, identical in both engines
     "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]+",
     "cyrillic": r"[\x{0400}-\x{04FF}]+",
     "devanagari": r"[\x{0900}-\x{097F}]+",
+    "armenian": r"[\x{0530}-\x{058F}]+",
+    "georgian": r"[\x{10A0}-\x{10FF}]+",
     "greek": r"[\x{0370}-\x{03FF}\x{1F00}-\x{1FFF}]+",
     "hangul": r"[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]+",
     "hebrew": r"[\x{0590}-\x{05FF}]+",
+    "malayalam": r"[\x{0D00}-\x{0D7F}]+",
+    "tamil": r"[\x{0B80}-\x{0BFF}]+",
+    "telugu": r"[\x{0C00}-\x{0C7F}]+",
     "thai": r"[\x{0E00}-\x{0E7F}]+",
 }
 LATIN_LANGS = tuple(L for L in LANGS
@@ -285,8 +317,36 @@ def _non_latin_probe_sql(d: str, t: str) -> str:
     return f"regexp_matches({t}, '{_NON_LATIN_PROBE}')"
 
 
+def _let_sql(d: str, val: str, var: str, body: str) -> str:
+    """Cross-dialect SQL let-binding (the repetition.py::_let idiom):
+    evaluate `val` once, bind it as lambda variable `var` in `body` —
+    lambda variables cannot be duplicated by Catalyst's alias
+    substitution, and the generated code contains `val` exactly once."""
+    if d == D.SPARK:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+    return f"list_extract(list_transform([{val}], {var} -> {body}), 1)"
+
+
+def script_class_sql(d: str, norm: str) -> str:
+    """The row's dominant script class as a small string ('latin',
+    'cjk', ...): the ASCII fast path first (find-first probe — a pure-
+    Latin row pays one short scan and no per-script counting), then one
+    strip-scan per script class until the >30% claim fires, ELSE
+    'latin' (Vietnamese-additional chars arrive here)."""
+    branches = " ".join(
+        f"WHEN {SCRIPT_FRAC_DEN} * {_script_count_sql(d, norm, s)} > "
+        f"{SCRIPT_FRAC_NUM} * length({norm}) THEN '{s}'"
+        for s in sorted(SCRIPT_LANGS))
+    return (f"CASE WHEN NOT {_non_latin_probe_sql(d, norm)} THEN 'latin' "
+            f"{branches} ELSE 'latin' END")
+
+
+_LANG_CLASS = {L: s for s, langs in SCRIPT_LANGS.items() for L in langs}
+
+
 def lang_scores_array_sql(d: str, text: str,
-                          norm: str | None = None) -> str:
+                          norm: str | None = None,
+                          script: str | None = None) -> str:
     """All profile scores as ONE array expression (order = sorted langs).
     This is the expensive part — dozens of replace/length calls per row —
     so consumers stage it into a column/subquery and derive pred/score
@@ -297,51 +357,49 @@ def lang_scores_array_sql(d: str, text: str,
     elimination dedups it within one projection, but a staged column
     makes the contract explicit instead of relying on it.
 
-    The array is a CASE over script classes (see SCRIPT_LANGS): the
-    row's dominant script picks which profiles are evaluated, the rest
-    are literal 0.0 — conditional evaluation means per-row gram cost is
-    the row's own script family, not the union of all languages."""
+    Structure (late r11): the dominant script class is computed ONCE
+    into a let-bound lambda variable, and every slot of the single
+    31-language array is gated per-SLOT on it (CASE short-circuits, so
+    out-of-class profiles are never evaluated).  The previous shape — a
+    CASE over script classes each holding a full per-class array — was
+    QUADRATIC in generated code (classes × slots): at 31 languages the
+    whole-stage-codegen method crossed the JVM 64 KB limit ('Failed to
+    compile', silent interpreted fallback, the exact r10 failure mode
+    the sentinel method caught then and the codegen-compile test locks
+    now).  Per-slot gating off the let variable is linear — each score
+    expression and each strip-scan appears exactly once — and per-row
+    cost is unchanged: one probe, the row's own script counts, and only
+    the row's own class profiles.
+
+    Pass `script` as a STAGED column holding :func:`script_class_sql`
+    on hot paths (identify_language does): like `norm`, CollapseProject
+    declines to re-inline a non-cheap alias referenced more than once,
+    so the class expression is evaluated once per row as a real column.
+    Neither a let-lambda nor textual inlining works on the hot path:
+    lambda bodies are evaluated INTERPRETED (wrapping the 31-profile
+    array in a transform() let measured ~1.2-2× on the sf0.1 gate), and
+    31 inlined copies of the class CASE push the codegen method back
+    over the JVM 64 KB limit.  The default (no `script`) — oracles and
+    small-row tests — wraps the whole array in the let binding instead:
+    the class expression still evaluates once per row (31 inlined
+    copies made the DuckDB oracle evaluate ~800 regexp strips per row),
+    at interpreted-lambda cost that only tiny row counts ever pay."""
     norm = norm or _norm_sql(d, text)
-
-    def arr(langs: "tuple[str, ...]",
-            gated: "tuple[str, ...]" = ()) -> str:
-        """Scores array; langs in `gated` are wrapped per-SLOT in the
-        extended-Latin probe instead of duplicating the whole array
-        under a nested CASE — at 20 languages the duplicated-array form
-        exceeds the JVM 64KB method limit and silently drops the whole
-        projection to interpreted mode (measured 2× on the sf0.1 gate;
-        the per-slot form compiles)."""
-        zero = "CAST(0.0 AS DOUBLE)"
-        parts = []
-        for L in LANGS:
-            if L not in langs:
-                parts.append(zero)
-                continue
-            s = lang_ngram_score_sql(d, text, L, norm)
-            if L in gated:
-                s = (f"CASE WHEN {_ext_latin_probe_sql(d, norm)} "
-                     f"THEN {s} ELSE {zero} END")
-            parts.append(s)
-        scores = ", ".join(parts)
-        return (f"array({scores})" if d == D.SPARK else f"[{scores}]")
-
-    branches = " ".join(
-        f"WHEN {SCRIPT_FRAC_DEN} * {_script_count_sql(d, norm, s)} > "
-        f"{SCRIPT_FRAC_NUM} * length({norm}) THEN {arr(langs)}"
-        for s, langs in sorted(SCRIPT_LANGS.items()))
-    # the Latin branch itself is diacritic-gated (late r10): only rows
-    # carrying an extended-Latin char evaluate pl/tr/vi on top of the
-    # core seven — ASCII and Latin-1-accented rows take one probe
-    latin = arr(LATIN_LANGS, gated=EXTENDED_LATIN_LANGS)
-    # ASCII fast path: no non-Latin char at all → Latin branch directly,
-    # zero per-script counting (equivalent result — all counts would be
-    # 0 — but one probe instead of |scripts| strip-scans per row).
-    # (Extended-Latin diacritics sit BELOW U+0370, so pl/tr rows take
-    # this fast path too and are caught by the nested diacritic gate;
-    # Vietnamese-additional chars are above it and arrive via the final
-    # ELSE after the script counts all miss.)
-    return (f"CASE WHEN NOT {_non_latin_probe_sql(d, norm)} THEN {latin} "
-            f"{branches} ELSE {latin} END")
+    zero = "CAST(0.0 AS DOUBLE)"
+    sc = script if script is not None else "__sc"
+    parts = []
+    for L in LANGS:
+        s = lang_ngram_score_sql(d, text, L, norm)
+        cls = _LANG_CLASS.get(L, "latin")
+        cond = f"{sc} = '{cls}'"
+        if L in EXTENDED_LATIN_LANGS:
+            cond = f"{cond} AND {_ext_latin_probe_sql(d, norm)}"
+        parts.append(f"CASE WHEN {cond} THEN {s} ELSE {zero} END")
+    scores = ", ".join(parts)
+    arr = f"array({scores})" if d == D.SPARK else f"[{scores}]"
+    if script is not None:
+        return arr
+    return _let_sql(d, script_class_sql(d, norm), "__sc", arr)
 
 
 def pred_from_scores_sql(d: str, ls: str) -> str:
@@ -399,14 +457,17 @@ def identify_language(df: DataFrame, text_col: str = "text",
     extended-Latin diacritic gate — ASCII rows pay one probe) — plan
     lock in test_lid)."""
     norm_col = f"__{pred_alias}_norm"
+    sc_col = f"__{pred_alias}_script"
     arr_col = f"__{pred_alias}_scores"
     staged = (df.withColumn(norm_col,
                             F.expr(_norm_sql(D.SPARK, text_col)))
+              .withColumn(sc_col,
+                          F.expr(script_class_sql(D.SPARK, norm_col)))
               .withColumn(arr_col, F.expr(lang_scores_array_sql(
-                  D.SPARK, text_col, norm=norm_col))))
+                  D.SPARK, text_col, norm=norm_col, script=sc_col))))
     return (staged
             .withColumn(pred_alias,
                         F.expr(pred_from_scores_sql(D.SPARK, arr_col)))
             .withColumn(score_alias,
                         F.expr(score_from_scores_sql(D.SPARK, arr_col)))
-            .drop(norm_col, arr_col))
+            .drop(norm_col, sc_col, arr_col))

@@ -69,6 +69,20 @@ SENTENCES = [
     ("id", "ini adalah hari yang indah dan saya tidak mau di rumah"),
     ("ms", "anda boleh bermain dalam taman kerana hari ini cerah"),
     ("ms", "buku itu ialah hadiah dan anda boleh membacanya kerana ia bagus"),
+    # late-r11 single-script additions (ta/te/ml/ka/hy)
+    ("ta", "பூனை மற்றும் நாய் தோட்டத்தில் விளையாடுகின்றன இது ஒரு நல்ல நாள்"),
+    ("ta", "அவன் புத்தகம் படிக்க விரும்புகிறான் அது அவனுக்கு பிடிக்கும்"),
+    ("te", "పిల్లి మరియు కుక్క తోటలో ఆడుతున్నాయి ఇది ఒక మంచి రోజు"),
+    ("te", "అతను పుస్తకం చదవాలని అనుకుంటున్నాడు కాని ఇది కాదు అని చెప్పాడు"),
+    ("ml", "പൂച്ചയും നായയും തോട്ടത്തിൽ കളിക്കുന്നു ഇത് ഒരു നല്ല ദിവസം ആണ്"),
+    ("ml", "അവൻ പുസ്തകം വായിക്കാൻ ഇഷ്ടപ്പെടുന്നു എന്ന് അവൾ പറഞ്ഞു"),
+    ("ka", "კატა და ძაღლი თამაშობენ ბაღში ეს არის კარგი დღე"),
+    ("ka", "ის წიგნს კითხულობს და ეს არ იყო ერთი ადვილი საქმე"),
+    # hy sentences use the two-letter եւ spelling, not the և ligature:
+    # upper(և)='ԵՎ' (two chars) lowercases to 'եվ', changing the
+    # normalized LENGTH and thus the score denominator (see lid.py)
+    ("hy", "կատուն եւ շունը խաղում են այգում սա մի գեղեցիկ օր է"),
+    ("hy", "նա գիրք է կարդում եւ այս գործը նրան դուր է գալիս"),
 ]
 
 # the measured floor: profile edits that regress classification on the
@@ -241,3 +255,24 @@ def test_lid_extended_latin_diacritic_gate(spark):
              for r in identify_language(df).collect()}
     assert preds[3] == "pl" and preds[4] == "tr" and preds[5] == "vi"
     assert preds[1] == "fr"
+
+
+def test_lid_projection_survives_codegen_with_fallback_disabled(spark):
+    """The 64 KB-method regression lock: with codegen fallback disabled a
+    'Failed to compile' aborts instead of silently running interpreted —
+    the exact failure mode the 31-language growth hit before the
+    per-slot let-binding rewrite (quadratic classes×slots arrays)."""
+    from pyspark.sql import functions as F
+
+    from replibyte_spark.functions.lid import identify_language
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = spark.createDataFrame(
+            [(i, t) for i, (_, t) in enumerate(SENTENCES)],
+            "doc_id long, text string")
+        out = identify_language(df)
+        assert out.count() == len(SENTENCES)
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
