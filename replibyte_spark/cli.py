@@ -141,6 +141,17 @@ def _build_parser() -> argparse.ArgumentParser:
     quo.add_argument("--group-col", default="source")
     quo.add_argument("--id-col", default="doc_id")
     quo.add_argument("--cap", type=int, required=True)
+    wsa = csub.add_parser(
+        "weighted", help="quality-weighted sampling: keep each row with "
+                         "probability score/1e6 (deterministic hash draw)")
+    wsa.add_argument("-i", "--input", required=True)
+    wsa.add_argument("-o", "--output", required=True)
+    wsa.add_argument("--id-col", default="doc_id")
+    wsa.add_argument("--score-col", default=None,
+                     help="integer millionths column to use as the "
+                          "keep-probability (default: stopword-density "
+                          "score over --text-col)")
+    wsa.add_argument("--text-col", default="text")
     scrub = csub.add_parser("scrub", help="redact PII from text columns")
     scrub.add_argument("-i", "--input", required=True)
     scrub.add_argument("-o", "--output", required=True)
@@ -556,6 +567,29 @@ def _cmd_corpus(spark, args) -> int:
         n = spark.read.parquet(args.output).count()
         print(f"quota {args.group_col}<={args.cap}: {n} rows admitted so "
               f"far ({args.output})")
+        return 0
+    if args.corpus_cmd == "weighted":
+        from . import dialect as D
+        from .operators.sample import score_weighted_filter
+        from .workload.subset_queries import _quality_score_sql
+
+        df = spark.read.parquet(args.input)
+        if args.score_col is not None:
+            if args.score_col not in df.columns:
+                print(f"error: column not in input: {args.score_col}",
+                      file=sys.stderr)
+                return 2
+            score = f"CAST({args.score_col} AS BIGINT)"
+        elif args.text_col in df.columns:
+            score = _quality_score_sql(D.SPARK, args.text_col)
+        else:
+            print(f"error: column not in input: {args.text_col}",
+                  file=sys.stderr)
+            return 2
+        kept = score_weighted_filter(df, args.id_col, score)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = df.count(), spark.read.parquet(args.output).count()
+        print(f"weighted sample: {n_in} -> {n_out} rows ({args.output})")
         return 0
     if args.corpus_cmd == "scrub":
         from .functions.pii import scrub_pii

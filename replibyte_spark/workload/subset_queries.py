@@ -423,14 +423,14 @@ register(Query("per_group_doc_cap", per_group_doc_cap, _doc_cap_oracle(),
 QW_SALT = "quality-w"
 
 
-def _quality_score_sql(d: str) -> str:
+def _quality_score_sql(d: str, text_col: str = "text") -> str:
     """Integer quality score in millionths: stopword density × 8 capped
     at 1e6 — i.e. a doc whose words are >= 12.5% Gopher stopwords is
     always kept, a 3% doc survives at ~0.24.  Built once for both
     dialects (the drift-proof convention)."""
     from ..functions.gopher import REQUIRED_STOPWORDS, words_sql
 
-    w = words_sql(d, "text")
+    w = words_sql(d, text_col)
     stop_pred = f"x -> {D.array_contains_lit(d, list(REQUIRED_STOPWORDS), 'x')}"
     n_stop = D.array_len(d, D.array_filter(d, w, stop_pred))
     n_words = D.array_len(d, w)

@@ -929,3 +929,28 @@ def test_cli_corpus_quota_resumes_state_across_runs(spark, tmp_path, capsys):
            for r in spark.read.parquet(out).collect()}
     assert got == {("en", 1), ("en", 2), ("en", 3), ("en", 4),
                    ("de", 10), ("de", 11)}
+
+
+def test_cli_corpus_weighted(spark, tmp_path, capsys, sf_dir):
+    out = str(tmp_path / "weighted")
+    assert main(["corpus", "weighted", "-i", f"{sf_dir}/documents.parquet",
+                 "-o", out], spark=spark) == 0
+    msg = capsys.readouterr().out
+    assert "weighted sample:" in msg
+    n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_out = spark.read.parquet(out).count()
+    assert 0 < n_out < n_in
+
+    # explicit score column: 1e6 keeps everything
+    from pyspark.sql import functions as F
+
+    scored = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .withColumn("s", F.lit(1_000_000)))
+    src = str(tmp_path / "scored.parquet")
+    scored.write.mode("overwrite").parquet(src)
+    assert main(["corpus", "weighted", "-i", src, "-o", out,
+                 "--score-col", "s"], spark=spark) == 0
+    assert spark.read.parquet(out).count() == n_in
+
+    assert main(["corpus", "weighted", "-i", src, "-o", out,
+                 "--score-col", "nope"], spark=spark) == 2
