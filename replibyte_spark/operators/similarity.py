@@ -473,33 +473,25 @@ def ivf_probe_expr(vec_col: str, cents, n_probe: int) -> str:
 
 
 def ivf_probe_col(vec_col: str, cents, n_probe: int):
-    """:func:`ivf_probe_expr` as a DSL Column whose centroid set rides in
-    TWO literal NODES (``F.lit`` of the id list / coefficient matrix)
-    instead of n_cells·dim inlined literal expressions — the same
-    plan-size lever as :func:`~.quantize.pq_lut_col` (inlined centroid
-    literals cost Catalyst analysis per CALL; the probe projection runs
-    on the handful of query rows, so constant-folding buys nothing).
-    Numerics are bit-identical to the inlined form: ``zip_with`` +
-    ``aggregate`` walk the same index order with the same
-    CAST(float AS DOUBLE) · double products and 0.0D init as
-    :func:`_lit_dot_sql`, and the struct sort keeps the d DESC /
-    centroid_id ASC tie-break.  The CORPUS-side assignment
-    (:func:`_assign_expr`) intentionally stays literal-inlined — it runs
-    per corpus row, where codegen constant-folding pays."""
-    ids = F.lit([cid for cid, _ in cents])
-    cvs = F.lit([[float(x) for x in cv] for _, cv in cents])
+    """:func:`ivf_probe_expr` as a DSL Column — the single probe entry
+    point shared by :func:`ivf_topk`, the quantized variants
+    (operators/quantize.py) and the recall audit.
 
-    def entry(i):
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), F.element_at(cvs, i),
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.struct((-dot).alias("nd"),
-                        F.element_at(ids, i).alias("centroid_id"))
-
-    arr = F.transform(F.sequence(F.lit(1), F.lit(len(cents))), entry)
-    return F.transform(F.slice(F.array_sort(arr), 1, n_probe),
-                       lambda s: s["centroid_id"])
+    r12 A/B note: the r11 rewrite carried the centroid set in two
+    ``F.lit`` literal NODES with ``zip_with``/``aggregate`` lambda dots
+    (the :func:`~.quantize.pq_lut_col` plan-size lever).  A one-session
+    interleaved min-of-5 A/B at sf0.1 showed that form loses 1.3-1.7×
+    (ivf_topk 2.57 s lambda vs 1.54 s inlined; ann_scale_ivf 1.66 vs
+    1.27): higher-order-function lambda bodies evaluate INTERPRETED
+    (same finding as functions/lid.py's staged-script notes), and the
+    probe's sort comparator re-evaluates them, so even a
+    handful-of-query-rows projection pays.  A 16-centroid × dim inlined
+    expression is small enough for codegen (~16·dim literals, far under
+    the 64 KB method limit at dim≤64), so the probe stays inlined; the
+    literal-node lever remains only where it pays — the ~25 KB PQ LUT,
+    which is built ONCE per query as a column and only indexed, never
+    re-folded, inside the comparator."""
+    return F.expr(ivf_probe_expr(vec_col, cents, n_probe))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
