@@ -29,4 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    out = {}
+    for name, q in REGISTRY.items():
+        sql = q.oracle_text()
+        if sql is not None:
+            out[name] = sql
+    return out

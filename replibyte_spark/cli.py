@@ -1136,8 +1136,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if getattr(args, "source_cmd", None) == "stats":
             from .introspect import table_stats
 
-            wanted = (set(args.tables.split(",")) if args.tables
-                      else set(tables))
+            # whitespace-tolerant ('orders, region' means region too) and
+            # loud about typos: a silently-ignored unknown name would
+            # report stats for a DIFFERENT table set than asked (r12
+            # ADVICE)
+            wanted = (set(t.strip() for t in args.tables.split(",")
+                          if t.strip())
+                      if args.tables else set(tables))
+            unknown = sorted(wanted - set(tables))
+            if unknown:
+                print(f"error: unknown table(s): {', '.join(unknown)} "
+                      f"(source has: {', '.join(sorted(tables))})",
+                      file=sys.stderr)
+                return 2
             out = None
             for t in sorted(tables):
                 if t not in wanted:

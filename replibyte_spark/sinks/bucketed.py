@@ -20,7 +20,12 @@ re-registers the SAME files with ``register_bucketed_table`` (CREATE
 TABLE ... USING PARQUET CLUSTERED BY ... LOCATION): bucket file names
 carry their bucket id, so a re-registered table keeps its exchange-free
 read path — the layout, like every layout here, is the durable artifact
-and the catalog entry is cheap metadata.
+and the catalog entry is cheap metadata.  The spec (bucket column +
+count) is written to a ``_bucket_spec.json`` sidecar at write time and
+VALIDATED on re-attach: Spark trusts the DDL blindly, so registering
+existing files under a different spec (a changed constant, a renamed
+key) would silently produce wrong exchange-free join results (r12
+ADVICE) — the sidecar turns that into a loud error.
 
 Reference analogue: Replibyte has no storage-layout planning at all (its
 datastore is an opaque blob archive, datastore/s3.rs); this module exists
@@ -29,12 +34,49 @@ because a Spark-first engine can make the dump itself join-optimal.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+SPEC_FILE = "_bucket_spec.json"
 
 
 def _ddl_columns(df: DataFrame) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                      for f in df.schema.fields)
+
+
+def _write_spec(path: str, bucket_col: str, n_buckets: int,
+                sort: bool) -> None:
+    with open(os.path.join(path, SPEC_FILE), "w") as f:
+        json.dump({"bucket_col": bucket_col, "n_buckets": n_buckets,
+                   "sort": sort, "version": 1}, f)
+
+
+def read_bucket_spec(path: str) -> "dict | None":
+    """The spec the layout at `path` was written with, or None for a
+    pre-spec layout (written before r12)."""
+    p = os.path.join(path, SPEC_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _check_spec(path: str, bucket_col: str, n_buckets: int) -> None:
+    spec = read_bucket_spec(path)
+    if spec is None:
+        return  # pre-spec layout: caller carries the contract (documented)
+    if (spec["bucket_col"] != bucket_col
+            or int(spec["n_buckets"]) != int(n_buckets)):
+        raise ValueError(
+            f"bucketed layout at {path} was written CLUSTERED BY "
+            f"({spec['bucket_col']}) INTO {spec['n_buckets']} BUCKETS but "
+            f"is being registered as ({bucket_col}) INTO {n_buckets}; "
+            f"Spark would trust the wrong DDL and return incorrect "
+            f"exchange-free join results — rewrite the layout or fix the "
+            f"caller's spec")
 
 
 def write_bucketed_table(df: DataFrame, spark: SparkSession, name: str,
@@ -55,6 +97,7 @@ def write_bucketed_table(df: DataFrame, spark: SparkSession, name: str,
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(name)
+    _write_spec(path, bucket_col, n_buckets, sort)
 
 
 def register_bucketed_table(spark: SparkSession, name: str, path: str,
@@ -63,8 +106,10 @@ def register_bucketed_table(spark: SparkSession, name: str, path: str,
     """Re-attach an existing bucketed layout (written earlier, possibly by
     another session) to this session's catalog.  The DDL must repeat the
     bucket spec the files were written with — bucket ids live in the file
-    NAMES, so a wrong spec here would silently mis-bucket reads; callers
-    keep the spec with the layout (the meta-sidecar convention)."""
+    NAMES, so a wrong spec here would silently mis-bucket reads.  The
+    spec sidecar written by :func:`write_bucketed_table` is validated
+    here; a mismatch raises instead of registering."""
+    _check_spec(path, bucket_col, n_buckets)
     sorted_by = f"SORTED BY (`{bucket_col}`) " if sort else ""
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     spark.sql(
@@ -78,12 +123,10 @@ def ensure_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
                           path: str, bucket_col: str,
                           n_buckets: int) -> DataFrame:
     """Idempotently materialize-or-attach the bucketed layout and return
-    it as a DataFrame: registered → as-is; files present → re-register;
-    else → write.  The _SUCCESS marker gates reuse (a torn write never
-    registers)."""
+    it as a DataFrame: registered → as-is; files present → re-register
+    (spec-validated); else → write.  The _SUCCESS marker gates reuse (a
+    torn write never registers)."""
     if not spark.catalog.tableExists(name):
-        import os
-
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             register_bucketed_table(spark, name, path, df, bucket_col,
                                     n_buckets)

@@ -8,17 +8,26 @@ enforces the budget as data arrives, first-come-first-admitted.
 
 State per group is one integer (admitted so far): O(1) per key,
 partitioned by the group key across executors like any shuffle.  Within
-a micro-batch the group's rows are sorted by the id column before the
-remaining budget is applied, so a single-batch run is deterministic and
-replays byte-identically from a checkpoint; across batches admission is
-arrival-ordered by construction.  The per-group ADMITTED COUNT —
-min(cap, group size) once the stream drains — is independent of how the
-source chopped the data into batches, which is what the DuckDB oracle
-checks.
+a micro-batch ALL of the group's Arrow chunks are concatenated and
+sorted by the id column before the remaining budget is applied
+(applyInPandasWithState delivers a large group as multiple ~10k-row
+chunks; r12 ADVICE — a per-chunk sort made the admitted SET depend on
+chunk boundaries once a capped group spanned more than one chunk, so a
+"deterministic single-batch replay" held only for small groups).  The
+concat is bounded by the group's size within ONE micro-batch — the unit
+applyInPandasWithState already materializes per key on an executor —
+not by the stream's history, so the 100 TB shape is unchanged: O(batch
+share of the group) memory, one integer of state.  Across batches
+admission is arrival-ordered by construction.  The per-group ADMITTED
+COUNT — min(cap, group size) once the stream drains — is independent of
+how the source chopped the data into batches, which is what the DuckDB
+oracle checks; the in-batch sort additionally pins the admitted SET for
+any fixed batch partitioning.
 
 Production shape: the quota stream runs in front of the incremental
 dedup index (operators/ingest.py) so a runaway domain can't flood the
-admit tier no matter how many batches it spans.
+admit tier no matter how many batches it spans (gated end-to-end by
+workload/streaming_queries.py's quota→admit composition).
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ from collections.abc import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 STATE_SCHEMA = StructType([
     StructField("admitted", LongType()),
@@ -40,18 +49,21 @@ def _make_update(cap: int, id_field: str):
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (group,) = key
         admitted, seen = state.get if state.exists else (0, 0)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_field)  # in-batch determinism
-            seen += len(pdf)
+        # one concat + one sort across every chunk of this group's batch:
+        # the admitted set must not depend on Arrow chunk boundaries
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (pd.concat(chunks) if len(chunks) > 1 else chunks[0])
+            batch = batch.sort_values(id_field)
+            seen += len(batch)
             budget = cap - admitted
             if budget > 0:
-                take = pdf.head(budget)
+                take = batch.head(budget)
                 admitted += len(take)
-                out.append(take)
+                state.update((admitted, seen))
+                yield take
+                return
         state.update((admitted, seen))
-        if out:
-            yield pd.concat(out)
 
     return update
 
@@ -60,12 +72,17 @@ def streaming_group_quota(docs: DataFrame, cap: int,
                           group_col: str = "lang",
                           id_col: str = "doc_id") -> DataFrame:
     """Admit at most `cap` rows per group over the stream's lifetime,
-    emitting the admitted (group, id) rows as they arrive."""
+    emitting the admitted (group, id) rows as they arrive.
+
+    The output/state schema is derived from the input columns' actual
+    types (r12 ADVICE: a hardcoded string/long pair broke any
+    ``corpus quota --group-col/--id-col`` pointing at e.g. an int group
+    or a string id at Arrow conversion time)."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     out_schema = StructType([
-        StructField(group_col, StringType()),
-        StructField(id_col, LongType()),
+        StructField(group_col, docs.schema[group_col].dataType),
+        StructField(id_col, docs.schema[id_col].dataType),
     ])
     return (docs.select(group_col, id_col)
             .groupBy(group_col)

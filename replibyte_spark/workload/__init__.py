@@ -20,9 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 class Query:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
+    # A str is used as-is; a zero-arg callable is resolved (and cached) the
+    # first time the oracle is actually needed — gate/test time, never
+    # module import.  Oracles that must inspect the fixtures (e.g.
+    # table_stats_profile DESCRIBEs the parquet footer for its column
+    # list) register the builder itself, so importing the workload package
+    # stays fixture-free and duckdb-free (r12, ADVICE: the eager build
+    # crashed any CLI import on a machine without /root/testdata).
+    oracle: "str | Callable[[], str] | None" = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+
+    def oracle_text(self) -> "str | None":
+        if callable(self.oracle):
+            self.oracle = self.oracle()
+        return self.oracle
 
 
 # The driver's correctness artifact records only the FIRST 50 entries of

@@ -246,5 +246,8 @@ def _table_stats_oracle() -> str:
             + " ORDER BY table_name, column_name")
 
 
+# the BUILDER is registered (not its result): it DESCRIBEs fixture parquet
+# and imports duckdb, so it must run at gate/test time, never module import
+# (Query.oracle_text resolves it lazily; r12, ADVICE fix)
 register(Query("table_stats_profile", table_stats_profile,
-               _table_stats_oracle(), tags=("introspect",)), extra=True)
+               _table_stats_oracle, tags=("introspect",)), extra=True)

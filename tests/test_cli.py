@@ -876,7 +876,18 @@ def test_cli_source_stats(spark, conf, capsys):
 
     assert main(["-c", conf, "source", "stats", "--tables", "nope"],
                 spark=spark) == 2
-    assert "no matching tables" in capsys.readouterr().err
+    assert "unknown table(s): nope" in capsys.readouterr().err
+
+    # r12 ADVICE: whitespace-tolerant list, and an unknown name errors
+    # even when other names match (it must not be silently ignored)
+    assert main(["-c", conf, "source", "stats", "--tables",
+                 "nation, region"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "n_nationkey" in out
+
+    assert main(["-c", conf, "source", "stats", "--tables",
+                 "region,typo_table"], spark=spark) == 2
+    assert "unknown table(s): typo_table" in capsys.readouterr().err
 
 
 def test_cli_corpus_cap(spark, tmp_path, capsys, sf_dir):

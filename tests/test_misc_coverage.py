@@ -407,3 +407,32 @@ def test_table_stats_approx_is_expand_free_and_close_to_exact(spark, sf_dir):
         F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp")))).first()
     assert exact["o_orderdate"].min_num == float(lo)
     assert exact["o_orderdate"].max_num == float(hi)
+
+
+def test_workload_import_is_fixture_and_duckdb_free():
+    """Importing the workload package must not read fixture parquet or
+    import duckdb (r12 ADVICE: the table_stats oracle used to DESCRIBE
+    the parquet footer at module import, so any CLI entry point crashed
+    on a machine without /root/testdata).  Oracles that need the
+    fixtures register a builder callable that Query.oracle_text()
+    resolves lazily at gate/test time."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "class Block:\n"
+        "    def find_module(self, name, path=None):\n"
+        "        if name == 'duckdb':\n"
+        "            raise ImportError('duckdb blocked')\n"
+        "sys.meta_path.insert(0, Block())\n"
+        "import replibyte_spark.workload as W\n"
+        "assert len(W.REGISTRY) == 50, len(W.REGISTRY)\n"
+        "q = W.EXTRA['table_stats_profile']\n"
+        "assert callable(q.oracle), 'stats oracle must stay lazy'\n"
+    )
+    env = dict(__import__("os").environ,
+               SPARK_GRAFT_TEST_SF_DIR="/nonexistent-fixture-dir")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr

@@ -55,9 +55,10 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     got_cols = df.columns
     got = _rows(tuple(r) for r in df.collect())
     assert len(got) > 0, f"{name}: empty result"
-    if q.oracle is None:
+    sql = q.oracle_text()
+    if sql is None:
         pytest.skip(f"{name}: no oracle (rows-only check: {len(got)} rows)")
-    cur = duck.execute(q.oracle)
+    cur = duck.execute(sql)
     want_cols = [d[0] for d in cur.description]
     want = _rows(cur.fetchall())
     assert got_cols == want_cols, f"{name}: column names differ: {got_cols} vs {want_cols}"

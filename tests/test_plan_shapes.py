@@ -457,6 +457,38 @@ def test_bucketed_layout_reattaches_across_catalog_loss(spark, sf_dir):
     assert before == after
 
 
+def test_bucketed_reattach_refuses_wrong_spec(spark, sf_dir, tmp_path):
+    """r12 ADVICE: the spec sidecar written with the layout must be
+    validated on re-attach — a changed bucket count or key would make
+    Spark trust wrong DDL and return incorrect exchange-free joins."""
+    import pytest
+
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.bucketed import (ensure_bucketed_table,
+                                                read_bucket_spec,
+                                                write_bucketed_table)
+
+    path = str(tmp_path / "bkt_spec")
+    region = load_table(spark, sf_dir, "region")
+    write_bucketed_table(region, spark, "rs_spec_probe", path,
+                         "r_regionkey", 4)
+    assert read_bucket_spec(path) == {"bucket_col": "r_regionkey",
+                                      "n_buckets": 4, "sort": True,
+                                      "version": 1}
+    spark.sql("DROP TABLE IF EXISTS rs_spec_probe")
+    with pytest.raises(ValueError, match="INTO 4 BUCKETS"):
+        ensure_bucketed_table(spark, region, "rs_spec_probe", path,
+                              "r_regionkey", 8)
+    with pytest.raises(ValueError, match="CLUSTERED BY"):
+        ensure_bucketed_table(spark, region, "rs_spec_probe", path,
+                              "r_name", 4)
+    # the matching spec still re-attaches
+    df = ensure_bucketed_table(spark, region, "rs_spec_probe", path,
+                               "r_regionkey", 4)
+    assert df.count() == region.count()
+    spark.sql("DROP TABLE IF EXISTS rs_spec_probe")
+
+
 def test_federated_join_pushes_filter_to_jdbc(spark, sf_dir):
     """The dimension predicate must reach the DATABASE, not run in Spark:
     the JDBC scan row carries the c_acctbal filter in PushedFilters, and

@@ -117,5 +117,49 @@ def test_quota_update_zero_cap_and_multiple_chunks():
     assert sorted(out["doc_id"].tolist()) == [3, 4, 5]
     assert state.get == (3, 3)
 
+    # r12 ADVICE regression: when the budget is exhausted MID-batch, the
+    # admitted SET must be the globally-smallest ids across ALL chunks —
+    # a per-chunk sort would admit [4, 5] here and the result would
+    # depend on where Arrow happened to split the group
+    update = _make_update(2, "doc_id")
+    state = _FakeState()
+    out = pd.concat(list(update(("en",), chunks, state)))
+    assert sorted(out["doc_id"].tolist()) == [3, 4]
+    assert state.get == (2, 3)
+
     with _pytest.raises(ValueError):
         streaming_group_quota(None, -1)
+
+
+def test_quota_schema_follows_input_types(spark, tmp_path):
+    """r12 ADVICE: `corpus quota --group-col/--id-col` may point at any
+    column types; the output/state row must derive from the input schema
+    (int group + string id used to die in Arrow conversion against the
+    hardcoded string/long pair)."""
+    import uuid as _uuid
+
+    from replibyte_spark.streaming.quota import streaming_group_quota
+
+    src = str(tmp_path / "quota_typed_src")
+    (spark.range(20)
+     .select((F.col("id") % 3).cast("int").alias("grp"),
+             F.concat(F.lit("d"), F.col("id")).alias("doc"))
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    stream = (spark.readStream.schema("grp int, doc string").parquet(src))
+    out = streaming_group_quota(stream, cap=4, group_col="grp",
+                                id_col="doc")
+    assert [f.dataType.simpleString() for f in out.schema.fields] == \
+        ["int", "string"]
+    name = f"quota_typed_{_uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_qt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table(name)
+    counts = {r.grp: r["count"] for r in got.groupBy("grp").count().collect()}
+    assert counts == {0: 4, 1: 4, 2: 4}
+    # cap applies to the id-sorted head: group 0 has d0,d12,d15,d18,d21...
+    # string sort => d0 < d12 < d15 < d18 < d3 < d6 < d9
+    d0 = sorted(r.doc for r in got.filter("grp = 0").collect())
+    assert d0 == ["d0", "d12", "d15", "d18"]
