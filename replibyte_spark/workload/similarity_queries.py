@@ -114,15 +114,19 @@ def _build_cached_dir(final_path: str, build_fn) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ann_index_key(sf_dir: str) -> str:
+    from .pipeline import _dataset_fingerprint
+
+    return (sf_dir.strip("/").replace("/", "_") + "_"
+            + _dataset_fingerprint(sf_dir, "embeddings")
+            + f"_b{BITS}c{IVF_CENTROIDS}")
+
+
 def _ann_index(spark: SparkSession, sf_dir: str):
     import os
     import tempfile
 
-    from .pipeline import _dataset_fingerprint
-
-    key = (sf_dir.strip("/").replace("/", "_") + "_"
-           + _dataset_fingerprint(sf_dir, "embeddings")
-           + f"_b{BITS}c{IVF_CENTROIDS}")
+    key = _ann_index_key(sf_dir)
     path = _ANN_INDEX_PATHS.get(key)
     if path is None:
         path = os.path.join(tempfile.gettempdir(), f"rs_ann_index_{key}")
@@ -247,16 +251,22 @@ register(Query("embedding_near_dup", embedding_near_dup, _near_dup_oracle(),
 def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k through the materialized index: cell assignments and
     norms from storage, centroids from the index sidecar — the measured
-    cost is probe + rank, as it would be on a cell-partitioned corpus."""
+    cost is probe + rank, as it would be on a cell-partitioned corpus.
+    The probe count defaults from the layout's meta sidecar (r12: the
+    autotune regulator is wired to the read path; this index is built
+    without target_recall, so the sidecar is NULL and IVF_PROBE is the
+    resolved default — ann_tuned_ivf_topk exercises the tuned branch)."""
     corpus, cents = _ann_index(spark, sf_dir)
+    path = _ANN_INDEX_PATHS[_ann_index_key(sf_dir)]
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return S.ivf_topk(corpus, queries, k=K,
-                      n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+                      n_centroids=IVF_CENTROIDS,
+                      n_probe=S.sidecar_n_probe(spark, path, IVF_PROBE),
                       centroids=cents)
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(n_probe: int = IVF_PROBE) -> str:
     d = D.DUCK
     dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
     return f"""
@@ -277,7 +287,7 @@ WITH cent AS (
                               ORDER BY {dot_ec} DESC, c.centroid_id ASC) AS rn
     FROM embeddings e CROSS JOIN cent c
     WHERE e.vec_id % {QUERY_MOD} = 0
-  ) WHERE rn <= {IVF_PROBE}
+  ) WHERE rn <= {n_probe}
 ), scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          {S.cosine_sql(d, 'q.qv', 'v.embedding')} AS cosine
@@ -352,6 +362,85 @@ ORDER BY q.query_id
 
 register(Query("ivf_recall_audit", ivf_recall_audit,
                _ivf_recall_oracle(), tags=("similarity",)), extra=True)
+
+
+# --- autotuned probe count, end to end (r12) --------------------------------
+# build_ann_index(target_recall=...) has recorded the picked n_probe in the
+# meta sidecar since r11, but every consumer hand-set IVF_PROBE — the
+# regulator existed and nothing was wired to it (r11 VERDICT item 3).  This
+# gate closes the loop: the index is built WITH a recall target, the query
+# path takes its probe count FROM the sidecar (sidecar_n_probe), and the
+# oracle replays the probe ranking at that same tuned count — so a wiring
+# break (consumer ignoring the sidecar, sidecar recording a wrong pick)
+# hash-mismatches instead of silently degrading recall.
+
+TUNE_TARGET = 0.6
+
+
+def _tuned_index_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = (_ann_index_key(sf_dir)
+           + f"_tr{int(TUNE_TARGET * 100)}k{K}")
+    return os.path.join(tempfile.gettempdir(), f"rs_ann_tuned_{key}")
+
+
+def _tuned_ann_index(spark: SparkSession, sf_dir: str):
+    path = _tuned_index_path(sf_dir)
+
+    def build(tmp: str) -> None:
+        S.build_ann_index(load_table(spark, sf_dir, "embeddings"), tmp,
+                          bits=BITS, n_centroids=IVF_CENTROIDS,
+                          dim=EMB_DIM, target_recall=TUNE_TARGET,
+                          tune_k=K)
+
+    _build_cached_dir(path, build)
+    corpus, cents = S.load_ann_index(spark, path)
+    return corpus, cents, path
+
+
+def ann_tuned_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the probe count the build-time autotune recorded
+    for recall >= TUNE_TARGET — no hand-set n_probe anywhere on this
+    path."""
+    corpus, cents, path = _tuned_ann_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    n_probe = S.sidecar_n_probe(spark, path, IVF_PROBE)
+    return S.ivf_topk(corpus, queries, k=K,
+                      n_centroids=IVF_CENTROIDS, n_probe=n_probe,
+                      centroids=cents)
+
+
+def _tuned_ivf_oracle() -> str:
+    """Lazy (resolved at gate/test time, after the Spark side built the
+    layout): reads the tuned n_probe straight from the meta sidecar
+    parquet with DuckDB — the oracle must rank at the SAME probe count
+    the sidecar dictates, so the wiring itself is what's checked."""
+    import glob
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    meta = glob.glob(os.path.join(_tuned_index_path(sf), "meta",
+                                  "*.parquet"))
+    if not meta:
+        raise RuntimeError(
+            f"tuned ANN index not built yet at {_tuned_index_path(sf)} — "
+            f"run the ann_tuned_ivf_topk Spark side first (the parity "
+            f"test does; the oracle deliberately resolves lazily)")
+    import duckdb
+
+    n_probe = duckdb.connect().execute(
+        f"SELECT n_probe FROM '{meta[0]}'").fetchone()[0]
+    if n_probe is None:
+        raise RuntimeError("tuned index sidecar has NULL n_probe — built "
+                           "without target_recall?")
+    return _ivf_oracle(n_probe=int(n_probe))
+
+
+register(Query("ann_tuned_ivf_topk", ann_tuned_ivf_topk,
+               _tuned_ivf_oracle, tags=("similarity",)), extra=True)
 
 
 # ---------------------------------------------------------------------------
@@ -468,10 +557,11 @@ def ann_scale_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF through the materialized index: n_probe cells per query."""
     import os
     base, cents = _ann_scale_fixture(spark, sf_dir)
-    corpus, _ = S.load_ann_index(spark, os.path.join(base, "index"),
-                                 with_centroids=False)
+    idx = os.path.join(base, "index")
+    corpus, _ = S.load_ann_index(spark, idx, with_centroids=False)
     return S.ivf_topk(corpus, _scale_queries(spark, base), k=K,
-                      n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+                      n_centroids=IVF_CENTROIDS,
+                      n_probe=S.sidecar_n_probe(spark, idx, IVF_PROBE),
                       centroids=cents)
 
 
@@ -887,10 +977,13 @@ def quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivf_topk_quantized
 
     corpus, cents = _ann_index(spark, sf_dir)
+    path = _ANN_INDEX_PATHS[_ann_index_key(sf_dir)]
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return ivf_topk_quantized(corpus, queries, cents, k=K,
-                              n_probe=IVF_PROBE, expand=QEXPAND)
+                              n_probe=S.sidecar_n_probe(spark, path,
+                                                        IVF_PROBE),
+                              expand=QEXPAND)
 
 
 def _quantized_ivf_oracle() -> str:
@@ -970,10 +1063,13 @@ def ann_scale_qivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivf_topk_quantized
 
     base, cents = _ann_scale_fixture(spark, sf_dir)
-    corpus, _ = S.load_ann_index(spark, os.path.join(base, "index"),
-                                 with_centroids=False)
+    idx = os.path.join(base, "index")
+    corpus, _ = S.load_ann_index(spark, idx, with_centroids=False)
     return ivf_topk_quantized(corpus, _scale_queries(spark, base), cents,
-                              k=K, n_probe=IVF_PROBE, expand=QEXPAND)
+                              k=K,
+                              n_probe=S.sidecar_n_probe(spark, idx,
+                                                        IVF_PROBE),
+                              expand=QEXPAND)
 
 
 def _ann_scale_qivf_oracle() -> str:
@@ -1052,11 +1148,12 @@ def ann_scale_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivf_topk_pq
 
     base, cents = _ann_scale_fixture(spark, sf_dir)
-    corpus, _ = S.load_ann_index(spark, os.path.join(base, "index"),
-                                 with_centroids=False)
+    idx = os.path.join(base, "index")
+    corpus, _ = S.load_ann_index(spark, idx, with_centroids=False)
     return ivf_topk_pq(corpus, _scale_queries(spark, base), cents,
                        _scale_books(spark, base), k=K,
-                       n_probe=IVF_PROBE, expand=QEXPAND)
+                       n_probe=S.sidecar_n_probe(spark, idx, IVF_PROBE),
+                       expand=QEXPAND)
 
 
 def _ann_scale_pq_oracle() -> str:

@@ -259,3 +259,28 @@ def test_build_ann_index_records_tuned_n_probe(spark, tmp_path, sf_dir):
     path2 = str(tmp_path / "ann_untuned")
     S.build_ann_index(emb, path2, n_centroids=4, dim=64)
     assert S.load_ann_index_meta(spark, path2)["n_probe"] is None
+
+
+def test_tuned_gate_probe_comes_from_sidecar_and_meets_target(spark, sf_dir):
+    """r12: the autotune loop is closed — the ann_tuned_ivf_topk gate's
+    probe count is the sidecar's pick, and the recall that pick was
+    chosen for actually holds on the layout (curve[picked] >= target at
+    the gate's own k)."""
+    from replibyte_spark.operators import similarity as S
+    from replibyte_spark.workload.similarity_queries import (
+        IVF_PROBE, K, TUNE_TARGET, _tuned_ann_index)
+
+    corpus, cents, path = _tuned_ann_index(spark, sf_dir)
+    tuned = S.sidecar_n_probe(spark, path, IVF_PROBE)
+    meta = S.load_ann_index_meta(spark, path)
+    assert meta["n_probe"] == tuned, "consumer default must BE the sidecar"
+    # re-measure the recall curve on the stored layout at the gate's k:
+    # the pick must meet the target it was recorded for
+    picked, curve = S.pick_ivf_n_probe(corpus, corpus, centroids=cents,
+                                       k=K, target_recall=TUNE_TARGET)
+    assert picked == tuned, (picked, tuned)
+    assert curve[tuned] >= TUNE_TARGET, curve
+    # and the tuned pick is a real decision, not the hand-set constant
+    # passing through (isotropic fixture needs far more than 2/16 cells
+    # for recall 0.6)
+    assert tuned > IVF_PROBE, (tuned, IVF_PROBE)
