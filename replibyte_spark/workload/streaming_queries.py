@@ -523,3 +523,134 @@ GROUP BY lang ORDER BY lang
 
 register(Query("streaming_quota_admit", streaming_quota_admit, QUOTA_ORACLE,
                tags=("streaming", "stateful", "sample")), extra=True)
+
+
+# --- quota composed IN FRONT of the full admit tier (r12) -------------------
+# The production shape quota.py's docstring promises: the per-group quota
+# stream runs ahead of the 3-tier incremental dedup admit, so a runaway
+# domain is rate-limited BEFORE it spends exact/MinHash/embedding work —
+# the quota is one integer of state per group, the admit tiers only ever
+# see the survivors.  Stream ≡ batch holds end-to-end because both stages
+# are batch-split-insensitive: the quota's lifetime count is
+# min(cap, group size) regardless of chopping, and each admit decision is
+# per-doc-vs-index (never batch-peer-dependent), so the composed oracle is
+# the quota window INTERSECTED with the one-shot admit decisions.
+
+QCAP_FA = 10
+
+
+def streaming_quota_full_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow stream: the full-admit gate's engineered 4-branch
+    batch (raw + exact/semantic/lexical recrawl slices, each carrying its
+    base doc's lang) flows first through streaming_group_quota (at most
+    QCAP_FA docs per lang for the stream's lifetime), then each
+    micro-batch of quota survivors through full_incremental_admit
+    against the stored MinHash + ANN sidecars via foreachBatch (text and
+    embedding re-attached by a stream-static join on the engineered id —
+    the quota stage deliberately carries only (lang, doc_id): one narrow
+    row into state, the wide columns rejoin after the gate)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.ingest import full_incremental_admit
+    from ..streaming.quota import streaming_group_quota
+    from .dedup_queries import (FA_EXACT_SHIFT, FA_LEX_SHIFT, FA_PROBE,
+                                FA_SEM_SHIFT, FA_SEM_T, MHI_MOD,
+                                MHI_THRESHOLD, _fa_ann_index, _fa_batch,
+                                _minhash_index_fixture)
+
+    mh = _minhash_index_fixture(spark, sf_dir)
+    ann = _fa_ann_index(spark, sf_dir)
+    fab_static = _fa_batch(spark, sf_dir).localCheckpoint(eager=True)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    p = os.path.join(sf_dir, "documents.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(p))
+              .parquet(os.path.dirname(p)))
+    m = F.col("doc_id") % MHI_MOD
+    batch_stream = (
+        stream.filter(m == 0).select("lang", "doc_id")
+        .unionByName(
+            stream.filter((m == 1) & (F.col("doc_id") < 30))
+            .select("lang",
+                    (F.col("doc_id") + FA_EXACT_SHIFT).alias("doc_id")))
+        .unionByName(
+            stream.filter((m == 1) & (F.col("doc_id") >= 30)
+                          & (F.col("doc_id") < 60))
+            .select("lang",
+                    (F.col("doc_id") + FA_SEM_SHIFT).alias("doc_id")))
+        .unionByName(
+            stream.filter((m == 1) & (F.col("doc_id") >= 60)
+                          & (F.col("doc_id") < 90))
+            .select("lang",
+                    (F.col("doc_id") + FA_LEX_SHIFT).alias("doc_id"))))
+    quota_out = streaming_group_quota(batch_stream, QCAP_FA,
+                                      group_col="lang", id_col="doc_id")
+    out_dir = tempfile.mkdtemp(prefix="rs_qfadmit_out_")
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
+
+    def admit(mb_df, _epoch_id: int) -> None:
+        survivors = mb_df.join(fab_static, "doc_id")
+        (full_incremental_admit(survivors, mh, ann,
+                                lexical_threshold=MHI_THRESHOLD,
+                                semantic_threshold=FA_SEM_T,
+                                multi_probe=FA_PROBE)
+         .select("lang", "doc_id")
+         .write.mode("append").parquet(out_dir))
+
+    q = (quota_out.writeStream.foreachBatch(admit)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    try:
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming quota->admit did not finish within 180s")
+        out = spark.read.parquet(out_dir)
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return snap.orderBy("doc_id")
+
+
+def _quota_full_admit_oracle() -> str:
+    from .dedup_queries import (FA_EXACT_SHIFT, FA_LEX_SHIFT, FA_SEM_SHIFT,
+                                MHI_MOD, _fa_oracle)
+
+    return f"""
+WITH fab AS (
+  SELECT d.lang, d.doc_id FROM documents d WHERE d.doc_id % {MHI_MOD} = 0
+  UNION ALL
+  SELECT d.lang, d.doc_id + {FA_EXACT_SHIFT} FROM documents d
+  WHERE d.doc_id % {MHI_MOD} = 1 AND d.doc_id < 30
+  UNION ALL
+  SELECT d.lang, d.doc_id + {FA_SEM_SHIFT} FROM documents d
+  WHERE d.doc_id % {MHI_MOD} = 1 AND d.doc_id >= 30 AND d.doc_id < 60
+  UNION ALL
+  SELECT d.lang, d.doc_id + {FA_LEX_SHIFT} FROM documents d
+  WHERE d.doc_id % {MHI_MOD} = 1 AND d.doc_id >= 60 AND d.doc_id < 90
+), qwin AS (
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+    FROM fab
+  ) WHERE rk <= {QCAP_FA}
+)
+SELECT q.lang, a.doc_id
+FROM ({_fa_oracle()}) a JOIN qwin q ON a.doc_id = q.doc_id
+WHERE a.decision = 'admitted'
+ORDER BY a.doc_id
+"""
+
+
+register(Query("streaming_quota_full_admit", streaming_quota_full_admit,
+               _quota_full_admit_oracle,
+               tags=("streaming", "stateful", "dedup", "similarity",
+                     "index")), extra=True)
