@@ -511,6 +511,12 @@ def _prepare_archive_fixture(spark: SparkSession, sf_dir: str) -> None:
     _archive_fixture(spark, sf_dir)
 
 
+# ~8M rows of (long, short string) ≈ a few hundred MB serialized — the
+# usual 'comfortably under executor memory' broadcast ceiling used by the
+# other measured guards (retrieval df-side, salient-terms vocab)
+FED_BROADCAST_ROW_LIMIT = 8_000_000
+
+
 def federated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous-source federation: the customer dimension lives in a
     DATABASE (embedded Derby over JDBC — the reference's S1/S2 source
@@ -535,8 +541,17 @@ def federated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("c_acctbal") > 0)
            .select(F.col("c_custkey").cast("long").alias("o_custkey"),
                    "c_mktsegment"))
+    # measured-count broadcast guard (r12, the repo-wide pattern): JDBC
+    # relations carry no size statistics, so Catalyst can't veto a
+    # too-big broadcast hint on its own — an operational customer table
+    # is *usually* dimension-sized, but "usually" is not a contract.
+    # The count is one pushed-down scalar query against the database;
+    # past the limit the join falls back to shuffle (still correct, and
+    # the dimension filter still pushes into the database either way).
+    dim_rows = dim.count()
+    dim_side = dim if dim_rows > FED_BROADCAST_ROW_LIMIT else F.broadcast(dim)
     orders = load_table(spark, sf_dir, "orders")
-    return (orders.join(F.broadcast(dim), on="o_custkey")
+    return (orders.join(dim_side, on="o_custkey")
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
@@ -551,4 +566,8 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_acctbal > 0
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
-               tags=("pipeline", "jdbc", "join")), extra=True)
+               # driver-visible since r12 (was EXTRA): the heterogeneous
+               # JDBC-pushdown ⋈ parquet surface — took
+               # transformer_registry's slot (that static listing stays
+               # oracle-checked in EXTRA)
+               tags=("pipeline", "jdbc", "join")))
