@@ -495,5 +495,8 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+# driver-visible since r12 (was EXTRA): the only exchange-free-layout
+# proof in the registry — took source_schema_listing's slot (that
+# metadata listing stays oracle-checked in EXTRA).
 register(Query("bucketed_join_revenue", bucketed_join_revenue,
-               BUCKETED_JOIN_ORACLE, tags=("join", "layout")), extra=True)
+               BUCKETED_JOIN_ORACLE, tags=("join", "layout")))

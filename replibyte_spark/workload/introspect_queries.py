@@ -155,8 +155,12 @@ def _registry_oracle() -> str:
             f"ORDER BY id")
 
 
+# EXTRA since r12: a static 13-row listing is the lowest-risk gate in the
+# registry (no scan, no shuffle, no state; still oracle-checked by
+# pytest); its driver slot went to federated_join_revenue — the
+# JDBC-pushdown ⋈ parquet surface previously only covered in EXTRA.
 register(Query("transformer_registry", transformer_registry,
-               _registry_oracle(), tags=("introspect",)))
+               _registry_oracle(), tags=("introspect",)), extra=True)
 
 
 # --- I1: source schema vs DuckDB's information_schema -------------------------
@@ -192,8 +196,12 @@ ORDER BY table_name, ordinal
 """
 
 
+# EXTRA since r12: a metadata listing vs information_schema (I1 parity
+# stays pytest-oracle-checked); its driver slot went to
+# bucketed_join_revenue — the write-once-shuffle-never layout proof,
+# the only exchange-free-join surface in the registry.
 register(Query("source_schema_listing", source_schema_listing,
-               _schema_oracle(), tags=("introspect",)))
+               _schema_oracle(), tags=("introspect",)), extra=True)
 
 
 # --- distributed ANALYZE (round 11: SS2 made real) ---------------------------
