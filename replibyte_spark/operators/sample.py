@@ -72,12 +72,14 @@ def stratified_sample_n(df: DataFrame, stratum: str, key: str, n: int,
                         salt: str = "strata-n") -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, deterministically: rank
     rows inside each stratum by a hash of the key and keep the first n.
-    Per-group window ⇒ one shuffle on the stratum, no global sort."""
-    h = F.expr(D.md5_hex(D.SPARK, key, salt))
-    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
-    return (df.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= n)
-            .drop("__rk"))
+
+    r12: delegates to :func:`per_group_cap` — same ordering convention
+    ((md5(salt||key), key)), so the kept SET is identical to the
+    original single-window rendering, but under-cap strata now bypass
+    the sort entirely and only the over-cap head is ranked (the skew
+    lesson per_group_cap learned in r11, VERDICT item 7: one code path
+    for capped-group selection instead of a naive global-window twin)."""
+    return per_group_cap(df, stratum, key, n, salt=salt)
 
 
 def systematic_percent(df: DataFrame, order_key: str, pct: int) -> DataFrame:
