@@ -19,8 +19,48 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+# Clean-window sentinels (warm-min thresholds at cpus=32, sf0.1, from the
+# committed clean recordings).  Loadavg is blind to hypervisor steal, so a
+# recording is trusted only when rows of three DIFFERENT shapes all land
+# at their idle cost: a scan/agg (q1), a shuffle-heavy salted join (zipf),
+# and — r12, after the r11 artifact shipped minhash/simhash ~2× dirty
+# while BOTH scan sentinels passed — a pure hash-fan-out row (minhash),
+# the shape most sensitive to steal that scan sentinels underreport.
+SENTINELS = {
+    "q1_pricing_summary": 0.45,
+    "zipf_hot_join_salted": 2.3,
+    "minhash_near_dup": 2.3,
+}
+SENTINEL_CPUS, SENTINEL_SF = 32, "0.1"
+# r12 recording rule: a code-untouched row moving more than this vs the
+# last COMMITTED recording means the window (or an unnoticed regression)
+# is lying — either way the recording must not be committed as-is.
+DRIFT_LIMIT = 1.5
+
+
+def _committed_sidecar(path: str) -> "dict | None":
+    """The last git-committed bench_raw.json (the previous clean
+    recording), falling back to the on-disk file when git is unavailable.
+    Comparing against HEAD rather than the working copy means an aborted
+    dirty run can't become the next run's baseline."""
+    rel = os.path.relpath(path, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "show", f"HEAD:{rel}"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=10)
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+    except Exception:
+        pass
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
 
 
 def load_gate(cpus: int) -> "tuple[float, bool]":
@@ -196,6 +236,34 @@ def main() -> None:
                         os.path.dirname(os.path.abspath(__file__)),
                         sidecar_name))
     loadavg_end = [round(x, 2) for x in os.getloadavg()]
+
+    # clean-window verdict: sentinel thresholds (cpus/sf-matched runs
+    # only) + per-row drift vs the last committed recording.  Both go to
+    # the sidecar so a recording carries its own admissibility evidence;
+    # drift is attribution (code may have legitimately changed), the
+    # sentinel breach is disqualifying.
+    sentinel_breach: dict[str, list] = {}
+    if cpus == SENTINEL_CPUS and sf == SENTINEL_SF:
+        for n, limit in SENTINELS.items():
+            if n in timings and timings[n] > limit:
+                sentinel_breach[n] = [timings[n], limit]
+    drift_vs_committed: dict[str, float] = {}
+    prev = _committed_sidecar(sidecar_path)
+    if prev and prev.get("cpus") == cpus and prev.get("sf_dir") == sf_dir:
+        for n, rt in (prev.get("raw_times") or {}).items():
+            if n in timings and rt and min(rt) > 0:
+                ratio = timings[n] / min(rt)
+                if ratio > DRIFT_LIMIT or ratio < 1 / DRIFT_LIMIT:
+                    drift_vs_committed[n] = round(ratio, 2)
+    if sentinel_breach:
+        print(f"# WARNING: sentinel breach {sentinel_breach} — this window "
+              f"is NOT clean, do not commit this recording",
+              file=sys.stderr)
+    if drift_vs_committed:
+        print(f"# drift >{DRIFT_LIMIT}x vs last committed recording: "
+              f"{drift_vs_committed} — code-untouched movers mean a dirty "
+              f"window", file=sys.stderr)
+
     with open(sidecar_path, "w") as fh:
         json.dump({
             "raw_times": raw_times,
@@ -206,6 +274,10 @@ def main() -> None:
             "loadavg_end": loadavg_end,
             "load_limit": round(load_limit, 2),
             "load_polluted": load_polluted,
+            "sentinels": SENTINELS,
+            "sentinel_breach": sentinel_breach,
+            "drift_limit": DRIFT_LIMIT,
+            "drift_vs_committed": drift_vs_committed,
             "runs": runs, "extra_runs": extra_runs,
             "spread_limit": spread_limit, "cpus": cpus, "sf_dir": sf_dir,
         }, fh, indent=1)
@@ -226,6 +298,8 @@ def main() -> None:
     }
     if load_polluted:
         summary["load_polluted"] = True
+    if sentinel_breach:
+        summary["sentinel_breach"] = sorted(sentinel_breach)
     print(json.dumps(summary))
 
 

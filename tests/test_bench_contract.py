@@ -70,6 +70,17 @@ def test_bench_emits_one_json_line_with_contract_schema(tmp_path):
     # load-average attribution: pre/post plus per-query snapshots
     assert len(raw["loadavg_start"]) == 3 and len(raw["loadavg_end"]) == 3
     assert set(raw["loadavg_at_query"]) == set(rec["queries"])
+    # r12: the sidecar carries its own admissibility evidence — sentinel
+    # thresholds, breaches (none here: sentinels apply only at the
+    # recording shape cpus=32/sf0.1), and drift vs the committed
+    # recording (none here: the committed sidecar is a different sf)
+    assert set(raw["sentinels"]) == {"q1_pricing_summary",
+                                     "zipf_hot_join_salted",
+                                     "minhash_near_dup"}
+    assert raw["sentinel_breach"] == {}
+    assert raw["drift_vs_committed"] == {}
+    assert raw["drift_limit"] == 1.5
+    assert "sentinel_breach" not in rec
 
 
 def test_bench_load_gate_backs_off_then_flags(monkeypatch, capsys):
