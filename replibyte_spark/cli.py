@@ -326,9 +326,12 @@ def _build_parser() -> argparse.ArgumentParser:
     clu.add_argument("--cap", type=int, default=1000,
                      help="sample: max rows kept per cluster")
     cpt = csub.add_parser(
-        "compact", help="consolidate an append-grown index's file layout "
-                        "(MinHash or ANN, auto-detected)")
-    cpt.add_argument("--index", required=True, help="index directory")
+        "compact", help="consolidate a grown layout's files: MinHash or "
+                        "ANN index, or a time-partitioned table "
+                        "(auto-detected; partitioned rewrite is a "
+                        "crash-safe staged swap)")
+    cpt.add_argument("--index", required=True,
+                     help="index or partitioned-layout directory")
     cpt.add_argument("--max-records-per-file", type=int, default=2_000_000)
     fadm = csub.add_parser(
         "fulladmit",
@@ -397,6 +400,31 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="also compute the exact Jaccard column "
                           "(quadratic distinct-gram join — verification "
                           "scale only)")
+    ese = csub.add_parser(
+        "esearch", help="ANN top-k over a materialized eindex; the probe "
+                        "count defaults from the index's autotuned meta "
+                        "sidecar when the build set --target-recall")
+    ese.add_argument("--index", required=True, help="index directory")
+    ese.add_argument("-q", "--queries", required=True,
+                     help="parquet of query vectors (same id/vec columns)")
+    ese.add_argument("-o", "--output", required=True)
+    ese.add_argument("--id-col", default="vec_id")
+    ese.add_argument("--vec-col", default="embedding")
+    ese.add_argument("--k", type=int, default=5)
+    ese.add_argument("--method", choices=("ivf", "lsh"), default="ivf")
+    ese.add_argument("--n-probe", type=int, default=None,
+                     help="IVF cells per query (default: the tuned value "
+                          "from the index meta sidecar, else 2)")
+    ese.add_argument("--multi-probe", type=int, default=0,
+                     help="LSH neighbor buckets per query (method=lsh)")
+    part = csub.add_parser(
+        "partition", help="rewrite a parquet corpus as a time-partitioned "
+                          "layout (one directory per day; date-range "
+                          "queries prune to matching directories)")
+    part.add_argument("-i", "--input", required=True)
+    part.add_argument("-o", "--output", required=True)
+    part.add_argument("--ts-col", default="ts")
+    part.add_argument("--date-col", default="event_date")
     return p
 
 
@@ -942,12 +970,81 @@ def _cmd_corpus(spark, args) -> int:
                           f"centroids no longer describe the corpus; "
                           f"rebuild the index (corpus eindex) instead of "
                           f"appending further", file=sys.stderr)
+        elif (os.path.isdir(args.index)
+              and any("=" in e and os.path.isdir(os.path.join(args.index, e))
+                      for e in os.listdir(args.index))):
+            # a time-partitioned table layout (partition dirs like
+            # event_date=2024-01-03): size-targeted per-partition rewrite
+            # with the staged-swap safety (sinks/partitioned.py)
+            from .sinks.partitioned import compact_time_partitions
+
+            date_col = next(e.split("=", 1)[0]
+                            for e in sorted(os.listdir(args.index))
+                            if "=" in e
+                            and os.path.isdir(os.path.join(args.index, e)))
+            st = compact_time_partitions(
+                spark, args.index,
+                target_rows_per_file=args.max_records_per_file,
+                date_col=date_col)
+            print(f"compacted {st['partitions']} partitions: "
+                  f"{st['files_before']} -> {st['files_after']} files")
+            return 0
         else:
-            print(f"error: no MinHash or ANN index layout at {args.index}",
-                  file=sys.stderr)
+            print(f"error: no MinHash/ANN index or partitioned layout at "
+                  f"{args.index}", file=sys.stderr)
             return 2
         for sub, (nb, na) in stats.items():
             print(f"compacted {sub}: {nb} -> {na} files")
+        return 0
+    if args.corpus_cmd == "esearch":
+        from .operators.similarity import (ivf_topk, load_ann_index,
+                                           load_ann_index_meta, lsh_topk,
+                                           sidecar_n_probe)
+
+        corpus, cents = load_ann_index(spark, args.index)
+        queries = spark.read.parquet(args.queries)
+        missing = [c for c in (args.id_col, args.vec_col)
+                   if c not in queries.columns]
+        if missing:
+            print(f"error: column(s) not in queries: {', '.join(missing)}",
+                  file=sys.stderr)
+            return 2
+        if args.method == "ivf":
+            n_probe = (args.n_probe if args.n_probe is not None
+                       else sidecar_n_probe(spark, args.index, 2))
+            out = ivf_topk(corpus, queries, k=args.k,
+                           id_col=args.id_col, vec_col=args.vec_col,
+                           n_probe=n_probe, centroids=cents)
+            how = f"ivf n_probe={n_probe}" + (
+                " (sidecar-tuned)" if args.n_probe is None and
+                load_ann_index_meta(spark, args.index).get("n_probe")
+                is not None else "")
+        else:
+            meta = load_ann_index_meta(spark, args.index)
+            out = lsh_topk(corpus, queries, k=args.k, bits=meta["bits"],
+                           seed=meta["seed"], id_col=args.id_col,
+                           vec_col=args.vec_col,
+                           multi_probe=args.multi_probe, dim=meta["dim"])
+            how = f"lsh bits={meta['bits']} multi_probe={args.multi_probe}"
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        nq = res.select("query_id").distinct().count()
+        print(f"top-{args.k} neighbors for {nq} queries -> {args.output} "
+              f"({how})")
+        return 0
+    if args.corpus_cmd == "partition":
+        from .sinks.partitioned import partition_files, write_time_partitioned
+
+        df = spark.read.parquet(args.input)
+        if args.ts_col not in df.columns:
+            print(f"error: column not in input: {args.ts_col}",
+                  file=sys.stderr)
+            return 2
+        write_time_partitioned(df, args.output, ts_col=args.ts_col,
+                               date_col=args.date_col)
+        parts = partition_files(args.output)
+        print(f"partitioned -> {args.output} ({len(parts)} {args.date_col} "
+              f"partitions, {sum(len(v) for v in parts.values())} files)")
         return 0
     if args.corpus_cmd == "lid":
         from .functions.lid import identify_language

@@ -500,3 +500,63 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # metadata listing stays oracle-checked in EXTRA).
 register(Query("bucketed_join_revenue", bucketed_join_revenue,
                BUCKETED_JOIN_ORACLE, tags=("join", "layout")))
+
+
+# --- time-partitioned layout + partition pruning (round 12) -----------------
+# The range twin of the bucketed layout: events written PARTITIONED BY
+# event_date, so a date-range query prunes to the matching directories at
+# planning time (PartitionFilters in the scan, locked by
+# tests/test_plan_shapes.py — at 100 TB with daily partitions a one-week
+# query reads ~0.2% of the files).  The oracle recomputes from the raw
+# table with the equivalent timestamp predicate, so the layout must be
+# lossless AND the date derivation must agree with CAST(ts AS DATE).
+
+PART_LO, PART_HI = "2024-01-08", "2024-01-14"
+
+_PART_LAYOUT_PATHS: dict[str, str] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..sinks.partitioned import write_time_partitioned
+    from .pipeline import _dataset_fingerprint
+
+    key = (sf_dir.strip("/").replace("/", "_") + "_"
+           + _dataset_fingerprint(sf_dir, "events"))
+    path = _PART_LAYOUT_PATHS.get(key)
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), f"rs_part_events_{key}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_time_partitioned(load_table(spark, sf_dir, "events"),
+                                   path, ts_col="ts")
+        _PART_LAYOUT_PATHS[key] = path
+    return path
+
+
+def partitioned_events_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range aggregation through the partitioned layout: the range
+    predicate lands on the partition column, so only the window's
+    directories are scanned."""
+    from ..sinks.partitioned import load_time_partitioned
+
+    df = load_time_partitioned(spark, _partitioned_events(spark, sf_dir))
+    return (df.filter(F.col("event_date").between(PART_LO, PART_HI))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("event_type"))
+
+
+PARTITIONED_EVENTS_ORACLE = f"""
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN '{PART_LO}' AND '{PART_HI}'
+GROUP BY event_type ORDER BY event_type
+"""
+
+register(Query("partitioned_events_revenue", partitioned_events_revenue,
+               PARTITIONED_EVENTS_ORACLE, tags=("layout", "agg"),
+               bench=True), extra=True)

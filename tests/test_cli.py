@@ -965,3 +965,72 @@ def test_cli_corpus_weighted(spark, tmp_path, capsys, sf_dir):
 
     assert main(["corpus", "weighted", "-i", src, "-o", out,
                  "--score-col", "nope"], spark=spark) == 2
+
+
+def test_cli_corpus_esearch_uses_tuned_sidecar(spark, tmp_path, capsys,
+                                               sf_dir):
+    """`corpus esearch` with no --n-probe takes the probe count the
+    build-time autotune recorded; --n-probe overrides; method=lsh reads
+    bits/seed/dim from the meta sidecar."""
+    vecs = str(tmp_path / "es_vecs.parquet")
+    (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+     .filter("vec_id < 200").write.parquet(vecs))
+    idx = str(tmp_path / "es_idx")
+    assert main(["corpus", "eindex", "-i", vecs, "-o", idx,
+                 "--dim", "64", "--target-recall", "0.5"],
+                spark=spark) == 0
+    built = capsys.readouterr().out
+    assert "tuned n_probe=" in built
+    queries = str(tmp_path / "es_q.parquet")
+    (spark.read.parquet(vecs).filter("vec_id % 50 = 0")
+     .write.parquet(queries))
+    out = str(tmp_path / "es_out.parquet")
+    assert main(["corpus", "esearch", "--index", idx, "-q", queries,
+                 "-o", out, "--k", "3"], spark=spark) == 0
+    msg = capsys.readouterr().out
+    assert "(ivf n_probe=" in msg and "(sidecar-tuned)" in msg
+    res = spark.read.parquet(out)
+    assert res.groupBy("query_id").count().agg(
+        {"count": "max"}).first()[0] <= 3
+    # explicit override wins over the sidecar
+    assert main(["corpus", "esearch", "--index", idx, "-q", queries,
+                 "-o", out, "--k", "3", "--n-probe", "1"],
+                spark=spark) == 0
+    assert "ivf n_probe=1" in capsys.readouterr().out
+    # lsh method works off the same layout
+    assert main(["corpus", "esearch", "--index", idx, "-q", queries,
+                 "-o", out, "--method", "lsh", "--multi-probe", "1"],
+                spark=spark) == 0
+    assert "lsh bits=" in capsys.readouterr().out
+    # bad query columns: contract error, exit 2
+    badq = str(tmp_path / "es_badq.parquet")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(badq)
+    assert main(["corpus", "esearch", "--index", idx, "-q", badq,
+                 "-o", out], spark=spark) == 2
+
+
+def test_cli_corpus_partition_then_compact(spark, tmp_path, capsys, sf_dir):
+    """`corpus partition` writes the time-partitioned layout;
+    `corpus compact` auto-detects it (vs the MinHash/ANN index layouts)
+    and rewrites each partition into size-targeted files."""
+    from replibyte_spark.sinks.partitioned import partition_files
+
+    littered = str(tmp_path / "ev_lit.parquet")
+    (spark.read.parquet(f"{sf_dir}/events.parquet").repartition(5)
+     .write.parquet(littered))
+    layout = str(tmp_path / "ev_part")
+    assert main(["corpus", "partition", "-i", littered, "-o", layout],
+                spark=spark) == 0
+    msg = capsys.readouterr().out
+    assert "event_date partitions" in msg
+    before = sum(len(v) for v in partition_files(layout).values())
+    assert before > len(partition_files(layout))  # litter: >1 file/part
+    assert main(["corpus", "compact", "--index", layout,
+                 "--max-records-per-file", "1000000"], spark=spark) == 0
+    msg = capsys.readouterr().out
+    assert "compacted" in msg and "partitions" in msg
+    after = partition_files(layout)
+    assert all(len(v) == 1 for v in after.values())
+    # wrong ts col is a contract error
+    assert main(["corpus", "partition", "-i", littered, "-o", layout,
+                 "--ts-col", "nope"], spark=spark) == 2
