@@ -166,6 +166,11 @@ def c4_flags(df: DataFrame, text_col: str = "text",
     per-document integer stats, one boolean per page rule
     (``c4_<rule>``) and the conjunction ``c4_pass``.  One staged line
     filter feeds every stat — a single codegen projection chain."""
+    # widen a narrow scan before the per-row line machinery (no-op when
+    # already wide; see repetition_flags' r12 note)
+    from ..util import fan_out
+
+    df = fan_out(df)
     d = D.SPARK
     kc = "__c4_kept"
     staged = df.withColumn(kc, F.expr(kept_lines_sql(

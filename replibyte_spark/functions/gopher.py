@@ -167,6 +167,12 @@ def gopher_flags(df: DataFrame, text_col: str = "text",
     the integer stats derive from those, the flags from the stats —
     everything one codegen projection chain over the scan, locked
     shuffle-free by the unit tests."""
+    # compute-heavy projection over a possibly-narrow scan: widen first
+    # (no-op on an already-wide input; see repetition_flags' r12 note —
+    # a one-split corpus otherwise runs every rule on one core)
+    from ..util import fan_out
+
+    df = fan_out(df)
     d = D.SPARK
     wc, lc = "__gq_words", "__gq_lines"
     staged = (df.withColumn(wc, F.expr(words_sql(d, text_col)))

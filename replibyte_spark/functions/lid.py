@@ -456,6 +456,11 @@ def identify_language(df: DataFrame, text_col: str = "text",
     unchanged Latin-row cost, then to 20 (pl/tr/vi behind the nested
     extended-Latin diacritic gate — ASCII rows pay one probe) — plan
     lock in test_lid)."""
+    # the profile scoring is pure compute over text: widen a narrow scan
+    # first (no-op when already wide; see repetition_flags' r12 note)
+    from ..util import fan_out
+
+    df = fan_out(df)
     norm_col = f"__{pred_alias}_norm"
     sc_col = f"__{pred_alias}_script"
     arr_col = f"__{pred_alias}_scores"

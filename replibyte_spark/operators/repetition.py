@@ -232,6 +232,15 @@ def repetition_flags(df: DataFrame, text_col: str = "text",
     functions/text.py::dedup_lines_sql."""
     d = D.SPARK
 
+    # zero-shuffle does NOT mean zero-exchange-when-narrow: these
+    # projections are ~1000× the scan's IO cost, and a small corpus
+    # arriving as one parquet split would serialize the whole rule set on
+    # one core (measured r12: the sf0.1 gate read 5.9 s single-task vs
+    # 1.7 s fanned out).  fan_out is a no-op on an already-wide scan —
+    # the 100 TB shape is unchanged.
+    from ..util import fan_out
+
+    df = fan_out(df)
     # stage each segment array (and its distinct) in its own column so
     # every split/array_distinct runs ONCE per row (the gopher_flags
     # staging pattern), then derive the four integer stats per

@@ -45,6 +45,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     this helper exists for.  The floor was the two-round bench regression;
     it is gone.
     """
+    if df.isStreaming:
+        # no pre-execution partition count exists for a streaming frame
+        # (df.rdd raises); micro-batch parallelism is the source's concern
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -43,22 +43,27 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({T.quality_score_sql(d, 'text')}, 6) AS quality",
         f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
     )
-    # `kept` feeds BOTH the pair generation and the survivor anti-join;
-    # unmaterialized, the scan + quality-scoring subtree evaluates twice.
-    # Cache-manager persist + eager count() — NOT localCheckpoint: the count
-    # fills the cache before either consumer stage launches (same no-race /
-    # compute-once property as an eager checkpoint), and the blocks stay
-    # reclaimable by `spark.catalog.clearCache()`.  Round 4's eager
-    # localCheckpoint here pinned a MapPartitionsRDD past every cleanup
-    # bench.py could issue (checkpoint RDDs free only when the JVM GCs every
-    # referencing plan), which broke the bench cache-hygiene contract.
-    kept = scored.filter(F.col("quality") >= QUALITY_FLOOR).persist()
-    # eager fill via noop WRITE, not count(): the write streams each cached
-    # batch straight to the null sink with no aggregation plan on top —
-    # interleaved min-of-5 A/B at sf0.1 reads 4.69s vs count()'s 5.25s
-    # (r6, SCALE.md), recovering most of the r5 persist+count regression
-    # while keeping the blocks clearCache-reclaimable (the r4 hygiene fix).
-    kept.write.mode("overwrite").format("noop").save()
+    # The shared frame is persisted PRE-filter (r12 — it was `kept`,
+    # post-filter, through r11): Catalyst pushes the quality FILTER below
+    # fan_out's round-robin exchange (PushPredicateThroughNonJoin treats
+    # sinking a filter under an Exchange as always-beneficial), so the
+    # whole quality-score predicate — the most expensive expression in
+    # the pipeline — evaluated on the ONE pre-repartition scan partition,
+    # single-task.  The scoring PROJECTION stays above the exchange
+    # (no rule moves non-pruning projects through Exchange), so
+    # persisting `scored` makes the cache the pushdown barrier: scoring
+    # runs once, parallel, and the filter becomes a cached-column
+    # compare each consumer applies for free.  Interleaved same-window
+    # A/B at sf0.1: 8.29→5.34 s and 5.65→4.74 s.
+    # Cache-manager persist + eager fill — NOT localCheckpoint: blocks
+    # stay reclaimable by clearCache (round 4's checkpoint here pinned a
+    # MapPartitionsRDD past every cleanup bench.py could issue).  Eager
+    # fill via noop WRITE, not count(): the write streams each cached
+    # batch straight to the null sink with no aggregation plan on top
+    # (r6 A/B, SCALE.md).
+    scored = scored.persist()
+    scored.write.mode("overwrite").format("noop").save()
+    kept = scored.filter(F.col("quality") >= QUALITY_FLOOR)
     pairs = DD.minhash_near_dup_pairs(kept, "doc_id", "text",
                                       threshold=JACCARD_T,
                                       n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
@@ -137,7 +142,14 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "text",
         f"round({T.quality_score_sql(d, 'text')}, 6) AS quality",
         f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
-    )
+    ).persist()
+    # persist BEFORE the quality filter (r12, same fix as v1): lazily,
+    # Catalyst sinks the quality predicate below fan_out's exchange and
+    # the most expensive expression in the pipeline evaluates single-task
+    # on the one-split scan; cached, scoring runs once in parallel and
+    # the filter is a column compare.  The cheap doc_id % filter above
+    # MAY sink — pruning rows before the shuffle is what pushdown is for.
+    scored.write.mode("overwrite").format("noop").save()
     kept0 = scored.filter(F.col("quality") >= QUALITY_FLOOR)
     # decontaminated corpus feeds pair generation AND the survivor
     # anti-join — same persist + noop-fill materialization as v1's `kept`

@@ -436,3 +436,25 @@ def test_workload_import_is_fixture_and_duckdb_free():
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr
+
+
+def test_heavy_projection_operators_widen_narrow_scans(spark):
+    """r12: 'zero-shuffle' per-row rule sets must not serialize on a
+    one-split scan — each flag operator fans a narrow input out to
+    cluster parallelism (ONE RoundRobin exchange, the projections above
+    it), and stays exchange-free on an already-wide input (the plan
+    shape the per-family zero-shuffle tests lock).  Measured r12: the
+    sf0.1 repetition gate read 5.9 s single-task vs 1.7 s widened."""
+    from replibyte_spark.functions.c4 import c4_flags
+    from replibyte_spark.functions.gopher import gopher_flags
+    from replibyte_spark.functions.lid import identify_language
+    from replibyte_spark.operators.repetition import repetition_flags
+
+    narrow = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string").coalesce(1)
+    for op in (gopher_flags, identify_language, c4_flags,
+               repetition_flags):
+        plan = op(narrow)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("RoundRobinPartitioning") == 1, (op.__name__, plan)
+        assert plan.count("Exchange") == 1, (op.__name__, plan)

@@ -316,7 +316,14 @@ def test_ngram_doc_stats_single_scan_zero_shuffle(spark, sf_dir):
     for frame in (ngram_doc_stats(docs), repetition_flags(docs)):
         plan = _plan(frame)
         assert plan.count("Scan parquet") == 1, plan
-        assert "Exchange" not in plan, plan
+        # r12: ONE RoundRobin widening of the narrow fixture scan is
+        # allowed (fan_out — without it the whole rule set serialized on
+        # the one-split scan, 5.9 s vs 1.7 s at sf0.1); what stays
+        # banned is any DATA shuffle: grams/stats leaving their row
+        # through a hash exchange.
+        assert plan.count("Exchange") <= 1, plan
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
         assert "Generate" not in plan, plan  # no explode either
 
 
