@@ -411,12 +411,21 @@ def _build_parser() -> argparse.ArgumentParser:
     ese.add_argument("--id-col", default="vec_id")
     ese.add_argument("--vec-col", default="embedding")
     ese.add_argument("--k", type=int, default=5)
-    ese.add_argument("--method", choices=("ivf", "lsh"), default="ivf")
+    ese.add_argument("--method", choices=("ivf", "lsh", "qivf", "pq"),
+                     default="ivf",
+                     help="ivf: exact scoring in probed cells; lsh: "
+                          "bucket probes; qivf: int8 SQ8 codes off the "
+                          "layout + exact re-rank (index built with "
+                          "--quantize); pq: ADC over stored PQ codes + "
+                          "exact re-rank (index built with --pq)")
     ese.add_argument("--n-probe", type=int, default=None,
                      help="IVF cells per query (default: the tuned value "
                           "from the index meta sidecar, else 2)")
     ese.add_argument("--multi-probe", type=int, default=0,
                      help="LSH neighbor buckets per query (method=lsh)")
+    ese.add_argument("--expand", type=int, default=4,
+                     help="qivf/pq exact re-rank width (top k*expand "
+                          "candidates re-scored on full vectors)")
     part = csub.add_parser(
         "partition", help="rewrite a parquet corpus as a time-partitioned "
                           "layout (one directory per day; date-range "
@@ -1009,16 +1018,43 @@ def _cmd_corpus(spark, args) -> int:
             print(f"error: column(s) not in queries: {', '.join(missing)}",
                   file=sys.stderr)
             return 2
-        if args.method == "ivf":
+        if args.method in ("ivf", "qivf", "pq"):
             n_probe = (args.n_probe if args.n_probe is not None
                        else sidecar_n_probe(spark, args.index, 2))
-            out = ivf_topk(corpus, queries, k=args.k,
-                           id_col=args.id_col, vec_col=args.vec_col,
-                           n_probe=n_probe, centroids=cents)
-            how = f"ivf n_probe={n_probe}" + (
-                " (sidecar-tuned)" if args.n_probe is None and
-                load_ann_index_meta(spark, args.index).get("n_probe")
-                is not None else "")
+            tuned = (" (sidecar-tuned)" if args.n_probe is None and
+                     load_ann_index_meta(spark, args.index).get("n_probe")
+                     is not None else "")
+            if args.method == "ivf":
+                out = ivf_topk(corpus, queries, k=args.k,
+                               id_col=args.id_col, vec_col=args.vec_col,
+                               n_probe=n_probe, centroids=cents)
+            elif args.method == "qivf":
+                from .operators.quantize import ivf_topk_quantized
+
+                if "q" not in corpus.columns:
+                    raise ValueError(
+                        f"index at {args.index} carries no SQ8 codes — "
+                        f"build it with `corpus eindex --quantize` to "
+                        f"use --method qivf")
+                out = ivf_topk_quantized(
+                    corpus, queries, cents, k=args.k, n_probe=n_probe,
+                    expand=args.expand, id_col=args.id_col,
+                    vec_col=args.vec_col)
+            else:
+                from .operators.quantize import ivf_topk_pq
+                from .operators.similarity import load_pq_books
+
+                if "pq_codes" not in corpus.columns:
+                    raise ValueError(
+                        f"index at {args.index} carries no PQ codes — "
+                        f"build it with `corpus eindex --pq --dim N` to "
+                        f"use --method pq")
+                out = ivf_topk_pq(
+                    corpus, queries, cents,
+                    load_pq_books(spark, args.index), k=args.k,
+                    n_probe=n_probe, expand=args.expand,
+                    id_col=args.id_col, vec_col=args.vec_col)
+            how = f"{args.method} n_probe={n_probe}{tuned}"
         else:
             meta = load_ann_index_meta(spark, args.index)
             out = lsh_topk(corpus, queries, k=args.k, bits=meta["bits"],

@@ -268,9 +268,16 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.SPARK
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
-    kept0 = (gopher_flags(docs.filter(F.col("doc_id") % DECON_MOD != 0),
-                          min_stop_hits=GQ3_MIN_STOP)
-             .filter(F.col("gopher_pass"))
+    # persist the flagged frame, filter from cache (the v4/r12 pattern):
+    # lazily, Catalyst inlines the gopher_pass conjunction into one
+    # predicate and sinks it below fan_out's exchange — the whole rule
+    # set single-task on the one-split scan
+    flagged3 = (gopher_flags(docs.filter(F.col("doc_id") % DECON_MOD != 0),
+                             min_stop_hits=GQ3_MIN_STOP)
+                .select("doc_id", "source", "lang", "text", "gopher_pass")
+                .persist())
+    flagged3.write.mode("overwrite").format("noop").save()
+    kept0 = (flagged3.filter(F.col("gopher_pass"))
              .selectExpr(
                  "doc_id", "source", "lang", "text",
                  f"CAST({T.token_count_sql(d, 'text')} AS BIGINT)"
