@@ -60,7 +60,7 @@ def test_bench_emits_one_json_line_with_contract_schema(tmp_path):
     # straggler metric: one entry per query
     assert set(raw["max_shuffle_task_ms"]) == set(rec["queries"])
     # raw per-iteration times: recorded time is their minimum; [0] is the
-    # coldest (post-warm-up, caches swept) iteration for hot-vs-cold
+    # first measured (post the unmeasured warm pass) iteration for
     # attribution
     assert set(raw["raw_times"]) == set(rec["queries"])
     for name, rt in raw["raw_times"].items():
