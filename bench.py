@@ -33,6 +33,10 @@ import time
 SENTINELS = {
     "q1_pricing_summary": 0.45,
     "zipf_hot_join_salted": 2.3,
+    # the r12 committed recording's warm value is 1.92; mildly-degraded
+    # windows the same day read 2.34-2.35 (still far from the 4.12 the
+    # r11 artifact shipped dirty), so 2.3 separates "best-achievable
+    # window" from "don't commit" — expect to retry a few windows.
     "minhash_near_dup": 2.3,
 }
 SENTINEL_CPUS, SENTINEL_SF = 32, "0.1"
@@ -279,10 +283,15 @@ def main() -> None:
         print(f"# WARNING: sentinel breach {sentinel_breach} — this window "
               f"is NOT clean, do not commit this recording",
               file=sys.stderr)
-    if drift_vs_committed:
-        print(f"# drift >{DRIFT_LIMIT}x vs last committed recording: "
-              f"{drift_vs_committed} — code-untouched movers mean a dirty "
-              f"window", file=sys.stderr)
+    slow_movers = {n: r for n, r in drift_vs_committed.items()
+                   if r > DRIFT_LIMIT}
+    if slow_movers:
+        print(f"# drift >{DRIFT_LIMIT}x SLOWER vs last committed "
+              f"recording: {slow_movers} — code-untouched slow movers "
+              f"mean a dirty window", file=sys.stderr)
+    elif drift_vs_committed:
+        print(f"# drift vs last committed recording (all faster): "
+              f"{drift_vs_committed}", file=sys.stderr)
 
     with open(sidecar_path, "w") as fh:
         json.dump({
