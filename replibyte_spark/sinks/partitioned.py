@@ -45,17 +45,30 @@ from .. import dialect as D
 
 def write_time_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
                            date_col: str = "event_date",
-                           mode: str = "overwrite") -> None:
+                           mode: str = "overwrite",
+                           sort_within: bool = True) -> None:
     """Write `df` partitioned by ``date_col = CAST(ts_col AS DATE)``.
 
     One directory per day; the derived column exists only as layout
     (readers recover it from partition discovery), the original
-    timestamp column stays in the data files untouched."""
+    timestamp column stays in the data files untouched.
+
+    ``sort_within`` (default on) additionally sorts each task's rows by
+    the timestamp before writing — a free second pruning tier: parquet
+    row-group min/max stats on a sorted column are tight and
+    non-overlapping, so an intra-day time predicate skips row groups at
+    scan time on top of the directory-level partition pruning (verified
+    against the written footers in tests/test_partitioned.py).  At
+    100 TB this is the poor-man's Z-order for the single-dimension
+    case: directory pruning bounds WHICH days are read, row-group stats
+    bound which STRIPES of each day."""
     if date_col in df.columns:
         raise ValueError(f"{date_col} already exists in the frame; pass "
                          f"date_col= a fresh name")
-    (df.withColumn(date_col, F.col(ts_col).cast("date"))
-     .write.mode(mode).partitionBy(date_col).parquet(path))
+    out = df.withColumn(date_col, F.col(ts_col).cast("date"))
+    if sort_within:
+        out = out.sortWithinPartitions(date_col, ts_col)
+    out.write.mode(mode).partitionBy(date_col).parquet(path)
 
 
 def load_time_partitioned(spark: SparkSession, path: str) -> DataFrame:

@@ -654,3 +654,81 @@ register(Query("streaming_quota_full_admit", streaming_quota_full_admit,
                _quota_full_admit_oracle,
                tags=("streaming", "stateful", "dedup", "similarity",
                      "index")), extra=True)
+
+
+# --- streaming ingest into the time-partitioned layout (r12) ----------------
+# The production write path of sinks/partitioned.py: micro-batches append
+# small files into date directories as they arrive (the small-files litter
+# the compactor exists for), compaction consolidates them, and the
+# date-range query proves the END state — pruned, lossless, batch-count-
+# independent.  Stream ≡ batch because the layout is append-only and the
+# date derivation is per-row: however the source is chopped, the union of
+# files holds exactly the input rows in the right directories.
+
+def streaming_partitioned_ingest(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sinks.partitioned import (compact_time_partitions,
+                                     load_time_partitioned,
+                                     partition_files)
+    from .analytics import PART_HI, PART_LO
+
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rs_pingest_src_")
+    # three source files → three micro-batches with maxFilesPerTrigger=1
+    for m in range(3):
+        (events.filter(F.col("event_id") % 3 == m).coalesce(1)
+         .write.mode("append").parquet(src))
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    layout = tempfile.mkdtemp(prefix="rs_pingest_layout_") + "/events"
+    ckpt = tempfile.mkdtemp(prefix="rs_gate_ckpt_")
+    q = (stream.withColumn("event_date", F.col("ts").cast("date"))
+         .writeStream.format("parquet")
+         .option("path", layout)
+         .option("checkpointLocation", ckpt)
+         .partitionBy("event_date")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("partitioned ingest did not finish in 180s")
+        # micro-batches littered: more files than partitions
+        littered = partition_files(layout)
+        assert sum(len(v) for v in littered.values()) > len(littered), \
+            "expected multiple files per partition from micro-batches"
+        compact_time_partitions(spark, layout, target_rows_per_file=10**7)
+        after = partition_files(layout)
+        assert all(len(v) == 1 for v in after.values()), after
+        out = (load_time_partitioned(spark, layout)
+               .filter(F.col("event_date").between(PART_LO, PART_HI))
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("total_value"))
+               .orderBy("event_type"))
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(layout), ignore_errors=True)
+    return snap
+
+
+def _partitioned_ingest_oracle() -> str:
+    from .analytics import PARTITIONED_EVENTS_ORACLE
+
+    return PARTITIONED_EVENTS_ORACLE
+
+
+register(Query("streaming_partitioned_ingest", streaming_partitioned_ingest,
+               _partitioned_ingest_oracle,
+               tags=("streaming", "layout")), extra=True)

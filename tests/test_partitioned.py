@@ -146,3 +146,70 @@ def test_compaction_rejects_bad_target(spark, sf_dir, tmp_path):
     path = _layout(spark, sf_dir, tmp_path, "events_badtarget")
     with pytest.raises(ValueError):
         compact_time_partitions(spark, path, target_rows_per_file=0)
+
+
+def _rowgroup_ts_spans(path: str) -> "list[list[tuple]]":
+    """Per-file list of (min, max) ts spans per row group, over every
+    data file of a one-level partitioned layout."""
+    import pyarrow.parquet as pq
+
+    spans_per_file = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if "=" not in entry or not os.path.isdir(full):
+            continue
+        for fn in sorted(os.listdir(full)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(full, fn)).metadata
+            ts_idx = next(i for i in range(len(md.schema))
+                          if md.schema.column(i).name == "ts")
+            spans_per_file.append([
+                (md.row_group(rg).column(ts_idx).statistics.min,
+                 md.row_group(rg).column(ts_idx).statistics.max)
+                for rg in range(md.num_row_groups)])
+    return spans_per_file
+
+
+def test_sorted_write_makes_rowgroup_stats_tight(spark, tmp_path):
+    """sort_within=True writes each partition's rows timestamp-sorted, so
+    the parquet footer's per-row-group ts min/max are non-overlapping —
+    the stats an intra-day range scan uses to skip row groups (the
+    second pruning tier under the directory-level partition pruning).
+    The unsorted control shows near-full-day spans in every row group."""
+    from replibyte_spark.sinks.partitioned import write_time_partitioned
+
+    # one synthetic day, arrival-shuffled (hash order), big enough for
+    # several row groups under a shrunken block size
+    df = (spark.range(200_000)
+          .select((F.col("id") % 1000).alias("k"),
+                  F.expr("timestamp'2024-03-01 00:00:00' + make_interval("
+                         "0, 0, 0, 0, 0, 0, id % 86400)").alias("ts"))
+          .orderBy(F.xxhash64("id")))
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        sorted_p = str(tmp_path / "rg_sorted")
+        unsorted_p = str(tmp_path / "rg_unsorted")
+        write_time_partitioned(df, sorted_p, ts_col="ts")
+        write_time_partitioned(df, unsorted_p, ts_col="ts",
+                               sort_within=False)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    sorted_spans = _rowgroup_ts_spans(sorted_p)
+    assert any(len(s) > 1 for s in sorted_spans), \
+        "no multi-row-group file produced; shrink block size further"
+    for spans in sorted_spans:
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, spans  # sorted => disjoint spans
+    # control: unsorted row groups each span ~the whole day, so at least
+    # one adjacent pair overlaps in every multi-group file
+    overlapping = sum(
+        1 for spans in _rowgroup_ts_spans(unsorted_p) if len(spans) > 1
+        and any(a[1] > b[0] for a, b in zip(spans, spans[1:])))
+    assert overlapping > 0
