@@ -979,18 +979,20 @@ def _cmd_corpus(spark, args) -> int:
                           f"centroids no longer describe the corpus; "
                           f"rebuild the index (corpus eindex) instead of "
                           f"appending further", file=sys.stderr)
-        elif (os.path.isdir(args.index)
-              and any("=" in e and os.path.isdir(os.path.join(args.index, e))
-                      for e in os.listdir(args.index))):
+        else:
             # a time-partitioned table layout (partition dirs like
             # event_date=2024-01-03): size-targeted per-partition rewrite
-            # with the staged-swap safety (sinks/partitioned.py)
-            from .sinks.partitioned import compact_time_partitions
+            # with the staged-swap safety (sinks/partitioned.py) —
+            # detected via the Hadoop FS like the index branches above,
+            # so remote (s3a://hdfs://) layouts are found too
+            from .sinks.partitioned import (compact_time_partitions,
+                                            detect_partition_column)
 
-            date_col = next(e.split("=", 1)[0]
-                            for e in sorted(os.listdir(args.index))
-                            if "=" in e
-                            and os.path.isdir(os.path.join(args.index, e)))
+            date_col = detect_partition_column(spark, args.index)
+            if date_col is None:
+                print(f"error: no MinHash/ANN index or partitioned layout "
+                      f"at {args.index}", file=sys.stderr)
+                return 2
             st = compact_time_partitions(
                 spark, args.index,
                 target_rows_per_file=args.max_records_per_file,
@@ -998,10 +1000,6 @@ def _cmd_corpus(spark, args) -> int:
             print(f"compacted {st['partitions']} partitions: "
                   f"{st['files_before']} -> {st['files_after']} files")
             return 0
-        else:
-            print(f"error: no MinHash/ANN index or partitioned layout at "
-                  f"{args.index}", file=sys.stderr)
-            return 2
         for sub, (nb, na) in stats.items():
             print(f"compacted {sub}: {nb} -> {na} files")
         return 0
@@ -1078,7 +1076,7 @@ def _cmd_corpus(spark, args) -> int:
             return 2
         write_time_partitioned(df, args.output, ts_col=args.ts_col,
                                date_col=args.date_col)
-        parts = partition_files(args.output)
+        parts = partition_files(spark, args.output)
         print(f"partitioned -> {args.output} ({len(parts)} {args.date_col} "
               f"partitions, {sum(len(v) for v in parts.values())} files)")
         return 0

@@ -64,7 +64,8 @@ def read_bucket_spec(path: str) -> "dict | None":
         return json.load(f)
 
 
-def _check_spec(path: str, bucket_col: str, n_buckets: int) -> None:
+def _check_spec(path: str, bucket_col: str, n_buckets: int,
+                sort: "bool | None" = None) -> None:
     spec = read_bucket_spec(path)
     if spec is None:
         return  # pre-spec layout: caller carries the contract (documented)
@@ -77,6 +78,19 @@ def _check_spec(path: str, bucket_col: str, n_buckets: int) -> None:
             f"Spark would trust the wrong DDL and return incorrect "
             f"exchange-free join results — rewrite the layout or fix the "
             f"caller's spec")
+    # the sort flag is just as load-bearing as the bucket spec: SORTED BY
+    # DDL over files written unsorted lets Spark elide the per-query Sort
+    # in a bucketed SortMergeJoin — wrong join results, silently (r12
+    # ADVICE).  A sort=True layout registered sort=False is merely slower,
+    # but reject both directions: the sidecar exists to make the DDL
+    # match the files exactly.
+    if sort is not None and bool(spec.get("sort")) != bool(sort):
+        raise ValueError(
+            f"bucketed layout at {path} was written with "
+            f"sort={spec.get('sort')} but is being registered with "
+            f"sort={sort}; SORTED BY DDL over unsorted files lets Spark "
+            f"elide the sort in bucketed joins and return wrong results — "
+            f"register with the recorded flag or rewrite the layout")
 
 
 def write_bucketed_table(df: DataFrame, spark: SparkSession, name: str,
@@ -109,7 +123,7 @@ def register_bucketed_table(spark: SparkSession, name: str, path: str,
     NAMES, so a wrong spec here would silently mis-bucket reads.  The
     spec sidecar written by :func:`write_bucketed_table` is validated
     here; a mismatch raises instead of registering."""
-    _check_spec(path, bucket_col, n_buckets)
+    _check_spec(path, bucket_col, n_buckets, sort)
     sorted_by = f"SORTED BY (`{bucket_col}`) " if sort else ""
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     spark.sql(

@@ -22,9 +22,25 @@ Compaction rewrites each partition into ~size-targeted files with ONE
 shuffle keyed on (partition, file-slot): two-phase like per_group_cap —
 a count aggregation sizes each partition's file budget, a uniform hash
 assigns rows to slots, so a skewed partition gets more files instead of
-one monster task.  The rewrite stages into a sibling directory and
-renames over the original only after its _SUCCESS marker lands — a
-killed compaction leaves the live layout untouched.
+one monster task.
+
+The whole maintenance path (listing, staging, swap, recovery) speaks
+the scheme-resolved Hadoop FileSystem API — the same ``swap_directory``
+/ ``recover_directory`` dance the ANN/MinHash index compactors use
+(util.py) and the same FS resolution the datastore write path uses
+(datastore.py) — so compaction works identically on ``file://``,
+``hdfs://``, ``s3a://`` and ``gs://`` roots.  Crash contract (honest
+version): content is never lost — the rewrite lands beside the live
+layout and the swap keeps the old content as ``.bak`` until the new
+directory is in place; a compaction killed mid-swap is repaired by
+simply RE-RUNNING it (``recover_directory`` on entry restores the
+``.bak``).  The swap is not seamless for concurrent readers: between
+the two renames the live path briefly does not exist (longer on object
+stores, where rename is copy+delete), so a reader holding the
+pre-compaction file list may hit a missing-file error mid-swap — run
+compaction on a maintenance cadence, pin frames that must survive it
+(``localCheckpoint``), or retry the read once (contract locked by
+tests/test_partitioned.py::test_compaction_vs_concurrent_readers).
 
 Reference analogue: none — Replibyte's datastore is an opaque blob
 archive (datastore/s3.rs); layout maintenance is a capability a
@@ -34,13 +50,12 @@ Spark-first engine adds on top of full parity, like :mod:`.bucketed`.
 from __future__ import annotations
 
 import math
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import dialect as D
+from ..util import hadoop_exists, recover_directory, swap_directory
 
 
 def write_time_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
@@ -78,17 +93,36 @@ def load_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def partition_files(path: str) -> "dict[str, list[str]]":
+def partition_files(spark: SparkSession,
+                    path: str) -> "dict[str, list[str]]":
     """{partition dirname: [data files]} for a one-level partitioned
-    layout — the maintenance view compaction works from."""
+    layout — the maintenance view compaction works from.  Listed via the
+    scheme-resolved Hadoop FileSystem (never the local filesystem API) so
+    maintenance works on the same s3a://gs://hdfs:// roots the write path
+    does."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
     out: dict[str, list[str]] = {}
-    for entry in sorted(os.listdir(path)):
-        full = os.path.join(path, entry)
-        if "=" in entry and os.path.isdir(full):
-            out[entry] = sorted(
-                f for f in os.listdir(full)
-                if f.endswith(".parquet") and not f.startswith("."))
-    return out
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if "=" in name and st.isDirectory():
+            out[name] = sorted(
+                f.getPath().getName() for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+                and not f.getPath().getName().startswith("."))
+    return dict(sorted(out.items()))
+
+
+def detect_partition_column(spark: SparkSession, path: str) -> "str | None":
+    """The partition key of the one-level layout at `path` (the `k` of
+    its `k=v` directories), or None when the path is missing or holds no
+    partition directories — the layout-detection probe `corpus compact`
+    uses, Hadoop-FS-resolved so remote layouts are detected too."""
+    if not hadoop_exists(spark, path):
+        return None
+    parts = partition_files(spark, path)
+    return sorted(parts)[0].split("=", 1)[0] if parts else None
 
 
 def compact_time_partitions(spark: SparkSession, path: str,
@@ -102,46 +136,66 @@ def compact_time_partitions(spark: SparkSession, path: str,
     file budget; rows are assigned a uniform hash slot within their
     partition and shuffled on (partition, slot), so every output file is
     written by one task and a skewed partition fans out to more files
-    instead of one monster task.  Stages into ``path + '.compacting'``
-    and renames over the original only after _SUCCESS — crash-safe.
+    instead of one monster task.  Stages into ``path + '.tmp'`` and
+    swaps via :func:`~replibyte_spark.util.swap_directory` — Hadoop FS
+    throughout, so the same call compacts a ``file://``, ``hdfs://`` or
+    ``s3a://`` layout.  A compaction killed mid-swap is repaired on the
+    next run (:func:`~replibyte_spark.util.recover_directory` on entry);
+    see the module docstring for the concurrent-reader contract.
+
+    Rows whose partition value is NULL (the layout's
+    ``__HIVE_DEFAULT_PARTITION__`` directory) get their own explicit
+    file budget — a string-compare CASE would never match SQL NULL and
+    silently mis-size that partition.
 
     Returns {"files_before": n, "files_after": m, "partitions": p}."""
     if target_rows_per_file <= 0:
         raise ValueError("target_rows_per_file must be > 0, got "
                          f"{target_rows_per_file}")
-    before = sum(len(v) for v in partition_files(path).values())
+    # a previous compaction crashed mid-swap leaves the live path missing
+    # with the old content complete in `.bak` — re-running compaction IS
+    # the recovery procedure
+    recover_directory(spark, path)
+    before = sum(len(v) for v in partition_files(spark, path).values())
     df = spark.read.parquet(path)
-    counts = {str(r["d"]): r["n"] for r in
-              (df.groupBy(F.col(date_col).alias("d"))
-               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    if date_col not in df.columns:
+        raise ValueError(f"layout at {path} has no partition column "
+                         f"`{date_col}` (columns: {df.columns})")
+    null_n = 0
+    counts: "dict[str, int]" = {}
+    for r in (df.groupBy(F.col(date_col).alias("d"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()):
+        if r["d"] is None:
+            null_n = r["n"]
+        else:
+            counts[str(r["d"])] = r["n"]
     budgets = {d: max(1, math.ceil(n / target_rows_per_file))
                for d, n in counts.items()}
+    null_budget = max(1, math.ceil(null_n / target_rows_per_file))
     slot_cases = " ".join(
         f"WHEN CAST(`{date_col}` AS STRING) = {D.q(d)} THEN {b}"
         for d, b in budgets.items())
-    nf = F.expr(f"CASE {slot_cases} ELSE 1 END")
+    nf = F.expr(f"CASE WHEN `{date_col}` IS NULL THEN {null_budget} "
+                f"{slot_cases} ELSE 1 END")
     # deterministic uniform slot from the row's stable content hash —
     # xxhash64 over all non-partition columns (no rand(): retries and
     # re-runs land rows in the same file)
     data_cols = [c for c in df.columns if c != date_col]
     slot = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), nf)
-    staged = f"{path}.compacting"
-    shutil.rmtree(staged, ignore_errors=True)
-    (df.withColumn("__slot", slot)
-     .repartition(max(1, sum(budgets.values())), F.col(date_col),
-                  F.col("__slot"))
-     .drop("__slot")
-     .write.mode("overwrite").partitionBy(date_col)
-     .option("maxRecordsPerFile", target_rows_per_file)
-     .parquet(staged))
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        raise RuntimeError(f"compaction write to {staged} left no "
-                           f"_SUCCESS marker; original layout untouched")
-    old = f"{path}.precompact"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old, ignore_errors=True)
-    after = sum(len(v) for v in partition_files(path).values())
+    n_slots = max(1, sum(budgets.values()) + (null_budget if null_n else 0))
+
+    def write(staged: str) -> None:
+        (df.withColumn("__slot", slot)
+         .repartition(n_slots, F.col(date_col), F.col("__slot"))
+         .drop("__slot")
+         .write.mode("overwrite").partitionBy(date_col)
+         .option("maxRecordsPerFile", target_rows_per_file)
+         .parquet(staged))
+        if not hadoop_exists(spark, staged + "/_SUCCESS"):
+            raise RuntimeError(f"compaction write to {staged} left no "
+                               f"_SUCCESS marker; live layout untouched")
+
+    swap_directory(spark, path, write)
+    after = sum(len(v) for v in partition_files(spark, path).values())
     return {"files_before": before, "files_after": after,
-            "partitions": len(counts)}
+            "partitions": len(counts) + (1 if null_n else 0)}

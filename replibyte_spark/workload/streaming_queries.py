@@ -703,11 +703,11 @@ def streaming_partitioned_ingest(spark: SparkSession, sf_dir: str
             q.stop()
             raise TimeoutError("partitioned ingest did not finish in 180s")
         # micro-batches littered: more files than partitions
-        littered = partition_files(layout)
+        littered = partition_files(spark, layout)
         assert sum(len(v) for v in littered.values()) > len(littered), \
             "expected multiple files per partition from micro-batches"
         compact_time_partitions(spark, layout, target_rows_per_file=10**7)
-        after = partition_files(layout)
+        after = partition_files(spark, layout)
         assert all(len(v) == 1 for v in after.values()), after
         out = (load_time_partitioned(spark, layout)
                .filter(F.col("event_date").between(PART_LO, PART_HI))

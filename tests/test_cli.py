@@ -1023,13 +1023,13 @@ def test_cli_corpus_partition_then_compact(spark, tmp_path, capsys, sf_dir):
                 spark=spark) == 0
     msg = capsys.readouterr().out
     assert "event_date partitions" in msg
-    before = sum(len(v) for v in partition_files(layout).values())
-    assert before > len(partition_files(layout))  # litter: >1 file/part
+    before = sum(len(v) for v in partition_files(spark, layout).values())
+    assert before > len(partition_files(spark, layout))  # litter: >1 file/part
     assert main(["corpus", "compact", "--index", layout,
                  "--max-records-per-file", "1000000"], spark=spark) == 0
     msg = capsys.readouterr().out
     assert "compacted" in msg and "partitions" in msg
-    after = partition_files(layout)
+    after = partition_files(spark, layout)
     assert all(len(v) == 1 for v in after.values())
     # wrong ts col is a contract error
     assert main(["corpus", "partition", "-i", littered, "-o", layout,

@@ -398,3 +398,40 @@ def test_dump_diff_schema_drift_compares_common_columns(spark, sf_dir,
     # same rows on the common columns; the drift is flagged, not counted
     assert (out.rows_added, out.rows_removed) == (0, 0)
     assert out.schema_changed is True
+
+
+def test_written_timestamps_carry_rowgroup_stats(spark, sf_dir, store):
+    """r12 engine-wide fix, r13 regression guard: Spark's legacy INT96
+    timestamp encoding carries NO parquet column statistics, which
+    silently turns every time-predicate row-group skip into a no-op on
+    data this engine writes.  session.get_spark pins
+    spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS; nothing else
+    locked it — a future session tweak would revert to stats-less
+    timestamps with zero failing tests.  Assert on the actual footers of
+    the DATASTORE write path: timestamp columns must be INT64 with
+    min/max stats present."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, sf_dir, "events").limit(1000)
+    store.dump({"events": events}, "ts-stats")
+    files = glob.glob(os.path.join(store.root, "ts-stats", "**",
+                                   "*.parquet"), recursive=True)
+    assert files, "dump wrote no parquet files"
+    checked = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for i in range(len(md.schema)):
+            col = md.schema.column(i)
+            if col.name != "ts":
+                continue
+            assert col.physical_type == "INT64", (
+                f, col.physical_type,
+                "INT96 regression: outputTimestampType lost")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                assert st is not None and st.has_min_max, (
+                    f, rg, "timestamp column lost its min/max stats")
+                checked += 1
+    assert checked > 0, "no ts row groups found in the dump"

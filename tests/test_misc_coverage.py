@@ -420,12 +420,22 @@ def test_workload_import_is_fixture_and_duckdb_free():
     import sys
 
     code = (
+        # find_spec, not the legacy find_module: Python 3.12 removed the
+        # find_module protocol, which would silently skip the blocker and
+        # make this regression test pass vacuously (r12 ADVICE)
         "import sys\n"
         "class Block:\n"
-        "    def find_module(self, name, path=None):\n"
+        "    def find_spec(self, name, path=None, target=None):\n"
         "        if name == 'duckdb':\n"
         "            raise ImportError('duckdb blocked')\n"
+        "        return None\n"
         "sys.meta_path.insert(0, Block())\n"
+        "try:\n"
+        "    import duckdb\n"
+        "except ImportError:\n"
+        "    pass\n"
+        "else:\n"
+        "    raise SystemExit('blocker inert: duckdb imported')\n"
         "import replibyte_spark.workload as W\n"
         "assert len(W.REGISTRY) == 50, len(W.REGISTRY)\n"
         "q = W.EXTRA['table_stats_profile']\n"

@@ -489,6 +489,13 @@ def test_bucketed_reattach_refuses_wrong_spec(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="CLUSTERED BY"):
         ensure_bucketed_table(spark, region, "rs_spec_probe", path,
                               "r_name", 4)
+    # r13 (r12 ADVICE): the recorded sort flag is validated too — SORTED
+    # BY DDL over unsorted files would let Spark elide the per-query sort
+    # in bucketed SortMergeJoins and return wrong results
+    from replibyte_spark.sinks.bucketed import register_bucketed_table
+    with pytest.raises(ValueError, match="sort=True"):
+        register_bucketed_table(spark, "rs_spec_probe", path, region,
+                                "r_regionkey", 4, sort=False)
     # the matching spec still re-attaches
     df = ensure_bucketed_table(spark, region, "rs_spec_probe", path,
                                "r_regionkey", 4)
