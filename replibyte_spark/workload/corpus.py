@@ -233,12 +233,15 @@ FROM p ORDER BY source, doc_id
 """
 
 
-# driver-visible (round 7): the composite transitively exercises
-# decontamination, token-budget mixing and MinHash near-dup — the round-6
-# curation layer gets a CORRECTNESS row; normalized_fingerprints (subsumed
-# by doc_text_metrics + dedup_exact_events) moved to EXTRA to make room.
+# EXTRA since round 13 (still oracle-checked by pytest): its REGISTRY
+# slot went to partitioned_events_revenue — v2's decontamination/mixing/
+# near-dup chain is subsumed by the gated curation_pipeline_v4 (same
+# stages plus the r9/r10 operators), while the time-partitioned layout's
+# planning-time pruning is a scan-correctness surface only an oracle
+# catches (was driver-visible round 7-12).
 register(Query("curation_pipeline_v2", curation_pipeline_v2,
-               _curation_v2_oracle(), tags=("text", "dedup", "pipeline")))
+               _curation_v2_oracle(), tags=("text", "dedup", "pipeline")),
+         extra=True)
 
 
 # ---------------------------------------------------------------------------

@@ -266,7 +266,12 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                       centroids=cents)
 
 
-def _ivf_oracle(n_probe: int = IVF_PROBE) -> str:
+def _ivf_oracle(n_probe: "int | str" = IVF_PROBE,
+                extra_ctes: str = "") -> str:
+    """IVF probe+rank oracle.  `n_probe` may be an int literal or a SQL
+    scalar subquery string (the tuned gate passes '(SELECT np FROM
+    tuned)'); `extra_ctes` is spliced after the assign CTE so it can
+    reference cent/assign."""
     d = D.DUCK
     dot_ec = S.dot_sql(d, "e.embedding", "c.cv")
     return f"""
@@ -280,7 +285,7 @@ WITH cent AS (
                               ORDER BY {dot_ec} DESC, c.centroid_id DESC) AS rn
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
-), qprobe AS (
+){extra_ctes}, qprobe AS (
   SELECT query_id, qv, centroid_id FROM (
     SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
            row_number() OVER (PARTITION BY e.vec_id
@@ -414,33 +419,67 @@ def ann_tuned_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tuned_ivf_oracle() -> str:
-    """Lazy (resolved at gate/test time, after the Spark side built the
-    layout): reads the tuned n_probe straight from the meta sidecar
-    parquet with DuckDB — the oracle must rank at the SAME probe count
-    the sidecar dictates, so the wiring itself is what's checked."""
-    import glob
-    import os
+    """Fully self-contained (r13): instead of READING the tuned n_probe
+    from the meta sidecar (which made the oracle depend on the Spark
+    side having built the index first — a crash if the driver resolves
+    oracle_sql() before running queries), the oracle RECOMPUTES the
+    autotune in SQL, replaying pick_ivf_n_probe exactly
+    (operators/similarity.py:1049): an md5-deterministic 64-query
+    sample, exact top-{K} per sample query, recall(p) = fraction of
+    exact neighbors whose cell sits within the first p probe ranks,
+    np = smallest p with recall >= {TUNE_TARGET}.  A sidecar recording
+    the wrong pick — or a consumer ignoring the sidecar — now
+    hash-mismatches against an INDEPENDENT derivation, which is
+    strictly stronger than replaying the recorded value."""
+    d = D.DUCK
+    cos_te = S.cosine_sql(d, "t.qv", "e.embedding")
+    dot_tc = S.dot_sql(d, "t.qv", "c.cv")
+    qn = S.norm_sql(d, "t.qv")
+    nn = S.norm_sql(d, "e.embedding")
+    tune = f""", tq AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+), tbrute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT t.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY {cos_te} DESC, e.vec_id ASC) AS rnk
+    FROM tq t JOIN embeddings e ON e.vec_id <> t.query_id
+    WHERE {qn} > 0 AND {nn} > 0
+  ) WHERE rnk <= {K}
+), tporder AS (
+  SELECT t.query_id, c.centroid_id,
+         row_number() OVER (PARTITION BY t.query_id
+                            ORDER BY {dot_tc} DESC, c.centroid_id ASC) AS pr
+  FROM tq t CROSS JOIN cent c
+), tpr AS (
+  SELECT po.pr
+  FROM tbrute b
+  JOIN assign a ON a.vec_id = b.neighbor_id
+  JOIN tporder po ON po.query_id = b.query_id
+                 AND po.centroid_id = a.centroid_id
+), tuned AS (
+  SELECT coalesce(MIN(p), {IVF_CENTROIDS}) AS np FROM (
+    SELECT p.p,
+           CAST(sum(CASE WHEN t.pr <= p.p THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS recall
+    FROM generate_series(1, {IVF_CENTROIDS}) p(p) CROSS JOIN tpr t
+    GROUP BY p.p
+  ) WHERE recall >= {TUNE_TARGET}
+)"""
+    return _ivf_oracle(n_probe="(SELECT np FROM tuned)", extra_ctes=tune)
 
-    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    meta = glob.glob(os.path.join(_tuned_index_path(sf), "meta",
-                                  "*.parquet"))
-    if not meta:
-        raise RuntimeError(
-            f"tuned ANN index not built yet at {_tuned_index_path(sf)} — "
-            f"run the ann_tuned_ivf_topk Spark side first (the parity "
-            f"test does; the oracle deliberately resolves lazily)")
-    import duckdb
 
-    n_probe = duckdb.connect().execute(
-        f"SELECT n_probe FROM '{meta[0]}'").fetchone()[0]
-    if n_probe is None:
-        raise RuntimeError("tuned index sidecar has NULL n_probe — built "
-                           "without target_recall?")
-    return _ivf_oracle(n_probe=int(n_probe))
-
-
+# REGISTRY since round 13 (was EXTRA in r12): the recall-targeted
+# n_probe autotune feeds gated consumers from the meta sidecar — a wrong
+# sidecar value silently changes which neighbors are exact, an
+# oracle-only failure mode.  jsonl_sink_roundtrip moved to EXTRA to make
+# room (lowest-risk of the six gated roundtrips).  The oracle is now an
+# eager self-contained string (no sidecar read, no build-order coupling
+# — safe for a driver that resolves oracle_sql() before running the
+# Spark side).
 register(Query("ann_tuned_ivf_topk", ann_tuned_ivf_topk,
-               _tuned_ivf_oracle, tags=("similarity",)), extra=True)
+               _tuned_ivf_oracle(), tags=("similarity",)))
 
 
 # ---------------------------------------------------------------------------
