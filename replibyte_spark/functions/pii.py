@@ -72,9 +72,17 @@ def pii_count_sql(d: str, e: str, category: str) -> str:
 def scrub_pii(df, *cols: str):
     """DataFrame helper: redact every PII category in the given string
     columns (defaults to 'text').  One projection, no shuffle — the scrub
-    is a per-row expression and composes with any downstream plan."""
+    is a per-row expression and composes with any downstream plan.
+
+    r13 fan_out sweep: the scrub is a stack of regexp_replace passes per
+    column — exactly the heavy zero-shuffle projection shape that
+    serializes on a one-split scan (the r12 repetition/gopher/C4/LID
+    trap).  fan_out is a no-op on already-wide or streaming frames."""
     from pyspark.sql import functions as F
 
+    from ..util import fan_out
+
+    df = fan_out(df)
     for c in (cols or ("text",)):
         df = df.withColumn(c, F.expr(scrub_pii_sql(D.SPARK, c)))
     return df

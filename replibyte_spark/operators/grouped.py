@@ -156,7 +156,12 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
          f"{stride}), "
          f"s -> struct(s AS tok_start, "
          f"slice(__toks, s, {chunk_tokens}) AS w)) END")
-    return (df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    # r13 fan_out sweep: tokenize+explode is a heavy zero-shuffle per-row
+    # stage — on a one-split scan it runs single-task (the r12
+    # repetition/gopher trap); no-op on already-wide inputs
+    from ..util import fan_out
+
+    return (fan_out(df).select(F.col(id_col), F.expr(toks).alias("__toks"))
             .select(F.col(id_col),
                     F.posexplode(F.expr(e)).alias("chunk_idx", "c"))
             .select(F.col(id_col),

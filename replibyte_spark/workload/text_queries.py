@@ -505,6 +505,11 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked end to end."""
     from ..operators.grouped import top_terms_per_source
 
+    # fan_out deliberately NOT applied (r13 sweep): the heavy work
+    # (tokenize + count) happens INSIDE the grouped-map pandas UDF, whose
+    # parallelism is the number of groups after the groupBy exchange —
+    # widening the scan wouldn't change that; per-group cost is the
+    # grouped-map contract (tests bound the group count)
     docs = load_table(spark, sf_dir, "documents")
     return top_terms_per_source(docs, k=5)
 
@@ -540,8 +545,12 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators.grouped.pack_token_budget)."""
     from ..functions.text import token_count_sql
     from ..operators.grouped import pack_token_budget
+    from ..util import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 fan_out sweep: the token_count regex projection runs in the
+    # SCAN stage (before the window's exchange) — single-task on a
+    # one-split corpus without the widen
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_tokens = docs.select(
         "doc_id", "source",
         F.expr(token_count_sql(D.SPARK, "text")).cast("long").alias("n_tokens"))
@@ -583,8 +592,11 @@ def normalized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-collapsed text hashed per doc (the robustness pre-pass for
     near-dup pipelines), plus the normalized token count."""
     from ..functions.text import normalize_text_sql, token_count_sql
+    from ..util import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 fan_out sweep: normalize+md5+token_count is a heavy
+    # zero-shuffle projection — the r12 one-split trap shape
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     norm = normalize_text_sql(D.SPARK, "text")
     return (docs.select(
         "doc_id",
@@ -666,9 +678,12 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_subset.py)."""
     from ..functions import text as T
     from ..operators.sample import corpus_quality_report
+    from ..util import fan_out
 
     d = D.SPARK
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
+    # r13 fan_out sweep: token_count + quality_score regexes run in the
+    # scan stage before the report's group exchange
+    docs = fan_out(load_table(spark, sf_dir, "documents")).selectExpr(
         "source",
         f"CAST({T.token_count_sql(d, 'text')} AS BIGINT) AS n_tokens",
         f"round({T.quality_score_sql(d, 'text')}, 6) AS quality")
@@ -710,8 +725,11 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/grouped.py assemble_packed_sequences)."""
     from ..functions.text import token_count_sql
     from ..operators.grouped import assemble_packed_sequences
+    from ..util import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 fan_out sweep: same scan-stage token_count shape as
+    # doc_pack_bins above
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_tokens = docs.select(
         "doc_id", "source", "text",
         F.expr(token_count_sql(D.SPARK, "text")).cast("long")
@@ -1015,7 +1033,11 @@ def doc_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs subword token counts per document plus their ratio —
     the number a token-budget pipeline actually needs (budgets are
     tokenizer tokens, not whitespace words)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..util import fan_out
+
+    # r13 fan_out sweep: five regex folds per row, zero shuffle — the
+    # canonical one-split serialization shape
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = D.SPARK
     return (docs.selectExpr(
         "doc_id",
