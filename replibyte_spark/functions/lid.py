@@ -424,6 +424,30 @@ def score_from_scores_sql(d: str, ls: str) -> str:
     return f"CASE WHEN {mx} <= 0 THEN CAST(0.0 AS DOUBLE) ELSE {mx} END"
 
 
+def margin_from_scores_sql(d: str, ls: str) -> str:
+    """Winner-minus-runner-up margin from a scores-array column — the
+    confidence gauge downstream mixers threshold on (r12 verdict #7: a
+    near-tie between two Latin profiles is a very different 'pred=es'
+    than a clear win, and lang_score alone cannot tell them apart).
+
+    Rendering: ascending comparator-free sort (stays in codegen — a
+    lambda comparator would evaluate interpreted, the r11/r12 lesson),
+    then the last two elements.  Script gating zeroes out-of-class
+    slots, so the runner-up is clamped at 0: a single-candidate script
+    class yields margin == score, which reads correctly as 'nothing
+    competed'.  'und' rows (no profile gram) get margin 0.0 like their
+    score.  Rounded to 6dp — the cross-engine float contract."""
+    if d == D.SPARK:
+        srt = f"array_sort({ls})"
+        mx, m2 = f"element_at({srt}, -1)", f"element_at({srt}, -2)"
+    else:
+        srt = f"list_sort({ls})"
+        mx, m2 = f"list_extract({srt}, -1)", f"list_extract({srt}, -2)"
+    return (f"CASE WHEN {mx} <= 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE round({mx} - greatest({m2}, CAST(0.0 AS DOUBLE)), 6) "
+            f"END")
+
+
 def language_id_sql(d: str, text: str) -> tuple[str, str]:
     """(pred_lang_expr, score_expr) as FLAT self-contained expressions —
     argmax with alphabetical-first tie-break, 'und'/0.0 when no profile
@@ -437,8 +461,9 @@ def language_id_sql(d: str, text: str) -> tuple[str, str]:
 
 def identify_language(df: DataFrame, text_col: str = "text",
                       pred_alias: str = "pred_lang",
-                      score_alias: str = "lang_score") -> DataFrame:
-    """Append (pred_lang, lang_score) columns.
+                      score_alias: str = "lang_score",
+                      margin_alias: str = "lang_margin") -> DataFrame:
+    """Append (pred_lang, lang_score, lang_margin) columns.
 
     Two staged layers so nothing expensive is recomputed: the normalized
     text (its whitespace-collapse regexp is referenced by every
@@ -475,4 +500,6 @@ def identify_language(df: DataFrame, text_col: str = "text",
                         F.expr(pred_from_scores_sql(D.SPARK, arr_col)))
             .withColumn(score_alias,
                         F.expr(score_from_scores_sql(D.SPARK, arr_col)))
+            .withColumn(margin_alias,
+                        F.expr(margin_from_scores_sql(D.SPARK, arr_col)))
             .drop(norm_col, sc_col, arr_col))

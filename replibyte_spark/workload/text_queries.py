@@ -545,12 +545,14 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators.grouped.pack_token_budget)."""
     from ..functions.text import token_count_sql
     from ..operators.grouped import pack_token_budget
-    from ..util import fan_out
 
-    # r13 fan_out sweep: the token_count regex projection runs in the
-    # SCAN stage (before the window's exchange) — single-task on a
-    # one-split corpus without the widen
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # fan_out deliberately NOT applied (r13 sweep, A/B'd at sf0.1): the
+    # pre-window projection is ONE token_count regex — cheap enough that
+    # the added round-robin exchange costs more than the serial scan
+    # saves (measured 0.51 s fanned vs 0.37 s plain, min-of-3
+    # interleaved); the heavy-projection rows (subword: 0.62x, metrics,
+    # fingerprints) keep the widen
+    docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select(
         "doc_id", "source",
         F.expr(token_count_sql(D.SPARK, "text")).cast("long").alias("n_tokens"))
@@ -725,11 +727,11 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/grouped.py assemble_packed_sequences)."""
     from ..functions.text import token_count_sql
     from ..operators.grouped import assemble_packed_sequences
-    from ..util import fan_out
 
-    # r13 fan_out sweep: same scan-stage token_count shape as
-    # doc_pack_bins above
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # fan_out deliberately NOT applied: same single-token_count shape as
+    # doc_pack_bins above, which A/B'd SLOWER fanned (the exchange costs
+    # more than the one cheap regex saves)
+    docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select(
         "doc_id", "source", "text",
         F.expr(token_count_sql(D.SPARK, "text")).cast("long")
@@ -1025,6 +1027,45 @@ def _language_id_oracle() -> str:
 # classifier's cost model IS the scan, and the bench row proves it
 register(Query("doc_language_id", doc_language_id, _language_id_oracle(),
                tags=("text", "lid"), bench=True))
+
+
+def doc_language_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LID with the winner-minus-runner-up confidence margin (r13,
+    r12 verdict #7): downstream mixers threshold on the margin — a
+    near-tie between two same-script profiles is a different 'es' than
+    a clear win.  Only docs the classifier actually labels (pred_lang
+    <> 'und') and a real tie-telemetry projection: margin strictly
+    below score means a second profile competed."""
+    from ..functions.lid import identify_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (identify_language(docs)
+            .filter(F.col("pred_lang") != "und")
+            .select("doc_id", "pred_lang", "lang_score", "lang_margin")
+            .orderBy("doc_id"))
+
+
+def _language_margin_oracle() -> str:
+    from ..functions.lid import (lang_scores_array_sql,
+                                 margin_from_scores_sql,
+                                 pred_from_scores_sql,
+                                 score_from_scores_sql)
+
+    d = D.DUCK
+    # the scores array staged once in a subquery (the identify_language
+    # shape) — pred/score/margin derive from the cheap array
+    return (f"SELECT doc_id, {pred_from_scores_sql(d, 'ls')} AS pred_lang, "
+            f"{score_from_scores_sql(d, 'ls')} AS lang_score, "
+            f"{margin_from_scores_sql(d, 'ls')} AS lang_margin "
+            f"FROM (SELECT doc_id, {lang_scores_array_sql(d, 'text')} AS ls "
+            f"FROM documents) "
+            f"WHERE {pred_from_scores_sql(d, 'ls')} <> 'und' "
+            f"ORDER BY doc_id")
+
+
+register(Query("doc_language_margin", doc_language_margin,
+               _language_margin_oracle(), tags=("text", "lid")),
+         extra=True)
 
 
 # --- subword (BPE-ish) token counting (round 8) ------------------------------

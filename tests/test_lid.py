@@ -276,3 +276,56 @@ def test_lid_projection_survives_codegen_with_fallback_disabled(spark):
         assert out.count() == len(SENTENCES)
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_lid_margin_semantics(spark):
+    """r13 (r12 verdict #7): the winner-minus-runner-up margin.  On the
+    multilingual fixture: 0 <= margin <= score everywhere; some
+    same-script sentences must show a COMPETING runner-up (margin
+    strictly below score) — that's the tie telemetry mixers threshold
+    on; an engineered exact tie must read margin == 0."""
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(SENTENCES)],
+        "doc_id long, lang string, text string")
+    rows = identify_language(df).collect()
+    for r in rows:
+        assert 0.0 <= r.lang_margin <= r.lang_score + 1e-9, r
+    competed = [r for r in rows if r.lang_margin < r.lang_score - 1e-9]
+    assert competed, ("no sentence had a scoring runner-up — margin "
+                      "column is vacuous on the fixture")
+    # the engineered de/en exact tie from the tie-break test: margin 0
+    tie = identify_language(spark.createDataFrame(
+        [(1, "ich th")], "doc_id long, text string")).collect()[0]
+    assert tie.pred_lang == "de" and tie.lang_margin == 0.0, tie
+    # degenerate rows: margin 0 like the score
+    und = identify_language(spark.createDataFrame(
+        [(1, None), (2, "zzz qqq 123")],
+        "doc_id long, text string")).collect()
+    assert all(r.lang_margin == 0.0 for r in und)
+
+
+def test_lid_margin_matches_duckdb():
+    """Cross-engine parity of the margin expression itself on real
+    multilingual text (the workload gate only sees the synthetic corpus,
+    where no runner-up ever scores)."""
+    import duckdb
+
+    from replibyte_spark import dialect as D
+    from replibyte_spark.functions.lid import (lang_scores_array_sql,
+                                               margin_from_scores_sql,
+                                               pred_from_scores_sql,
+                                               score_from_scores_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    for i, (_, s) in enumerate(SENTENCES):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    d = D.DUCK
+    rows = con.execute(
+        f"SELECT doc_id, {pred_from_scores_sql(d, 'ls')} AS pred, "
+        f"{score_from_scores_sql(d, 'ls')} AS score, "
+        f"{margin_from_scores_sql(d, 'ls')} AS margin "
+        f"FROM (SELECT doc_id, {lang_scores_array_sql(d, 'text')} AS ls "
+        f"FROM t) ORDER BY doc_id").fetchall()
+    assert all(0.0 <= m <= s + 1e-9 for _, _, s, m in rows)
+    assert any(m < s - 1e-9 for _, _, s, m in rows)
