@@ -35,9 +35,10 @@ because a Spark-first engine can make the dump itself join-optimal.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..util import hadoop_exists, hadoop_read_bytes, hadoop_write_bytes
 
 SPEC_FILE = "_bucket_spec.json"
 
@@ -47,26 +48,29 @@ def _ddl_columns(df: DataFrame) -> str:
                      for f in df.schema.fields)
 
 
-def _write_spec(path: str, bucket_col: str, n_buckets: int,
-                sort: bool) -> None:
-    with open(os.path.join(path, SPEC_FILE), "w") as f:
-        json.dump({"bucket_col": bucket_col, "n_buckets": n_buckets,
-                   "sort": sort, "version": 1}, f)
+def _write_spec(spark: SparkSession, path: str, bucket_col: str,
+                n_buckets: int, sort: bool) -> None:
+    # Hadoop FS, never the local file API: the spec must ride the same
+    # scheme as the bucket files it describes (r13 — the
+    # partitioned-layout lesson)
+    hadoop_write_bytes(
+        spark, f"{path}/{SPEC_FILE}",
+        json.dumps({"bucket_col": bucket_col, "n_buckets": n_buckets,
+                    "sort": sort, "version": 1}).encode())
 
 
-def read_bucket_spec(path: str) -> "dict | None":
+def read_bucket_spec(spark: SparkSession, path: str) -> "dict | None":
     """The spec the layout at `path` was written with, or None for a
     pre-spec layout (written before r12)."""
-    p = os.path.join(path, SPEC_FILE)
-    if not os.path.exists(p):
+    p = f"{path}/{SPEC_FILE}"
+    if not hadoop_exists(spark, p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(hadoop_read_bytes(spark, p).decode())
 
 
-def _check_spec(path: str, bucket_col: str, n_buckets: int,
-                sort: "bool | None" = None) -> None:
-    spec = read_bucket_spec(path)
+def _check_spec(spark: SparkSession, path: str, bucket_col: str,
+                n_buckets: int, sort: "bool | None" = None) -> None:
+    spec = read_bucket_spec(spark, path)
     if spec is None:
         return  # pre-spec layout: caller carries the contract (documented)
     if (spec["bucket_col"] != bucket_col
@@ -111,7 +115,7 @@ def write_bucketed_table(df: DataFrame, spark: SparkSession, name: str,
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(name)
-    _write_spec(path, bucket_col, n_buckets, sort)
+    _write_spec(spark, path, bucket_col, n_buckets, sort)
 
 
 def register_bucketed_table(spark: SparkSession, name: str, path: str,
@@ -123,7 +127,7 @@ def register_bucketed_table(spark: SparkSession, name: str, path: str,
     NAMES, so a wrong spec here would silently mis-bucket reads.  The
     spec sidecar written by :func:`write_bucketed_table` is validated
     here; a mismatch raises instead of registering."""
-    _check_spec(path, bucket_col, n_buckets, sort)
+    _check_spec(spark, path, bucket_col, n_buckets, sort)
     sorted_by = f"SORTED BY (`{bucket_col}`) " if sort else ""
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     spark.sql(
@@ -141,7 +145,7 @@ def ensure_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
     (spec-validated); else → write.  The _SUCCESS marker gates reuse (a
     torn write never registers)."""
     if not spark.catalog.tableExists(name):
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if hadoop_exists(spark, f"{path}/_SUCCESS"):
             register_bucketed_table(spark, name, path, df, bucket_col,
                                     n_buckets)
         else:

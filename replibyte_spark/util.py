@@ -65,6 +65,37 @@ def hadoop_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def hadoop_read_bytes(spark: SparkSession, path: str) -> bytes:
+    """Read a small driver-side file through the scheme-resolved Hadoop
+    FileSystem — sidecars/specs must take the same code path on
+    s3a://gs://hdfs:// roots as the data they describe."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def hadoop_write_bytes(spark: SparkSession, path: str,
+                       payload: bytes) -> None:
+    """Overwrite-write a small driver-side file via the Hadoop FS (the
+    read twin above).  For multi-writer/atomic-replace semantics use the
+    datastore's tmp/bak manifest dance; layout sidecars are written once
+    with their layout, so plain create(overwrite) is the honest
+    contract."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
 def swap_directory(spark: SparkSession, final: str, write_fn) -> None:
     """Replace directory `final` with freshly-written content, single
     writer assumed: `write_fn(tmp_path)` builds the replacement beside

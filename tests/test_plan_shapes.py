@@ -479,9 +479,9 @@ def test_bucketed_reattach_refuses_wrong_spec(spark, sf_dir, tmp_path):
     region = load_table(spark, sf_dir, "region")
     write_bucketed_table(region, spark, "rs_spec_probe", path,
                          "r_regionkey", 4)
-    assert read_bucket_spec(path) == {"bucket_col": "r_regionkey",
-                                      "n_buckets": 4, "sort": True,
-                                      "version": 1}
+    assert read_bucket_spec(spark, path) == {"bucket_col": "r_regionkey",
+                                             "n_buckets": 4, "sort": True,
+                                             "version": 1}
     spark.sql("DROP TABLE IF EXISTS rs_spec_probe")
     with pytest.raises(ValueError, match="INTO 4 BUCKETS"):
         ensure_bucketed_table(spark, region, "rs_spec_probe", path,
@@ -521,3 +521,39 @@ def test_federated_join_pushes_filter_to_jdbc(spark, sf_dir):
     schema = fact[0].split("ReadSchema:")[1]
     assert "o_orderdate" not in schema and "o_orderstatus" not in schema, \
         schema
+
+
+def test_bucketed_spec_io_is_hadoop_fs(spark, sf_dir, tmp_path):
+    """r13: the bucket-spec sidecar must ride the same scheme-resolved
+    FileSystem as the bucket files (the partitioned-layout lesson) — a
+    spec written/validated via open()/os.path would silently skip
+    validation on s3a://hdfs:// layouts.  Prove it on an explicitly
+    file://-qualified path and lock the module structurally."""
+    import inspect
+
+    import pytest
+
+    import replibyte_spark.sinks.bucketed as m
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.bucketed import (ensure_bucketed_table,
+                                                read_bucket_spec,
+                                                write_bucketed_table)
+
+    src = inspect.getsource(m)
+    assert "import os" not in src and "open(" not in src, \
+        "bucketed.py regained local-FS-only sidecar IO"
+
+    path = "file://" + str(tmp_path / "bkt_scheme")
+    region = load_table(spark, sf_dir, "region")
+    write_bucketed_table(region, spark, "rs_scheme_probe", path,
+                         "r_regionkey", 4)
+    assert read_bucket_spec(spark, path)["n_buckets"] == 4
+    spark.sql("DROP TABLE IF EXISTS rs_scheme_probe")
+    # validation fires across the scheme-qualified path too
+    with pytest.raises(ValueError, match="INTO 4 BUCKETS"):
+        ensure_bucketed_table(spark, region, "rs_scheme_probe", path,
+                              "r_regionkey", 8)
+    df = ensure_bucketed_table(spark, region, "rs_scheme_probe", path,
+                               "r_regionkey", 4)
+    assert df.count() == region.count()
+    spark.sql("DROP TABLE IF EXISTS rs_scheme_probe")
