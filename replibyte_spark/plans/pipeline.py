@@ -187,6 +187,44 @@ class RestorePipeline:
             for t, df in tables.items():
                 print(f"-- {t}")
                 df.show(20, truncate=False)
+        elif scheme in ("docker+postgres", "docker+mysql",
+                        "docker+mongodb"):
+            # reference K4 (postgres_docker.rs / mysql_docker.rs /
+            # mongodb_docker.rs): start a fresh container, pipe the dump
+            # through the engine client, leave it running for the dev.
+            # URI path: '' | '<tag>' | '<tag>:<host_port>'
+            from ..sinks import docker_dest as DK
+
+            engine = scheme.split("+", 1)[1]
+            defaults = {"postgres": ("13", 5432), "mysql": ("8", 3306),
+                        "mongodb": ("5", 27017)}
+            tag, port = defaults[engine]
+            if path:
+                bits = path.rstrip("/").split(":")
+                tag = bits[0] or tag
+                if len(bits) > 1:
+                    port = int(bits[1])
+            wipe = self.config.destination.wipe_database
+            if engine == "mongodb":
+                from ..sources.mongo_archive import build_archive
+
+                dest = DK.mongo_docker(port, tag)
+                dest.start()
+                try:
+                    dest.write(build_archive(
+                        {t: [r.asDict(recursive=True)
+                             for r in df.collect()]
+                         for t, df in tables.items()}))
+                except Exception:
+                    dest.stop()
+                    dest.rm()
+                    raise
+            else:
+                dest = (DK.postgres_docker(port, tag)
+                        if engine == "postgres"
+                        else DK.mysql_docker(port, tag))
+                DK.restore_into_container(tables, dest, dialect=engine,
+                                          wipe=wipe)
         else:
             raise ValueError(f"unsupported destination scheme: {scheme}")
         return tables

@@ -401,6 +401,42 @@ register(Query("jsonl_sink_roundtrip", jsonl_sink_roundtrip,
                tags=("pipeline", "sink")), extra=True)
 
 
+# --- Docker-destination payload round-trip (K4, r13) -------------------------
+
+def docker_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The container-restore pipe's SQL payload (sinks/docker_dest.py
+    render_sql_payload — DDL + typed INSERTs, what `docker exec psql`
+    executes off stdin) parsed BACK through the engine's own statement
+    splitter + typed decoder: any loss in the K4 rendering shows up as a
+    hash mismatch against the table read directly.  The container
+    lifecycle itself (run/probe/exec/stop/rm argv contract, the mongo
+    trailing-NUL strip) is locked by tests/test_docker_dest.py's dry-run
+    plans — no daemon exists in CI, same as the reference's skipped
+    destination tests."""
+    import tempfile
+
+    from ..sinks.docker_dest import render_sql_payload
+    from ..sources.sqldump import read_sql_dump
+
+    nation = load_table(spark, sf_dir, "nation")
+    payload = render_sql_payload({"nation": nation}, dialect="postgres")
+    d = tempfile.mkdtemp(prefix="rs_gate_dockerpay_")
+    with open(f"{d}/payload.sql", "wb") as fh:
+        fh.write(payload)
+    back = read_sql_dump(spark, d)["nation"]
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    ).orderBy("n_nationkey")
+
+
+register(Query("docker_payload_roundtrip", docker_payload_roundtrip,
+               "SELECT n_nationkey, n_name, n_regionkey "
+               "FROM nation ORDER BY n_nationkey",
+               tags=("pipeline", "sink")), extra=True)
+
+
 def incremental_dump_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert-only CDC: base dump of events up to a cutoff, then an
     incremental dump against the full table (only rows past the recorded
