@@ -269,7 +269,6 @@ def main() -> None:
                     else os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
                         sidecar_name))
-    loadavg_end = [round(x, 2) for x in os.getloadavg()]
 
     # clean-window verdict: sentinel thresholds (cpus/sf-matched runs
     # only) + per-row drift vs the last committed recording.  Both go to
@@ -330,6 +329,7 @@ def main() -> None:
     sentinel_breach, slow_movers, drift_vs_committed = window_checks()
     timings = {n: round(best(n)[0], 3) for n in raw_times}
     straggler_ms = {n: best(n)[1] for n in raw_times}
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     if sentinel_breach:
         print(f"# WARNING: sentinel breach {sentinel_breach} after "
               f"{retry_rounds} retry rounds — this window is NOT clean, "
