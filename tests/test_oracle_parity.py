@@ -27,11 +27,14 @@ def test_registry_fits_driver_cap():
 
 def test_high_risk_gates_are_driver_visible():
     names = list(REGISTRY)
+    # curation_pipeline_v4 replaced v2 here in r13 (v2 → EXTRA, subsumed
+    # by the gated v4 — same stages plus the r9/r10 operators)
     for must in ("subset_parent_closure", "subset_full_closure",
                  "stratified_doc_sample", "doc_text_metrics",
                  "minhash_near_dup", "simhash_near_dup",
-                 "curation_pipeline_v2", "incremental_index_dedup",
-                 "doc_language_id", "embedding_index_admit"):
+                 "curation_pipeline_v4", "incremental_index_dedup",
+                 "doc_language_id", "embedding_index_admit",
+                 "partitioned_events_revenue", "ann_tuned_ivf_topk"):
         assert must in names[:50], f"{must} fell outside the driver window"
 
 
