@@ -6,7 +6,8 @@ dispatched in main.rs:84-209:
     replibyte -c conf.yaml dump list
     replibyte -c conf.yaml dump create [-s <type> -i] [-f <file>] [-n <name>]
     replibyte -c conf.yaml dump restore remote -v <latest|name> [-o]
-    replibyte -c conf.yaml dump restore local ...        (Docker — non-goal)
+    replibyte -c conf.yaml dump restore local -v <latest|name>
+              [-i postgresql|mysql|mongodb] [-t tag] [-p port] [-r] [-o]
     replibyte -c conf.yaml dump delete <name>|--older-than Nd|--keep-last N
     replibyte -c conf.yaml transformer list
     replibyte -c conf.yaml source schema
@@ -23,8 +24,9 @@ every subcommand builds the same declarative plans the library API exposes
 (plans/pipeline.py, introspect.py, sinks/datastore.py).  `--no-telemetry`
 is accepted for argv compatibility and is a no-op — this engine has no
 telemetry at all.  `dump restore local` (reference cli.rs:75-96: spawn a
-Docker container and restore into it) is an explicit unsupported error —
-the accepted SURVEY §7 non-goal (K4).
+Docker container and restore into it) is implemented since r13 on
+sinks/docker_dest.py (K4); without a reachable Docker daemon it fails
+loudly with guidance instead of silently no-op'ing.
 """
 
 from __future__ import annotations
@@ -76,8 +78,24 @@ def _build_parser() -> argparse.ArgumentParser:
                              "statements on stdout")
     local = rsub.add_parser("local",
                             help="restore dump inside a local Docker "
-                                 "container (unsupported)")
-    local.add_argument("-v", "--value", default="latest")
+                                 "container (reference cli.rs:75-96)")
+    local.add_argument("-v", "--value", default="latest",
+                       metavar="[latest | dump name]")
+    local.add_argument("-i", "--image", default="postgresql",
+                       choices=["postgresql", "mysql", "mongodb"],
+                       help="Docker image type (reference default: "
+                            "postgresql)")
+    local.add_argument("-t", "--tag", default=None,
+                       help="Docker image tag (defaults: postgres 13, "
+                            "mysql 8, mongo 5 — the reference constants)")
+    local.add_argument("-p", "--port", type=int, default=None,
+                       help="host port to map the container port on")
+    local.add_argument("-r", "--remove", action="store_true",
+                       help="remove the container after the restore "
+                            "(default: leave it running for the dev)")
+    local.add_argument("-o", "--output", action="store_true",
+                       help="also stream the restored tables as SQL on "
+                            "stdout")
 
     delete = dsub.add_parser("delete", help="delete dumps")
     delete.add_argument("dump", nargs="?", default=None,
@@ -520,6 +538,68 @@ def _cmd_dump_restore_remote(spark, config, args) -> int:
 
     tables = RestorePipeline(config).run(spark, args.value)
     print(f"restored {len(tables)} tables from {args.value}")
+    return 0
+
+
+def _cmd_dump_restore_local(spark, config, args) -> int:
+    """`dump restore local` (reference cli.rs:75-96 + RestoreLocalArgs):
+    spawn a Docker container of the requested engine and pipe the dump
+    into it — K4, sinks/docker_dest.py.  The container is left running
+    for the developer unless -r/--remove is given."""
+    from .sinks import docker_dest as DK
+    from .sinks.datastore import Datastore
+
+    if not config.datastore:
+        print("error: restore requires datastore config", file=sys.stderr)
+        return 2
+    store = Datastore(spark, config.datastore.dir)
+    tables = store.restore(
+        args.value,
+        decrypt_columns=config.datastore.encrypted_columns,
+        encryption_key=config.encryption_key)
+    if args.output:
+        from .sinks.sqldump_sink import to_insert_statements
+
+        for t in sorted(tables):
+            for row in to_insert_statements(tables[t], t).toLocalIterator():
+                print(row[0])
+    defaults = {"postgresql": ("13", 5432), "mysql": ("8", 3306),
+                "mongodb": ("5", 27017)}
+    tag, port = defaults[args.image]
+    tag = args.tag or tag
+    port = args.port or port
+    try:
+        if args.image == "mongodb":
+            from .sources.mongo_archive import build_archive
+
+            dest = DK.mongo_docker(port, tag)
+            dest.start()
+            try:
+                dest.write(build_archive(
+                    {t: [r.asDict(recursive=True) for r in df.collect()]
+                     for t, df in tables.items()}))
+            except Exception:
+                dest.stop()
+                dest.rm()
+                raise
+            if args.remove:
+                dest.stop()
+                dest.rm()
+            cid = dest.container_id or "(removed)"
+        else:
+            engine = "postgres" if args.image == "postgresql" else "mysql"
+            dest = (DK.postgres_docker(port, tag) if engine == "postgres"
+                    else DK.mysql_docker(port, tag))
+            cid = DK.restore_into_container(
+                tables, dest, dialect=engine,
+                keep_container=not args.remove)
+    except (RuntimeError, TimeoutError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    state = "removed after restore" if args.remove else \
+        f"listening on localhost:{port}"
+    print(f"restored {len(tables)} tables from {args.value} into "
+          f"{args.image} container {cid} ({state})")
     return 0
 
 
@@ -1312,11 +1392,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return _cmd_dump_create(spark, config, args)
     if args.dump_cmd == "restore":
         if args.restore_cmd == "local":
-            print("error: `dump restore local` (Docker containers, "
-                  "reference cli.rs:75-96) is not supported by the Spark "
-                  "engine — use `dump restore remote` with a destination "
-                  "connection_uri", file=sys.stderr)
-            return 2
+            return _cmd_dump_restore_local(spark, config, args)
         return _cmd_dump_restore_remote(spark, config, args)
     if args.dump_cmd == "delete":
         return _cmd_dump_delete(spark, config, args)

@@ -119,10 +119,42 @@ def test_cli_transformer_list_and_source_schema(spark, conf, capsys):
     assert "c_custkey" not in out        # only_tables pruned the listing
 
 
-def test_cli_restore_local_is_explicitly_unsupported(spark, conf, capsys):
-    assert main(["-c", conf, "dump", "restore", "local", "-v", "latest"],
-                spark=spark) == 2
-    assert "not supported" in capsys.readouterr().err
+def test_cli_restore_local_spawns_container(spark, conf, capsys,
+                                            monkeypatch):
+    """`dump restore local` (K4, r13 — was an unsupported error before):
+    the full container plan through the CLI, asserted via a primed
+    dry-run runner; and without a reachable daemon it exits 2 with
+    guidance instead of a silent no-op."""
+    from replibyte_spark.sinks import docker_dest as DK
+
+    assert main(["-c", conf, "dump", "create", "-n", "dl1"],
+                spark=spark) == 0
+    capsys.readouterr()
+
+    primed = DK.DockerRunner(dry_run=True)
+    primed.script = [
+        (0, b"feedfacefeedfacefeedface\n", b""),  # docker run
+        (0, b"", b""),                             # pg_isready
+        (0, b"", b""),                             # psql pipe
+    ]
+    monkeypatch.setattr(DK, "DockerRunner", lambda *a, **k: primed)
+    assert main(["-c", conf, "dump", "restore", "local", "-v", "dl1",
+                 "-p", "5444"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "feedfacefeed" in out and "localhost:5444" in out
+    run = primed.calls[0]
+    assert run.argv[:3] == ["run", "-p", "5444:5432"]
+    pipe = primed.calls[-1]
+    assert "psql" in pipe.argv[5]
+    sql = pipe.stdin.decode()
+    # the dump's redacted transformer applied BEFORE the container pipe
+    assert "CREATE TABLE nation" in sql and "CREATE TABLE region" in sql
+    monkeypatch.undo()
+
+    if not DK.DockerRunner().available():
+        assert main(["-c", conf, "dump", "restore", "local", "-v", "dl1"],
+                    spark=spark) == 2
+        assert "docker" in capsys.readouterr().err
 
 
 def test_cli_stdin_requires_source_type(spark, conf, capsys):
