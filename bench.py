@@ -211,8 +211,13 @@ def main() -> None:
             f"{leftover} persistent RDDs leaked into {name}'s measurement")
         print(f"# {name}: 0 persistent RDDs at start", file=sys.stderr)
         # box-load attribution: a uniform inflation across queries with a
-        # high load-average here is contention, not a plan regression
-        loadavg_at.setdefault(name, [round(x, 2) for x in os.getloadavg()])
+        # high load-average here is contention, not a plan regression.
+        # One [1m,5m,15m] sample PER measuring pass (a retried row gets a
+        # second sample), so the sidecar's evidence describes the window
+        # the reported min actually came from, not just the first dirty
+        # attempt (r13 review)
+        loadavg_at.setdefault(name, []).append(
+            [round(x, 2) for x in os.getloadavg()])
         times: list[float] = []
         tasks: list[int] = []
         i = 0

@@ -563,35 +563,17 @@ def _cmd_dump_restore_local(spark, config, args) -> int:
         for t in sorted(tables):
             for row in to_insert_statements(tables[t], t).toLocalIterator():
                 print(row[0])
-    defaults = {"postgresql": ("13", 5432), "mysql": ("8", 3306),
-                "mongodb": ("5", 27017)}
-    tag, port = defaults[args.image]
-    tag = args.tag or tag
-    port = args.port or port
+    dest = DK.destination_for(args.image, args.port, args.tag)
+    port = dest.host_port
     try:
         if args.image == "mongodb":
-            from .sources.mongo_archive import build_archive
-
-            dest = DK.mongo_docker(port, tag)
-            dest.start()
-            try:
-                dest.write(build_archive(
-                    {t: [r.asDict(recursive=True) for r in df.collect()]
-                     for t, df in tables.items()}))
-            except Exception:
-                dest.stop()
-                dest.rm()
-                raise
-            if args.remove:
-                dest.stop()
-                dest.rm()
-            cid = dest.container_id or "(removed)"
+            cid = DK.restore_archive_into_container(
+                tables, dest, keep_container=not args.remove)
         else:
-            engine = "postgres" if args.image == "postgresql" else "mysql"
-            dest = (DK.postgres_docker(port, tag) if engine == "postgres"
-                    else DK.mysql_docker(port, tag))
             cid = DK.restore_into_container(
-                tables, dest, dialect=engine,
+                tables, dest,
+                dialect="postgres" if args.image == "postgresql"
+                else "mysql",
                 keep_container=not args.remove)
     except (RuntimeError, TimeoutError) as exc:
         print(f"error: {exc}", file=sys.stderr)
@@ -1067,8 +1049,18 @@ def _cmd_corpus(spark, args) -> int:
             # so remote (s3a://hdfs://) layouts are found too
             from .sinks.partitioned import (compact_time_partitions,
                                             detect_partition_column)
+            from .util import recover_directory
 
             date_col = detect_partition_column(spark, args.index)
+            if date_col is None and recover_directory(spark, args.index):
+                # a previous compaction crashed mid-swap (live path
+                # missing, .bak holding the complete old layout) —
+                # restore it so "re-running compaction IS the recovery
+                # procedure" holds through the CLI too, not just the
+                # Python API
+                print(f"# recovered crashed compaction swap at "
+                      f"{args.index} from its .bak", file=sys.stderr)
+                date_col = detect_partition_column(spark, args.index)
             if date_col is None:
                 print(f"error: no MinHash/ANN index or partitioned layout "
                       f"at {args.index}", file=sys.stderr)

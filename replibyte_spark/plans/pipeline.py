@@ -196,35 +196,26 @@ class RestorePipeline:
             from ..sinks import docker_dest as DK
 
             engine = scheme.split("+", 1)[1]
-            defaults = {"postgres": ("13", 5432), "mysql": ("8", 3306),
-                        "mongodb": ("5", 27017)}
-            tag, port = defaults[engine]
+            tag = port = None
             if path:
                 bits = path.rstrip("/").split(":")
-                tag = bits[0] or tag
+                tag = bits[0] or None
                 if len(bits) > 1:
-                    port = int(bits[1])
-            wipe = self.config.destination.wipe_database
+                    try:
+                        port = int(bits[1])
+                    except ValueError:
+                        raise ValueError(
+                            f"invalid docker destination URI "
+                            f"'{self.config.destination.connection_uri}': "
+                            f"expected {scheme}://[tag[:host_port]] with a "
+                            f"numeric port, got '{bits[1]}'") from None
+            dest = DK.destination_for(engine, port, tag)
             if engine == "mongodb":
-                from ..sources.mongo_archive import build_archive
-
-                dest = DK.mongo_docker(port, tag)
-                dest.start()
-                try:
-                    dest.write(build_archive(
-                        {t: [r.asDict(recursive=True)
-                             for r in df.collect()]
-                         for t, df in tables.items()}))
-                except Exception:
-                    dest.stop()
-                    dest.rm()
-                    raise
+                DK.restore_archive_into_container(tables, dest)
             else:
-                dest = (DK.postgres_docker(port, tag)
-                        if engine == "postgres"
-                        else DK.mysql_docker(port, tag))
-                DK.restore_into_container(tables, dest, dialect=engine,
-                                          wipe=wipe)
+                DK.restore_into_container(
+                    tables, dest, dialect=engine,
+                    wipe=self.config.destination.wipe_database)
         else:
             raise ValueError(f"unsupported destination scheme: {scheme}")
         return tables

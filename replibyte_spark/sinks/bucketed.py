@@ -139,16 +139,27 @@ def register_bucketed_table(spark: SparkSession, name: str, path: str,
 
 def ensure_bucketed_table(spark: SparkSession, df: DataFrame, name: str,
                           path: str, bucket_col: str,
-                          n_buckets: int) -> DataFrame:
+                          n_buckets: int,
+                          sort: "bool | None" = None) -> DataFrame:
     """Idempotently materialize-or-attach the bucketed layout and return
     it as a DataFrame: registered → as-is; files present → re-register
     (spec-validated); else → write.  The _SUCCESS marker gates reuse (a
-    torn write never registers)."""
+    torn write never registers).
+
+    ``sort=None`` (default) re-attaches with the RECORDED sort flag from
+    the spec sidecar — a sort=False layout stays attachable (r13: the
+    sort-flag validation would otherwise reject the hardcoded True
+    forever) — and writes fresh layouts sorted.  Pass an explicit bool
+    to assert a specific expectation instead."""
     if not spark.catalog.tableExists(name):
         if hadoop_exists(spark, f"{path}/_SUCCESS"):
+            if sort is None:
+                spec = read_bucket_spec(spark, path)
+                sort = bool(spec.get("sort", True)) if spec else True
             register_bucketed_table(spark, name, path, df, bucket_col,
-                                    n_buckets)
+                                    n_buckets, sort=sort)
         else:
             write_bucketed_table(df, spark, name, path, bucket_col,
-                                 n_buckets)
+                                 n_buckets,
+                                 sort=True if sort is None else sort)
     return spark.table(name)

@@ -82,8 +82,15 @@ class DockerRunner:
             if self.script:
                 return self.script.pop(0)
             return 0, b"0123456789abcdef0123456789abcdef\n", b""
-        proc = subprocess.run([self.binary, *argv], input=stdin,
-                              capture_output=True, timeout=timeout)
+        try:
+            proc = subprocess.run([self.binary, *argv], input=stdin,
+                                  capture_output=True, timeout=timeout)
+        except subprocess.TimeoutExpired as exc:
+            # normalize to the error types every caller already handles —
+            # a wedged daemon must hit the CLI's loud-failure path, not
+            # escape as an unhandled subprocess traceback
+            raise RuntimeError(
+                f"docker {argv[0]} timed out after {timeout:.0f}s") from exc
         return proc.returncode, proc.stdout, proc.stderr
 
 
@@ -137,7 +144,14 @@ class DockerDestination:
         if rc != 0:
             raise RuntimeError(f"docker run failed: {err.decode(errors='replace')}")
         self.container_id = out.decode().strip()[:12]
-        self._wait_ready()
+        try:
+            self._wait_ready()
+        except Exception:
+            # a container that never came ready must not keep running and
+            # holding the host port — same no-zombie contract as write()
+            self.stop()
+            self.rm()
+            raise
         return self.container_id
 
     def _wait_ready(self) -> None:
@@ -220,8 +234,15 @@ def mysql_docker(host_port: int = 3306, tag: str = "8",
              "MYSQL_DATABASE": "db"},
         command=["mysqld",
                  "--default-authentication-plugin=mysql_native_password"],
-        client_cmd=f"mysql -u root -p{MYSQL_PASSWORD} db",
-        probe_cmd=f"mysqladmin ping -u root -p{MYSQL_PASSWORD} --silent",
+        # -h 127.0.0.1 on BOTH probe and client: the mysql entrypoint's
+        # temporary bootstrap server (init phase) runs --skip-networking,
+        # so a TCP probe only ever reaches the REAL server — a socket
+        # `mysqladmin ping` would report ready during init and the pipe
+        # would race the entrypoint's server restart (the failure the
+        # reference's fixed 20 s sleep papered over)
+        client_cmd=f"mysql -h 127.0.0.1 -u root -p{MYSQL_PASSWORD} db",
+        probe_cmd=(f"mysql -h 127.0.0.1 -u root -p{MYSQL_PASSWORD} "
+                   f"-e 'SELECT 1' db"),
     ), host_port, runner, **kw)
 
 
@@ -271,8 +292,16 @@ def render_sql_payload(tables: "dict[str, DataFrame]",
     the pipe and the .sql sink stay literally one implementation."""
     from .sqldump_sink import to_insert_statements
 
-    out: "list[str]" = ["BEGIN;" if dialect == "postgres"
-                        else "START TRANSACTION;"]
+    if dialect == "postgres":
+        out: "list[str]" = ["BEGIN;"]
+    else:
+        # the INSERT literals are encoded with standard SQL quote-doubling
+        # (sqldump_sink._value_expr); MySQL's default mode ALSO treats
+        # backslash as an escape, which would silently corrupt any value
+        # containing one ('C:\tmp' → 'C:<TAB>mp') and break the stream on
+        # a trailing backslash — pin the session to standard literals
+        out = ["SET SESSION sql_mode = 'NO_BACKSLASH_ESCAPES';",
+               "START TRANSACTION;"]
     for t, df in tables.items():
         cols = ", ".join(
             f"{f.name} {_sql_type(f.dataType.simpleString(), dialect)}"
@@ -300,6 +329,54 @@ def restore_into_container(tables: "dict[str, DataFrame]",
     cid = dest.start()
     try:
         dest.write(render_sql_payload(tables, dialect=dialect, wipe=wipe))
+    except Exception:
+        dest.stop()
+        dest.rm()
+        raise
+    if not keep_container:
+        dest.stop()
+        dest.rm()
+    return cid
+
+
+# engine name → (image tag default, container/host port default) — ONE
+# place for the reference constants; both CLI spellings accepted
+ENGINE_DEFAULTS = {"postgres": ("13", 5432), "postgresql": ("13", 5432),
+                   "mysql": ("8", 3306), "mongodb": ("5", 27017)}
+
+
+def destination_for(engine: str, host_port: "int | None" = None,
+                    tag: "str | None" = None,
+                    runner: "DockerRunner | None" = None,
+                    **kw) -> DockerDestination:
+    """The engine's destination with reference-default tag/port where not
+    given.  `engine` accepts 'postgres'/'postgresql'/'mysql'/'mongodb'."""
+    if engine not in ENGINE_DEFAULTS:
+        raise ValueError(f"unknown docker destination engine: {engine} "
+                         f"(expected postgresql | mysql | mongodb)")
+    d_tag, d_port = ENGINE_DEFAULTS[engine]
+    tag, host_port = tag or d_tag, host_port or d_port
+    if engine in ("postgres", "postgresql"):
+        return postgres_docker(host_port, tag, runner, **kw)
+    if engine == "mysql":
+        return mysql_docker(host_port, tag, runner, **kw)
+    return mongo_docker(host_port, tag, runner, **kw)
+
+
+def restore_archive_into_container(tables: "dict[str, DataFrame]",
+                                   dest: DockerDestination,
+                                   keep_container: bool = True) -> str:
+    """The mongo twin of :func:`restore_into_container`: serialize the
+    tables as a mongodump archive (sources/mongo_archive — the
+    byte-exact re-serializer the archive gates prove) and pipe it
+    through mongorestore.  Same container lifecycle contract."""
+    from ..sources.mongo_archive import build_archive
+
+    cid = dest.start()
+    try:
+        dest.write(build_archive(
+            {t: [r.asDict(recursive=True) for r in df.collect()]
+             for t, df in tables.items()}))
     except Exception:
         dest.stop()
         dest.rm()

@@ -1102,3 +1102,27 @@ def test_cli_corpus_esearch_quantized_methods(spark, tmp_path, capsys,
         res = spark.read.parquet(out)
         assert res.groupBy("query_id").count().agg(
             {"count": "max"}).first()[0] <= 5
+
+
+def test_cli_corpus_compact_recovers_crashed_swap(spark, tmp_path, capsys,
+                                                  sf_dir):
+    """r13 review: the partitioned.py contract says 're-running
+    compaction IS the recovery procedure', but the CLI's layout
+    detection used to bail on the missing live path before the recovery
+    could run.  Simulate the crash window and re-run through the CLI."""
+    import os
+
+    layout = str(tmp_path / "ev_crash")
+    assert main(["corpus", "partition",
+                 "-i", f"{sf_dir}/events.parquet", "-o", layout],
+                spark=spark) == 0
+    capsys.readouterr()
+    os.rename(layout, layout + ".bak")  # crashed between the two renames
+    os.makedirs(layout + ".tmp")        # orphaned staging dir
+    assert main(["corpus", "compact", "--index", layout,
+                 "--max-records-per-file", "1000000"], spark=spark) == 0
+    cap = capsys.readouterr()
+    assert "recovered crashed compaction swap" in cap.err
+    assert "compacted" in cap.out
+    assert not os.path.exists(layout + ".bak")
+    assert spark.read.parquet(layout).count() > 0

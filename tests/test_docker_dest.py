@@ -87,11 +87,67 @@ def test_mongo_pipe_strips_trailing_nul():
 
 
 def test_ready_poll_times_out_with_probe_stderr():
+    """A container that never comes ready must not keep running and
+    holding the host port (r13 review): the timeout tears it down."""
     r = DockerRunner(dry_run=True)
     r.script = [(0, FAKE_ID, b""), (1, b"", b"connection refused")]
     dest = postgres_docker(5433, runner=r, ready_timeout=0)
     with pytest.raises(TimeoutError, match="connection refused"):
         dest.start()
+    assert r.calls[-2].argv[0] == "stop"
+    assert r.calls[-1].argv[:2] == ["rm", "-f"]
+    assert dest.container_id is None
+
+
+def test_mysql_payload_pins_standard_literals(spark):
+    """INSERT literals are quote-doubled (standard SQL); MySQL's default
+    mode also treats backslash as an escape, silently corrupting any
+    value containing one — the mysql payload pins the session to
+    NO_BACKSLASH_ESCAPES before the transaction (r13 review)."""
+    df = spark.createDataFrame([(1, "C:\\tmp\\x")], "k long, s string")
+    my = render_sql_payload({"t": df}, dialect="mysql").decode()
+    lines = my.splitlines()
+    assert lines[0] == "SET SESSION sql_mode = 'NO_BACKSLASH_ESCAPES';"
+    assert lines[1] == "START TRANSACTION;"
+    assert "'C:\\tmp\\x'" in my  # backslashes pass through verbatim
+    pg = render_sql_payload({"t": df}, dialect="postgres").decode()
+    assert "sql_mode" not in pg  # postgres literals are standard already
+
+
+def test_mysql_probe_and_client_use_tcp():
+    """The mysql entrypoint's temporary bootstrap server (init phase)
+    runs --skip-networking: a socket-level ping would report ready
+    during init and the restore pipe would race the entrypoint's server
+    restart.  TCP-only probe+client reach the REAL server (r13
+    review)."""
+    from replibyte_spark.sinks.docker_dest import mysql_docker as mk
+
+    spec = mk(3307, runner=DockerRunner(dry_run=True)).spec
+    assert "-h 127.0.0.1" in spec.probe_cmd
+    assert "SELECT 1" in spec.probe_cmd
+    assert "-h 127.0.0.1" in spec.client_cmd
+    assert "mysqladmin" not in spec.probe_cmd
+
+
+def test_runner_normalizes_subprocess_timeout():
+    """A wedged docker CLI call must surface as RuntimeError (the type
+    every caller's loud-failure path handles), not an unhandled
+    subprocess.TimeoutExpired traceback (r13 review)."""
+    r = DockerRunner(dry_run=False, binary="sleep")
+    with pytest.raises(RuntimeError, match="timed out"):
+        r.run(["5"], timeout=0.2)
+
+
+def test_destination_for_defaults_and_unknown_engine():
+    from replibyte_spark.sinks.docker_dest import destination_for
+
+    r = DockerRunner(dry_run=True)
+    d = destination_for("postgresql", None, None, runner=r)
+    assert d.host_port == 5432 and d.spec.tag == "13"
+    d = destination_for("mysql", 3310, "8.4", runner=r)
+    assert d.host_port == 3310 and d.spec.tag == "8.4"
+    with pytest.raises(ValueError, match="unknown docker destination"):
+        destination_for("oracle", None, None, runner=r)
 
 
 def test_failed_pipe_raises_and_cleans_up(spark):
@@ -121,7 +177,7 @@ def test_render_sql_payload_dialects_and_append_mode(spark):
     assert "v DOUBLE PRECISION" in pg and pg.startswith("BEGIN;")
     my = render_sql_payload({"t": df}, dialect="mysql").decode()
     assert "v DOUBLE" in my and "DOUBLE PRECISION" not in my
-    assert my.startswith("START TRANSACTION;")
+    assert "START TRANSACTION;" in my.splitlines()[:2]
     soft = render_sql_payload({"t": df}, wipe=False).decode()
     assert "DROP TABLE" not in soft
     assert "CREATE TABLE IF NOT EXISTS t" in soft
@@ -150,6 +206,14 @@ def test_restore_pipeline_scheme_wiring(spark, sf_dir, tmp_path):
             RestorePipeline(cfg2).run(spark, "d1")
     else:  # pragma: no cover — live daemon available
         RestorePipeline(cfg2).run(spark, "d1")
+    # a typo'd port is a configuration error, not an int() traceback
+    cfg3 = Config.from_dict({
+        "source": {"connection_uri": f"parquet://{sf_dir}"},
+        "datastore": {"dir": str(tmp_path / "store")},
+        "destination": {"connection_uri": "docker+postgres://13:54x3"},
+    })
+    with pytest.raises(ValueError, match="invalid docker destination URI"):
+        RestorePipeline(cfg3).run(spark, "d1")
 
 
 @pytest.mark.skipif(shutil.which("docker") is None

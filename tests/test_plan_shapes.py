@@ -557,3 +557,25 @@ def test_bucketed_spec_io_is_hadoop_fs(spark, sf_dir, tmp_path):
                                "r_regionkey", 4)
     assert df.count() == region.count()
     spark.sql("DROP TABLE IF EXISTS rs_scheme_probe")
+
+
+def test_bucketed_sort_false_layout_reattaches(spark, sf_dir, tmp_path):
+    """r13 review: with the sort-flag validation in place,
+    ensure_bucketed_table must re-attach a sort=False layout using the
+    RECORDED flag (it used to hardcode sort=True into registration,
+    making every valid unsorted layout permanently unattachable)."""
+    from replibyte_spark.catalog import load_table
+    from replibyte_spark.sinks.bucketed import (ensure_bucketed_table,
+                                                write_bucketed_table)
+
+    path = str(tmp_path / "bkt_nosort")
+    region = load_table(spark, sf_dir, "region")
+    write_bucketed_table(region, spark, "rs_nosort_probe", path,
+                         "r_regionkey", 4, sort=False)
+    spark.sql("DROP TABLE IF EXISTS rs_nosort_probe")  # catalog loss
+    df = ensure_bucketed_table(spark, region, "rs_nosort_probe", path,
+                               "r_regionkey", 4)       # sort from spec
+    assert df.count() == region.count()
+    ddl = spark.sql("SHOW CREATE TABLE rs_nosort_probe").first()[0]
+    assert "SORTED BY" not in ddl  # registered with the recorded flag
+    spark.sql("DROP TABLE IF EXISTS rs_nosort_probe")
