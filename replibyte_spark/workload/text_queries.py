@@ -1033,14 +1033,20 @@ def doc_language_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LID with the winner-minus-runner-up confidence margin (r13,
     r12 verdict #7): downstream mixers threshold on the margin — a
     near-tie between two same-script profiles is a different 'es' than
-    a clear win.  Only docs the classifier actually labels (pred_lang
-    <> 'und') and a real tie-telemetry projection: margin strictly
-    below score means a second profile competed."""
+    a clear win.  'und' rows carry margin 0 like their score.
+
+    Deliberately NO filter in this gate: a predicate on pred_lang gets
+    pushed below the staged scores-array projection, which inlines the
+    whole 31-language array expression into the filter and pushes the
+    codegen method over the JVM 64 KB limit — silent interpreted
+    fallback, measured 24.6 s vs 1.0 s at sf0.01 (the exact r10 LID
+    failure mode; locked by test_lid's fallback-disabled compile
+    test).  Consumers thresholding on margin should filter AFTER a
+    materialization boundary."""
     from ..functions.lid import identify_language
 
     docs = load_table(spark, sf_dir, "documents")
     return (identify_language(docs)
-            .filter(F.col("pred_lang") != "und")
             .select("doc_id", "pred_lang", "lang_score", "lang_margin")
             .orderBy("doc_id"))
 
@@ -1059,7 +1065,6 @@ def _language_margin_oracle() -> str:
             f"{margin_from_scores_sql(d, 'ls')} AS lang_margin "
             f"FROM (SELECT doc_id, {lang_scores_array_sql(d, 'text')} AS ls "
             f"FROM documents) "
-            f"WHERE {pred_from_scores_sql(d, 'ls')} <> 'und' "
             f"ORDER BY doc_id")
 
 

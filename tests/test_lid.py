@@ -274,6 +274,14 @@ def test_lid_projection_survives_codegen_with_fallback_disabled(spark):
             "doc_id long, text string")
         out = identify_language(df)
         assert out.count() == len(SENTENCES)
+        # r13: the margin-gate SHAPE must compile too — and a filter on
+        # pred_lang must NOT be added to it: predicate pushdown inlines
+        # the staged scores array into the filter, crossing 64 KB
+        # (measured 24.6 s interpreted vs 1.0 s; the gate documents the
+        # why-not).  The unfiltered select is the locked shape.
+        margin_shape = out.select("doc_id", "pred_lang", "lang_score",
+                                  "lang_margin").orderBy("doc_id")
+        assert margin_shape.count() == len(SENTENCES)
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
 
