@@ -56,7 +56,18 @@ register(Query("doc_text_metrics", doc_metrics, DOC_METRICS_ORACLE,
 
 def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation pass: per (source, lang_guess) doc counts and mean
-    quality, keeping only docs above a quality floor."""
+    quality, keeping only docs above a quality floor.
+
+    The floor lives INSIDE the aggregates (count/avg over `kept` docs +
+    a HAVING on the kept count), not as a pre-agg `.filter(quality >=
+    0.5)`: Catalyst sinks a deterministic filter below fan_out's
+    exchange (PushPredicateThroughNonJoin), which re-inlines the whole
+    quality-score expression into a predicate evaluated single-task on
+    the one-split scan — the r12 corpus-pipeline trap, verified present
+    in this gate's executed plan during the r13 sweep.  Aggregate-side
+    the scoring stays one wide projection and dropped docs simply don't
+    count; groups with zero kept docs are removed by the HAVING, so the
+    result is row-identical to the filtered form."""
     from ..util import fan_out
 
     d = D.SPARK
@@ -66,10 +77,14 @@ def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{T.lang_guess_sql(d, 'text')} AS lang_guess",
         f"{T.quality_score_sql(d, 'text')} AS quality",
     )
-    return (scored.filter(F.col("quality") >= 0.5)
+    kept = F.col("quality") >= 0.5
+    return (scored
             .groupBy("source", "lang_guess")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("quality"), 6).alias("avg_quality"))
+            .agg(F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+                 .alias("n_docs"),
+                 F.round(F.avg(F.when(kept, F.col("quality"))), 6)
+                 .alias("avg_quality"))
+            .filter(F.col("n_docs") > 0)
             .orderBy("source", "lang_guess"))
 
 

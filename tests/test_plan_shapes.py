@@ -579,3 +579,21 @@ def test_bucketed_sort_false_layout_reattaches(spark, sf_dir, tmp_path):
     ddl = spark.sql("SHOW CREATE TABLE rs_nosort_probe").first()[0]
     assert "SORTED BY" not in ddl  # registered with the recorded flag
     spark.sql("DROP TABLE IF EXISTS rs_nosort_probe")
+
+
+def test_quality_filter_summary_keeps_floor_above_exchange(spark, sf_dir):
+    """r13: the quality floor lives in the aggregates, not a pre-agg
+    filter — Catalyst would sink a deterministic filter below fan_out's
+    exchange and evaluate the full quality-score expression single-task
+    on the one-split scan (the r12 corpus-pipeline trap; the pre-fix
+    plan showed the whole round(...(CASE WHEN...)) predicate under the
+    RoundRobin).  No Filter node may sit below the widen."""
+    import re
+
+    df = REGISTRY["quality_filter_summary"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "RoundRobinPartitioning" in plan
+    below = plan.split("RoundRobinPartitioning")[-1]
+    sunk = [ln for ln in below.splitlines()
+            if re.search(r"\bFilter \(", ln) and "FileScan" not in ln]
+    assert not sunk, sunk
