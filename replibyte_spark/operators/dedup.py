@@ -802,17 +802,25 @@ def positioned_grams(docs: DataFrame, id_col: str = "doc_id",
                      span_tokens: int = 8) -> DataFrame:
     """(id, pos, gram): every SLIDING window of `span_tokens` consecutive
     tokens with its 1-based start position — unaligned, unlike
-    :func:`text_chunks`.  Docs shorter than the span produce no rows
-    (filtered BEFORE the sequence expression: sequence(1, 0) would count
-    down)."""
+    :func:`text_chunks`.  Docs shorter than the span produce no rows.
+
+    The short-doc guard is a CASE inside the projection (empty array →
+    explode drops the doc), NOT a `.filter(size(__toks) >= n)`: Catalyst
+    substitutes the alias when pushing a filter below fan_out's
+    exchange, so the guard used to re-inline the whole regex
+    tokenization into a predicate evaluated single-task on the one-split
+    scan (the r13 sunk-filter sweep; same fix shape as
+    chunk_documents).  sequence(1, 0) would count DOWN, hence the
+    explicit CASE rather than a clamped upper bound."""
     n = span_tokens
     toks = D.split_ws(D.SPARK, text_col)
     with_toks = (fan_out(docs.select(F.col(id_col), F.col(text_col)))
-                 .select(F.col(id_col), F.expr(toks).alias("__toks"))
-                 .filter(F.expr(f"size(__toks) >= {n}")))
-    e = (f"transform(sequence(1, size(__toks) - {n} + 1), "
+                 .select(F.col(id_col), F.expr(toks).alias("__toks")))
+    e = (f"CASE WHEN __toks IS NULL OR size(__toks) < {n} THEN "
+         f"array() ELSE "
+         f"transform(sequence(1, size(__toks) - {n} + 1), "
          f"i -> struct(i AS pos, "
-         f"array_join(slice(__toks, i, {n}), ' ') AS gram))")
+         f"array_join(slice(__toks, i, {n}), ' ') AS gram)) END")
     return (with_toks.select(F.col(id_col), F.explode(F.expr(e)).alias("g"))
             .select(F.col(id_col), F.col("g.pos").alias("pos"),
                     F.col("g.gram").alias("gram")))
