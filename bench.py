@@ -331,7 +331,47 @@ def main() -> None:
             run_iterations(n, bench_queries[n])
             retried[n] = retried.get(n, 0) + 1
 
+    # final escalation (r14, r13 verdict #2): the bounded retry ladder
+    # above gives up after `retry_rounds` fixed backoffs, which is how the
+    # r13 driver artifact shipped dirty (load rose 3.6->11.2 mid-run and
+    # 45 s backoffs never outlived the wave).  If drift remains after the
+    # budget, re-enter a HARD load gate — wait until the 1-min loadavg is
+    # actually quiet (< SPARK_GRAFT_BENCH_QUIET_LOAD, default 1.0), up to
+    # SPARK_GRAFT_BENCH_QUIET_WAIT seconds — then re-warm and re-measure
+    # only the dirty rows once more.  If the window STILL isn't clean the
+    # summary self-classifies with load_polluted: true; no more
+    # silently-dirty driver artifacts.
     sentinel_breach, slow_movers, drift_vs_committed = window_checks()
+    suspects = sorted(set(sentinel_breach) | set(slow_movers))
+    quiet_gated = False
+    if suspects:
+        quiet_gated = True
+        quiet_load = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD",
+                                          "1.0"))
+        quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT",
+                                          "600"))
+        print(f"# retry budget exhausted with dirty rows {suspects}: "
+              f"waiting up to {quiet_wait:.0f}s for 1-min load < "
+              f"{quiet_load}", file=sys.stderr)
+        t_gate = time.monotonic()
+        while (os.getloadavg()[0] > quiet_load
+               and time.monotonic() - t_gate < quiet_wait):
+            time.sleep(15)
+        print(f"# quiet gate exit after {time.monotonic() - t_gate:.0f}s "
+              f"at loadavg {os.getloadavg()[0]:.2f}; final re-measure of "
+              f"{suspects}", file=sys.stderr)
+        for n in suspects:
+            bench_queries[n].spark_fn(spark, sf_dir).write \
+                .mode("overwrite").format("noop").save()
+            cleanup()
+            run_iterations(n, bench_queries[n])
+            retried[n] = retried.get(n, 0) + 1
+
+    sentinel_breach, slow_movers, drift_vs_committed = window_checks()
+    # a window that stayed dirty through the quiet gate is load-polluted
+    # by definition of the gate (or a real regression — either way the
+    # artifact must not read as clean)
+    load_polluted = load_polluted or bool(sentinel_breach) or bool(slow_movers)
     timings = {n: round(best(n)[0], 3) for n in raw_times}
     straggler_ms = {n: best(n)[1] for n in raw_times}
     loadavg_end = [round(x, 2) for x in os.getloadavg()]
@@ -362,6 +402,7 @@ def main() -> None:
             "drift_limit": DRIFT_LIMIT,
             "drift_vs_committed": drift_vs_committed,
             "retried": retried, "retry_rounds": retry_rounds,
+            "quiet_gated": quiet_gated,
             "runs": runs, "extra_runs": extra_runs,
             "spread_limit": spread_limit, "cpus": cpus, "sf_dir": sf_dir,
         }, fh, indent=1)

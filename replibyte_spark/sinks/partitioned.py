@@ -54,7 +54,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import dialect as D
 from ..util import hadoop_exists, recover_directory, swap_directory
 
 
@@ -125,6 +124,38 @@ def detect_partition_column(spark: SparkSession, path: str) -> "str | None":
     return sorted(parts)[0].split("=", 1)[0] if parts else None
 
 
+def assign_file_slots(spark: SparkSession, df: DataFrame,
+                      budgets: "dict[str, int]", null_budget: int,
+                      null_n: int, date_col: str) -> "tuple[DataFrame, int]":
+    """Attach a deterministic ``__slot`` file-slot column: rows of each
+    partition hash uniformly into that partition's file budget.
+
+    The budget lookup must stay O(1) in expression size: a CASE branch
+    per partition is O(partitions) generated code, and a multi-year
+    daily layout (~3,650 partitions) pushes the method past janino's
+    64 KB limit — silent interpreted fallback on exactly the op whose
+    input cardinality IS partition count.  So the budgets ride a tiny
+    broadcast frame joined on the stringified partition value instead
+    (compile-locked at 2,500 partitions with fallback disabled,
+    tests/test_partitioned.py).  Returns (frame + __slot, total slots)."""
+    bdf = spark.createDataFrame(
+        [(d, b) for d, b in budgets.items()] or [("__none__", 1)],
+        "__part_key string, __budget int")
+    joined = df.join(
+        F.broadcast(bdf),
+        F.col(date_col).cast("string") == F.col("__part_key"), "left")
+    nf = (F.when(F.col(date_col).isNull(), F.lit(null_budget))
+          .otherwise(F.coalesce(F.col("__budget"), F.lit(1))))
+    # deterministic uniform slot from the row's stable content hash —
+    # xxhash64 over all non-partition columns (no rand(): retries and
+    # re-runs land rows in the same file)
+    data_cols = [c for c in df.columns if c != date_col]
+    slot = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), nf)
+    n_slots = max(1, sum(budgets.values()) + (null_budget if null_n else 0))
+    return (joined.withColumn("__slot", slot)
+            .drop("__part_key", "__budget")), n_slots
+
+
 def compact_time_partitions(spark: SparkSession, path: str,
                             target_rows_per_file: int,
                             date_col: str = "event_date") -> "dict":
@@ -143,10 +174,14 @@ def compact_time_partitions(spark: SparkSession, path: str,
     next run (:func:`~replibyte_spark.util.recover_directory` on entry);
     see the module docstring for the concurrent-reader contract.
 
-    Rows whose partition value is NULL (the layout's
-    ``__HIVE_DEFAULT_PARTITION__`` directory) get their own explicit
-    file budget — a string-compare CASE would never match SQL NULL and
-    silently mis-size that partition.
+    The per-partition file budgets ride a small broadcast frame joined
+    onto the data (O(1) expression size at any partition count — an
+    inline CASE branch per partition would cross janino's 64 KB method
+    limit around a few thousand partitions).  Rows whose partition
+    value is NULL (the layout's ``__HIVE_DEFAULT_PARTITION__``
+    directory) get their own explicit budget via a NULL-check before
+    the join lookup — a string-equality join key never matches SQL
+    NULL and would silently mis-size that partition.
 
     Returns {"files_before": n, "files_after": m, "partitions": p}."""
     if target_rows_per_file <= 0:
@@ -172,20 +207,11 @@ def compact_time_partitions(spark: SparkSession, path: str,
     budgets = {d: max(1, math.ceil(n / target_rows_per_file))
                for d, n in counts.items()}
     null_budget = max(1, math.ceil(null_n / target_rows_per_file))
-    slot_cases = " ".join(
-        f"WHEN CAST(`{date_col}` AS STRING) = {D.q(d)} THEN {b}"
-        for d, b in budgets.items())
-    nf = F.expr(f"CASE WHEN `{date_col}` IS NULL THEN {null_budget} "
-                f"{slot_cases} ELSE 1 END")
-    # deterministic uniform slot from the row's stable content hash —
-    # xxhash64 over all non-partition columns (no rand(): retries and
-    # re-runs land rows in the same file)
-    data_cols = [c for c in df.columns if c != date_col]
-    slot = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), nf)
-    n_slots = max(1, sum(budgets.values()) + (null_budget if null_n else 0))
+    slotted, n_slots = assign_file_slots(spark, df, budgets, null_budget,
+                                         null_n, date_col)
 
     def write(staged: str) -> None:
-        (df.withColumn("__slot", slot)
+        (slotted
          .repartition(n_slots, F.col(date_col), F.col("__slot"))
          .drop("__slot")
          .write.mode("overwrite").partitionBy(date_col)

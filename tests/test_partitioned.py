@@ -345,3 +345,48 @@ def test_compaction_budgets_null_partition(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 500
     assert back.filter(F.col("event_date").isNull()).count() == 250
+
+
+def test_budget_lookup_compiles_at_2500_partitions(spark):
+    """VERDICT r13 #1: the budget lookup must be O(1) in expression size.
+    The old per-partition CASE crossed janino's 64 KB method limit around
+    a few thousand partitions — silent interpreted fallback on exactly
+    the op whose input cardinality IS partition count (a multi-year daily
+    layout).  The broadcast-join rewrite must compile with fallback
+    disabled at 2,500 partitions, and still size every partition's file
+    budget correctly."""
+    import datetime
+
+    from replibyte_spark.sinks.partitioned import assign_file_slots
+
+    n_parts = 2500
+    base = datetime.date(2019, 1, 1)
+    budgets = {str(base + datetime.timedelta(days=i)): 2
+               for i in range(n_parts)}
+    df = (spark.range(n_parts * 4)
+          .withColumn("event_date",
+                      F.expr(f"date_add(DATE'2019-01-01', "
+                             f"CAST(id % {n_parts} AS INT))"))
+          .withColumn("payload", F.concat(F.lit("p"), F.col("id"))))
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        slotted, n_slots = assign_file_slots(spark, df, budgets,
+                                             null_budget=1, null_n=0,
+                                             date_col="event_date")
+        assert n_slots == 2 * n_parts
+        rows = (slotted.groupBy("event_date")
+                .agg(F.countDistinct("__slot").alias("slots"),
+                     F.max("__slot").alias("mx"))
+                .agg(F.count(F.lit(1)).alias("parts"),
+                     F.max("mx").alias("mx"),
+                     F.max("slots").alias("slots")).collect()[0])
+        assert rows["parts"] == n_parts
+        # every slot stays inside its partition's budget of 2
+        assert rows["mx"] <= 1 and rows["slots"] <= 2, rows
+        # the plan carries ONE broadcast join, not an O(parts) CASE
+        plan = slotted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert plan.count("CASE WHEN") < 10, "budget CASE re-inlined?"
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
