@@ -66,16 +66,22 @@ def main() -> None:
             ji = st.getJobInfo(jid)
             if ji is None:
                 continue
-            jd = store.job(jid)
             jname = ""
-            if jd.isDefined():
-                jname = (jd.get().description().get()
-                         if jd.get().description().isDefined() else "")
+            try:
+                jd = store.job(jid)  # v1.JobData (raises if evicted)
+                if jd.description().isDefined():
+                    jname = jd.description().get()
+            except Exception:
+                pass
             lines.append(f"  job {jid} {jname[:90]}")
             for sid in sorted(ji.stageIds):
-                sd = store.stageAttempt(sid, 0, False)
                 try:
-                    s = sd._1() if hasattr(sd, "_1") else sd
+                    # Spark 4.1: stageData(id, details, taskStatus,
+                    # withSummaries, unsortedQuantiles) -> Seq[StageData]
+                    seq = store.stageData(sid, False, None, False, None)
+                    if seq.isEmpty():
+                        continue
+                    s = seq.apply(seq.size() - 1)
                     dur = 0
                     if (s.submissionTime().isDefined()
                             and s.completionTime().isDefined()):
