@@ -185,15 +185,32 @@ def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int,
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             n_hashes: int = 12, bands: int = 4,
                             n: int = 3) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket.
+
+    Pair generation is a groupBy + in-bucket expansion, NOT a band-key
+    self-join (r14): a self-join references the scan → shingle → hash →
+    aggregate subtree from both sides, and AQE materializes it once PER
+    SIDE (two identical full-input map stages in the executed plan — at
+    100 TB, two corpus tokenizations).  An eager checkpoint of the
+    signature frame fixes the double evaluation but measured SLOWER at
+    sf0.1 (min-of-5 3.70 s → 4.80 s: the materialization barrier costs
+    more than the recompute saves).  Grouping each (band, band_key)
+    bucket and expanding the sorted id array's upper triangle evaluates
+    the subtree ONCE and shuffles once where the join shuffled twice;
+    ids are unique per bucket by construction (one signature row per id),
+    so the strict upper triangle is exactly the id_a < id_b pair set."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, n)
     bk = lsh_band_keys(sig, id_col, bands, rows)
-    a = bk.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = bk.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    return (a.join(b, on=["band", "band_key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    buckets = (bk.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pair = F.expr(
+        "explode(flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b)))))")
+    return (buckets.select(pair.alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
@@ -235,6 +252,10 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                 .unionAll(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
     cand_docs = df.join(cand_ids, on=id_col, how="leftsemi")
+    # the verification shingle set feeds three consumers inside
+    # jaccard_for_pairs; an eager checkpoint to evaluate it once was
+    # tried (r14) and measured SLOWER at sf0.1 (the barrier outweighs the
+    # recompute of a candidates-only explode) — left lazy deliberately.
     sh = shingles(cand_docs, id_col, text_col, n)
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
@@ -578,7 +599,16 @@ def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             labels = _driver_union_find([tuple(r) for r in raw.collect()])
             schema = T_.StructType([T_.StructField("node", id_type),
                                     T_.StructField("cluster_id", id_type)])
-            return spark.createDataFrame(labels, schema)
+            # broadcast hint (r14): the label frame is driver-resident and
+            # bounded by 2×DRIVER_CC_MAX_PAIRS rows, but a parallelized
+            # local collection carries no size statistics, so without the
+            # hint keep_canonical's anti-join plans as a sort-merge join
+            # that shuffles AND sorts the whole corpus side (2 Exchanges +
+            # 2 Sorts observed in the executed plan).  The hint survives
+            # the filter/projection keep_canonical applies.  The
+            # star_components branch below is NOT hinted — its label
+            # frame is corpus-scale.
+            return F.broadcast(spark.createDataFrame(labels, schema))
         return star_components(raw, max_iterations)
     finally:
         raw.unpersist()

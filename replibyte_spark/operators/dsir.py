@@ -33,8 +33,11 @@ Scale shape: feature extraction is the word-count explode (map-side
 partial agg absorbs the Zipf head); the bucket model is AT MOST ``m``
 rows by construction, so the scoring join broadcasts under an m-bound
 guard (the one quantity that genuinely bounds the build side); top-k is
-a TakeOrdered, never a full sort.  At 100 TB: one pass over target, two
-over raw (count + score), all shuffles keyed by bucket or doc id.
+a TakeOrdered, never a full sort.  At 100 TB: one featurization pass
+over target and ONE over raw — the per-doc (id, bucket, cnt) counts are
+cached and feed both the raw model and the scoring join (r14; they were
+previously recomputed per consumer) — all shuffles keyed by bucket or
+doc id.
 
 Reference analogue: none — Replibyte has no data-selection surface;
 this sits with the mixing/sampling family (operators/sample.py).
@@ -102,7 +105,17 @@ def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
     (empty text) carry no evidence and are omitted — they have no
     feature rows, hence no weight (log w would be exactly 0)."""
     tgt = bucket_model(target_docs, id_col, text_col, m).persist()
-    raw = bucket_model(raw_docs, id_col, text_col, m).persist()
+    # ONE featurization pass over the raw corpus (r14): the per-doc
+    # feature counts feed both the raw bucket model and the scoring join
+    # below; computing the model via bucket_model() re-ran the whole
+    # tokenize + md5 explode a second time (two identical full-input map
+    # stages in the executed plan).  The cached (id, bucket, cnt) frame
+    # is far smaller than the token stream it derives from, reclaimable
+    # (MEMORY_AND_DISK), and the totals collect below fills it before
+    # the scoring join reads it — no concurrent-fill race.
+    tf = _doc_features(raw_docs, id_col, text_col, m).persist()
+    raw = (tf.groupBy("bucket")
+           .agg(F.sum("cnt").cast("long").alias("n")).persist())
     totals_t = tgt.agg(F.sum("n")).collect()[0][0]
     totals_r = raw.agg(F.sum("n")).collect()[0][0]
     if not totals_t or not totals_r:
@@ -126,7 +139,6 @@ def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
     const = F.log(F.lit(R + m).cast("double")) \
         - F.log(F.lit(T + m).cast("double"))
 
-    tf = _doc_features(raw_docs, id_col, text_col, m)
     joined = (tf.join(dlr_side, "bucket", "left")
               .withColumn("dlr", F.coalesce(F.col("dlr"), F.lit(0.0))))
     entry = F.struct(F.col("bucket"),
