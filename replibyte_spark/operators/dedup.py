@@ -214,17 +214,28 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
-    """True Jaccard for candidate pairs via the distinct shingle sets."""
-    card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
-    xa = sh.select(F.col(id_col).alias("id_a"), "gram")
-    xb = sh.select(F.col(id_col).alias("id_b"), "gram")
-    inter = (pairs.join(xa, "id_a").join(xb, ["id_b", "gram"])
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
-    ca = card.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
-    cb = card.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
-    return (inter.join(ca, "id_a").join(cb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6))
+    """True Jaccard for candidate pairs via the distinct shingle sets.
+
+    `sh` is aggregated to ONE gram-array row per doc (collect_set — set
+    semantics, so a pre-distinct'ed input is not required) and the pair
+    frame joins that aggregate twice; the intersection is a per-row
+    array_intersect, no shuffle.  The previous shape — separate
+    per-gram join rows for each side plus a cardinality aggregate —
+    referenced the `sh` subtree FOUR times (xa, xb, ca, cb: four
+    identical full-input map stages, 0.5-1.3 s each in the sf0.1
+    training_corpus_pipeline attribution) and paid a groupBy shuffle of
+    the exploded pair×gram rows for the intersection.  This shape
+    evaluates `sh` twice, shuffles grams only in the two per-doc
+    aggregates, and turns the intersection into map-side array work.
+    Fan-out note: a doc in many candidate pairs carries its gram array
+    once per pair — bounded because candidates ≪ corpus by LSH design."""
+    gd = sh.groupBy(id_col).agg(F.collect_set("gram").alias("grams"))
+    ga = gd.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = gd.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (pairs.join(ga, "id_a").join(gb, "id_b")
+            .withColumn("jaccard", F.round(
+                inter / (F.size("ga") + F.size("gb") - inter), 6))
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -252,11 +263,14 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                 .unionAll(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
     cand_docs = df.join(cand_ids, on=id_col, how="leftsemi")
-    # the verification shingle set feeds three consumers inside
-    # jaccard_for_pairs; an eager checkpoint to evaluate it once was
-    # tried (r14) and measured SLOWER at sf0.1 (the barrier outweighs the
-    # recompute of a candidates-only explode) — left lazy deliberately.
-    sh = shingles(cand_docs, id_col, text_col, n)
+    # raw exploded grams, NOT shingles(): jaccard_for_pairs aggregates
+    # with collect_set, which dedups for free — the separate distinct
+    # shuffle (and its AQE-coalesced single-task reduce, 0.7 s in the
+    # sf0.1 pipeline attribution) would be pure overhead inside a
+    # subtree jaccard_for_pairs evaluates twice.  An eager checkpoint of
+    # this subtree was also tried (r14) and measured SLOWER at sf0.1
+    # (the barrier outweighs a candidates-only recompute) — left lazy.
+    sh = _exploded_grams(cand_docs, id_col, text_col, n)
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
