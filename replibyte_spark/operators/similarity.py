@@ -923,17 +923,26 @@ def embedding_near_dup_pairs_bucketed(vectors: DataFrame,
                   F.col("nrm").alias("na"), "tbl", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                   F.col("nrm").alias("nb"), "tbl", "bucket")
-    cand = (a.join(b, on=["tbl", "bucket"])
+    # score BEFORE the cross-table dedup (r14): cosine is a deterministic
+    # function of the pair, so every duplicate candidate (same pair found
+    # by several tables) carries the identical value and dropDuplicates
+    # afterwards keeps the same rows.  Scoring first means the dedup
+    # exchange moves (id_a, id_b, cosine) — three scalars — instead of
+    # two full embedding payloads per candidate: 237 MB → ~2 MB shuffled
+    # at sf0.1 (the pair stage was the whole query).  A pair found by k
+    # tables folds the dot product k times — map-side compute, measured
+    # cheaper than shuffling payload bytes at every benched shape (the
+    # guide's decide-with-small-rows rule).  The threshold filter also
+    # drops below the exchange for free: equal-cosine duplicates pass or
+    # fail together.  Norms ride along from the checkpointed frame: one
+    # fold per (vector, table) row at build time, not two per candidate.
+    return (a.join(b, on=["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb", "na", "nb")
-            .dropDuplicates(["id_a", "id_b"]))
-    # norms ride along from the checkpointed frame: one fold per (vector,
-    # table) row at build time instead of two per candidate pair
-    return (cand
             .withColumn("cosine", F.expr(
                 f"round({dot_sql(D.SPARK, 'va', 'vb')} / (na * nb), 6)"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
+            .dropDuplicates(["id_a", "id_b"])
             .orderBy("id_a", "id_b"))
 
 
