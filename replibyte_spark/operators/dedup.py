@@ -453,12 +453,26 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     at sf0.1 (AQE also re-plans each duplicated subtree independently).
     Eager localCheckpoint, not lazy persist: concurrent join-side stages
     otherwise race to fill the same cache blocks (the RP-LSH bucketed path
-    measured 138 s vs 8 s under that race).  fan_out first — AQE coalesces
-    the small aggregated frame to one partition, and checkpointing would
-    freeze that serial layout into every downstream stage (measured 15 s vs
-    4 s at sf0.1)."""
-    sig = fan_out(simhash_signatures(df, id_col, text_col, bits)) \
+    measured 138 s vs 8 s under that race).  Checkpoint FIRST, fan_out the
+    checkpointed frame (r14): fan_out probes `df.rdd.getNumPartitions()`,
+    and on a not-yet-executed aggregate AQE finalizes the plan by
+    MATERIALIZING its shuffle stages — the whole explode+hash+aggregate
+    subtree ran once for the probe and again for the checkpoint (two
+    identical map+agg stage pairs in the job history).  On the
+    checkpointed frame the probe is free, and the widening exchange AQE
+    would otherwise coalesce away (the earlier fan_out-first rationale —
+    a frozen one-partition layout measured 15 s vs 4 s at sf0.1) reads
+    cheap checkpoint blocks instead of recomputing signatures."""
+    base = simhash_signatures(df, id_col, text_col, bits) \
         .localCheckpoint(eager=True)
+    sig = fan_out(base)
+    if sig is not base:
+        # widen-and-pin: re-checkpoint the repartitioned layout (cheap —
+        # checkpoint blocks in, checkpoint blocks out) so both join
+        # sides read wide checkpoint blocks directly instead of each
+        # re-reading a lazy exchange; a no-op at scale where the
+        # aggregate already lands wide
+        sig = sig.localCheckpoint(eager=True)
     return simhash_pairs_from_signatures(sig, id_col, bits, max_hamming)
 
 

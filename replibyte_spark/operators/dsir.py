@@ -97,23 +97,29 @@ def bucket_model(docs: DataFrame, id_col: str = "doc_id",
 def dsir_weights(raw_docs: DataFrame, target_docs: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  m: int = DEFAULT_BUCKETS,
-                 broadcast_bucket_limit: int = BROADCAST_BUCKET_LIMIT
-                 ) -> DataFrame:
+                 broadcast_bucket_limit: int = BROADCAST_BUCKET_LIMIT,
+                 cache_features: bool = True) -> DataFrame:
     """(id, n_feats, logw) per raw document — the importance log-weight
     of the raw doc under target vs raw hashed-n-gram models, rounded to
     6dp after the deterministic fold.  Documents with zero features
     (empty text) carry no evidence and are omitted — they have no
-    feature rows, hence no weight (log w would be exactly 0)."""
+    feature rows, hence no weight (log w would be exactly 0).
+
+    ``cache_features`` persists the per-doc (id, bucket, cnt) frame so
+    the raw corpus is featurized ONCE (the raw bucket model and the
+    scoring join both read the cache) instead of twice.  Callers whose
+    ``raw_docs`` is already a cached frame should pass False: stacking a
+    second persist on a cached-input lineage measured 6.3 → 8.5-12.2 s
+    on the composite curation pipeline at sf0.1/32 cores (cache fill +
+    columnar decode cost more than recomputing from the upstream
+    cache), while the standalone gate — whose raw side is a real scan —
+    measured 3.5 → 3.0 s (32c) and 2.43 → 1.66 s (8c) WITH the cache."""
     tgt = bucket_model(target_docs, id_col, text_col, m).persist()
-    # ONE featurization pass over the raw corpus (r14): the per-doc
-    # feature counts feed both the raw bucket model and the scoring join
-    # below; computing the model via bucket_model() re-ran the whole
-    # tokenize + md5 explode a second time (two identical full-input map
-    # stages in the executed plan).  The cached (id, bucket, cnt) frame
-    # is far smaller than the token stream it derives from, reclaimable
-    # (MEMORY_AND_DISK), and the totals collect below fills it before
-    # the scoring join reads it — no concurrent-fill race.
-    tf = _doc_features(raw_docs, id_col, text_col, m).persist()
+    tf = _doc_features(raw_docs, id_col, text_col, m)
+    if cache_features:
+        # totals collect below fills the cache before the scoring join
+        # reads it — no concurrent-fill race
+        tf = tf.persist()
     raw = (tf.groupBy("bucket")
            .agg(F.sum("cnt").cast("long").alias("n")).persist())
     totals_t = tgt.agg(F.sum("n")).collect()[0][0]
@@ -320,14 +326,14 @@ dsir_w AS (
 def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 m: int = DEFAULT_BUCKETS, seed: str = "dsir",
-                broadcast_bucket_limit: int = BROADCAST_BUCKET_LIMIT
-                ) -> DataFrame:
+                broadcast_bucket_limit: int = BROADCAST_BUCKET_LIMIT,
+                cache_features: bool = True) -> DataFrame:
     """Top-k raw documents by Gumbel-perturbed importance weight —
     sampling without replacement ∝ softmax(log w), deterministically.
     Returns (id, n_feats, logw, key) — join back on the id for payload
     columns (keeps the scored frame narrow for the TakeOrdered)."""
     w = dsir_weights(raw_docs, target_docs, id_col, text_col, m,
-                     broadcast_bucket_limit)
+                     broadcast_bucket_limit, cache_features)
     key = F.round(
         F.col("logw") + F.expr(gumbel_sql(D.SPARK, id_col, seed)), 6)
     return (w.withColumn("key", key)

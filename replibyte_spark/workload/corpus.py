@@ -422,7 +422,12 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = (flagged.filter(F.col("repetition_pass") & F.col("c4_pass"))
             .select("doc_id", "source", "text"))
     target = surv.filter(F.col("source") == V4_TARGET)
-    sel = dsir_select(surv, target, k=V4_K, m=V4_M, seed=V4_SEED)
+    # cache_features=False (r14): surv derives from the persisted
+    # flagged frame, so DSIR's feature recompute is a cached-column
+    # scan; stacking a second persist on top measured 6.3 → 8.5-12.2 s
+    # at sf0.1/32c (see dsir_weights docstring)
+    sel = dsir_select(surv, target, k=V4_K, m=V4_M, seed=V4_SEED,
+                      cache_features=False)
     return (sel.join(surv.select("doc_id", "source"), "doc_id")
             .select("doc_id", "source", "n_feats", "logw", "key")
             .orderBy(F.col("key").desc(), "doc_id"))
