@@ -55,8 +55,17 @@ def _spec_exprs(spec, d: str) -> list[str]:
 
 def _spec_query(table: str, spec, order_by: str):
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # orderBy BELOW the transform projection (r14): the sort key is a
+        # pass-through source column, so sorting first is row-identical —
+        # but the range partitioner samples its CHILD, and with the
+        # projection below the sort the md5-seeded transformer
+        # expressions (the whole cost of this query) evaluated once for
+        # the sample pass and again for the real exchange, both
+        # single-task on the one-split scan (2 × ~850 ms at sf0.1).
+        # Sorted-then-projected, sampling touches only raw rows and the
+        # transforms run once, parallel, above the range exchange.
         df = load_table(spark, sf_dir, table)
-        return df.selectExpr(*_spec_exprs(spec, D.SPARK)).orderBy(order_by)
+        return df.orderBy(order_by).selectExpr(*_spec_exprs(spec, D.SPARK))
 
     oracle = (f"SELECT {', '.join(_spec_exprs(spec, D.DUCK))} "
               f"FROM {table} ORDER BY {order_by}")

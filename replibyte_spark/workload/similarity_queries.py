@@ -517,7 +517,7 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
     key = (sf_dir.strip("/").replace("/", "_") + "_"
            + _dataset_fingerprint(sf_dir, "embeddings")
            + f"_x{SCALE_MULT}b{BITS}c{IVF_CENTROIDS}r{IVF_REFINE}q1"
-           + f"p{SCALE_PQ_M}.{SCALE_PQ_KS}")
+           + f"p{SCALE_PQ_M}.{SCALE_PQ_KS}w")
     base = _SCALE_PATHS.get(key)
     if base is None:
         base = os.path.join(tempfile.gettempdir(), f"rs_ann_scale_{key}")
@@ -529,6 +529,15 @@ def _ann_scale_fixture(spark: SparkSession, sf_dir: str) -> "tuple[str, list]":
                 .select((F.col("vec_id") * SCALE_MULT + F.col("r"))
                         .alias("vec_id"), "embedding"))
             amp_path = os.path.join(tmp, "amplified")
+            # write SPREAD (r14, guide §6): a single ~13 MB file made
+            # every scale query's scan one task — the brute path paid a
+            # 1.5 s single-task read + sort-before-repartition + 12.7 MB
+            # reshuffle before any scoring started (fan_out exchange),
+            # and the indexed paths a serial probe scan.  Written wide,
+            # fan_out is a no-op and the exchange disappears from all
+            # six readers.  (Key above carries a layout tag so stale
+            # one-file fixture dirs are not reused.)
+            amp = amp.repartition(spark.sparkContext.defaultParallelism)
             amp.write.mode("overwrite").parquet(amp_path)
             # refine_iterations: the offline-Lloyd story proven in the
             # GATED path — centroids refined once at index-build time, in
