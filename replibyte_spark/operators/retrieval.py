@@ -53,11 +53,15 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     definition, never materialized).  The df table is vocabulary-bounded
     and broadcast under `broadcast_vocab_limit`."""
     qid = query_id_col or id_col
+    # persisted: three consumers (the stats collect below — which fills
+    # the cache, an unavoidable barrier anyway — then the df aggregation
+    # and the doc-keyed score side) would otherwise each re-run the
+    # tokenize + explode + count subtree (r14: three identical 831K-read
+    # map+agg stage pairs in the job history)
     postings = (_tokens(docs, id_col, text_col)
                 .groupBy(id_col, "token")
-                .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    lens = (postings.groupBy(id_col)
-            .agg(F.sum("tf").cast("long").alias("dl")))
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                .persist())
     # one aggregation pass yields every corpus scalar the plan needs:
     # N and avgdl for the formula, and the VOCABULARY size for the
     # broadcast guard — the broadcast side is dfreq (one row per distinct
@@ -83,12 +87,34 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     denom = (f"(tf + {k1!r}D * ((1.0D - {b!r}D) + "
              f"{b!r}D * (dl / {avgdl})))")
     contrib = f"({idf}) * ((tf * ({k1!r}D + 1.0D)) / {denom})"
-    matched = (qterms
-               .join(postings.withColumnRenamed(id_col, "__did"), on="token")
+    # Expansion-local plan (r14).  The old shape joined the query terms
+    # onto postings on `token`, then joined `lens` on the doc id AFTER
+    # the expansion — so the full (query × matched-posting) blow-up
+    # crossed a shuffle (121 MB from 1.8 MB of postings at sf0.1), and
+    # because the pre-join posting bytes are small, AQE coalesced the
+    # expansion stage to ONE task (26 s of the 30 s gate; a tiny-vocab
+    # corpus makes the token key nearly degenerate, so byte-based
+    # coalescing cannot see the compute).  New shape:
+    #   1. dl rides postings via a window over an EXPLICIT doc-keyed
+    #      repartition (explicit N is exempt from AQE coalescing —
+    #      the expansion runs wide no matter how few bytes feed it);
+    #      the separate lens join is gone.
+    #   2. qterms gets an explicit broadcast hint — query-by-example
+    #      sets are bounded by contract (a query frame, never a
+    #      corpus), and a broadcast join preserves the doc
+    #      partitioning.
+    #   3. groupBy(query_id, doc) then needs NO exchange: the doc-id
+    #      hash partitioning satisfies the grouping's clustering, so
+    #      the expanded rows never shuffle at all — the decisive
+    #      property at 100 TB, where the expansion is the one frame
+    #      that must never cross the network.
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    p = (postings.withColumnRenamed(id_col, "__did")
+         .repartition(spread, "__did")
+         .withColumn("dl", F.sum("tf").over(
+             Window.partitionBy("__did")).cast("double")))
+    matched = (p.join(F.broadcast(qterms), on="token")
                .join(df_side, on="token")
-               .join(lens.withColumnRenamed(id_col, "__did")
-                     .withColumn("dl", F.col("dl").cast("double")),
-                     on="__did")
                .withColumn("v", F.expr(contrib)))
     entry = F.struct(F.col("token"), F.col("v"))
     return (matched.groupBy("query_id", "__did")
