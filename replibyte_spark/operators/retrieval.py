@@ -99,10 +99,13 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
     #      repartition (explicit N is exempt from AQE coalescing —
     #      the expansion runs wide no matter how few bytes feed it);
     #      the separate lens join is gone.
-    #   2. qterms gets an explicit broadcast hint — query-by-example
-    #      sets are bounded by contract (a query frame, never a
-    #      corpus), and a broadcast join preserves the doc
-    #      partitioning.
+    #   2. qterms joins WITHOUT a hint: when the planner's size
+    #      estimate fits the auto-broadcast threshold (every benched
+    #      shape) the broadcast join preserves the doc partitioning;
+    #      when the query set is genuinely large the planner falls
+    #      back to a token-keyed shuffle instead of a forced driver
+    #      OOM — the same estimate-based safety the vocab guard gives
+    #      dfreq (locked by test_bm25_broadcast_guard_bounds_vocabulary).
     #   3. groupBy(query_id, doc) then needs NO exchange: the doc-id
     #      hash partitioning satisfies the grouping's clustering, so
     #      the expanded rows never shuffle at all — the decisive
@@ -113,7 +116,7 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k1: float = BM25_K1,
          .repartition(spread, "__did")
          .withColumn("dl", F.sum("tf").over(
              Window.partitionBy("__did")).cast("double")))
-    matched = (p.join(F.broadcast(qterms), on="token")
+    matched = (p.join(qterms, on="token")
                .join(df_side, on="token")
                .withColumn("v", F.expr(contrib)))
     entry = F.struct(F.col("token"), F.col("v"))
