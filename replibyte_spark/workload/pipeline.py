@@ -529,14 +529,7 @@ def dump_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks.datastore import Datastore
 
-    from ..util import fan_out
-
-    # fan_out before the transform (r14): the customer scan is one
-    # split, so the md5-seeded transformer chain — the dominant 1.2 s
-    # single-task stage of this gate — evaluated serially inside the
-    # dump write; widened, the transform and the encrypted parquet
-    # write run parallel (the dump is a directory, file count is free)
-    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    cust = load_table(spark, sf_dir, "customer")
     transformed = cust.selectExpr(*_spec_exprs(CUSTOMER_PII_SPEC, D.SPARK))
     root = tempfile.mkdtemp(prefix="rs_gate_store_")
     store = Datastore(spark, root)
