@@ -668,15 +668,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ubiquitous shingle would otherwise quadratically blow up the join).
     Note: dropping shingles changes Jaccard values — it is an approximation
     switch, off by default and off in the oracle-checked gate query.
+
+    Pair generation is a groupBy + in-gram expansion, NOT a gram self-join
+    (r14, the :func:`minhash_candidate_pairs` rewrite applied to the exact
+    path): a self-join references the scan → tokenize → explode → distinct
+    subtree from BOTH sides (two full-input map stages), where grouping
+    each gram's doc set and expanding the sorted id array's strict upper
+    triangle evaluates it ONCE and shuffles once.  Ids are unique per gram
+    (`sh` is distinct), so the triangle is exactly the id_a < id_b pair
+    set the join produced.  A gram's doc-frequency is its bucket size, so
+    `max_gram_freq` becomes a size filter on the buckets — the separate
+    frequency aggregate + join of the old shape is gone, and the filtered
+    shingle frame for Jaccard re-derives from the kept buckets (same
+    (id, gram) set: explode is the aggregation's inverse here).
     """
     sh = shingles(df, id_col, text_col, n)
+    buckets = sh.groupBy("gram").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
     if max_gram_freq is not None:
-        freq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(freq.filter(F.col("f") <= max_gram_freq).select("gram"), "gram")
-    pairs = (sh.select(F.col(id_col).alias("id_a"), "gram")
-             .join(sh.select(F.col(id_col).alias("id_b"), "gram"), "gram")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+        buckets = buckets.filter(F.size("ids") <= max_gram_freq)
+        sh = buckets.select(F.explode("ids").alias(id_col), "gram")
+    pair = F.expr(
+        "explode(flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b)))))")
+    pairs = (buckets.filter(F.size("ids") > 1)
+             .select(pair.alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))

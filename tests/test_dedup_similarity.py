@@ -1210,3 +1210,23 @@ def test_compact_recovers_crashed_swap(spark, tmp_path):
              DD.minhash_index_flagged_pairs(probe, path,
                                             threshold=0.75).collect()}
     assert after == before and (500, 1) in after
+
+
+def test_ngram_jaccard_max_gram_freq_drops_hot_grams(spark):
+    """max_gram_freq caps a gram's doc frequency == its bucket size (the r14
+    bucket-expansion rewrite turned the old freq-aggregate + join into a
+    size filter): the hot gram must vanish from pairing AND from the
+    Jaccard sets, and values must match the hand-computed filtered sets."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "a b c x y")],
+        "doc_id long, text string")
+    # "a b c" appears in all 3 docs; every other trigram in <= 2.
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in
+                DD.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                       threshold=0.1).collect()}
+    assert uncapped == {(1, 2): 0.5, (1, 3): 0.2, (2, 3): 0.2}
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1,
+                                     max_gram_freq=2).collect()}
+    # filtered sets: d1={b c d, c d e}, d2={b c d, c d f}, d3={b c x, c x y}
+    assert capped == {(1, 2): 0.333333}
