@@ -70,15 +70,36 @@ def sketch_overlap_pairs(sigs: DataFrame, group_col: str,
 def group_shingle_jaccard(df: DataFrame, group_col: str = "source",
                           text_col: str = "text", n: int = 3) -> DataFrame:
     """(a, b, jaccard) EXACT pairwise Jaccard of the groups' distinct
-    shingle sets — the verification path (distinct-gram self-join on the
-    gram key: quadratic in shared grams, the cost the sketch avoids).
-    Pairs with an empty union get NULL (undefined, not 0)."""
-    shd = _exploded_grams(df, group_col, text_col, n) \
-        .distinct().withColumnRenamed(group_col, "g")
-    card = shd.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    inter = (shd.select(F.col("g").alias("a"), "gram")
-             .join(shd.select(F.col("g").alias("b"), "gram"), on="gram")
-             .filter(F.col("a") < F.col("b"))
+    shingle sets — the verification path (quadratic in shared grams, the
+    cost the sketch avoids).  Pairs with an empty union get NULL
+    (undefined, not 0).
+
+    Intersections come from per-gram bucket expansion, NOT a gram
+    self-join (r14, the minhash/ngram pair-generation rewrite applied to
+    the overlap path): the old self-join evaluated the distinct-shingle
+    subtree once per side plus once for the cardinalities — three
+    full-corpus tokenizations and two gram-keyed join-side shuffles
+    (2 × 5.3 MB at sf0.1, twin 450/800 ms map stages in the gate
+    attribution).  Grouping each gram's sorted group set and exploding
+    the strict upper triangle yields one bucket row per gram (bounded by
+    |groups|), each contributing exactly 1 to every pair that shares the
+    gram — count(triangle rows) per (a, b) IS the intersection
+    cardinality.  `collect_set` dedups, so the separate `distinct()`
+    shuffle disappears too; cardinalities re-derive from the buckets
+    (explode is the aggregation's inverse — same (group, gram) set)."""
+    buckets = (_exploded_grams(df, group_col, text_col, n)
+               .groupBy("gram")
+               .agg(F.array_sort(F.collect_set(F.col(group_col)))
+                    .alias("gs")))
+    card = (buckets.select(F.explode("gs").alias("g"))
+            .groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    pair = F.expr(
+        "explode(flatten(transform(gs, (x, i) -> "
+        "transform(slice(gs, i + 2, size(gs) - i - 1), "
+        "y -> struct(x AS a, y AS b)))))")
+    inter = (buckets.filter(F.size("gs") > 1)
+             .select(pair.alias("p"))
+             .select("p.a", "p.b")
              .groupBy("a", "b")
              .agg(F.count(F.lit(1)).cast("long").alias("i")))
     pairs = (F.broadcast(card.select(F.col("g").alias("a"),
