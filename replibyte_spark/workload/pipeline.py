@@ -91,6 +91,10 @@ def nested_wildcard_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless and value-exact."""
     from ..functions.nested import transform_nested
 
+    # no fan_out on the scan: CollapseRepartition erases any round-robin
+    # exchange directly under the explicit key repartition below, so the
+    # join+struct map stays on the scan's own splits (one task at fixture
+    # scale, ~200 ms; wide at real scale — the scale-adaptive residue)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nested = (
@@ -98,6 +102,19 @@ def nested_wildcard_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey",
                 F.struct(F.col("o_orderkey").alias("order_key"),
                          F.col("c_name").alias("email")).alias("contact"))
+        # explicit key-partitioned exchange BELOW the agg (exempt from
+        # AQE coalescing — the bm25 idiom, r14): byte-based coalescing
+        # collapsed the small agg to ONE partition, so the collect_list
+        # reduce AND the md5 email transform over every array element
+        # ran single-task (the transform twice: range sampling + real
+        # exchange — 1.0 + 1.4 s of the gate's 2.7 s).  Partitioned by
+        # the grouping key the exchange satisfies the agg's clustering
+        # (no second shuffle), its map stage is computed once and reused
+        # by both the sampling and main jobs, and everything above it —
+        # agg, wildcard transform, explode, sort sampling — runs wide.
+        # NOT fan_out here: its partition-count probe executes a
+        # not-yet-final aggregate under AQE (the simhash lesson).
+        .repartition(spark.sparkContext.defaultParallelism, "o_custkey")
         .groupBy("o_custkey")
         .agg(F.sort_array(F.collect_list("contact")).alias("contacts"))
     )
