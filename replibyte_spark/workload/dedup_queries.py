@@ -951,5 +951,8 @@ ORDER BY e.a, e.b
 # driver-visible (r9): dataset-overlap estimation takes the slot of
 # q5_region_volume (multi-join agg surface already gated via q3 +
 # revenue_rollup; q5 stays oracle-checked in EXTRA).
+# bench=True (r14): the exact path was rewritten this round (gram
+# self-join → bucket expansion, 0.40× at 8c) — benching it keeps the
+# rewrite's cost driver-visible (the bench contract allows ADDING rows)
 register(Query("source_overlap_sketch", source_overlap, _overlap_oracle(),
-               tags=("dedup", "sketch")))
+               tags=("dedup", "sketch"), bench=True))
