@@ -675,16 +675,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     subtree from BOTH sides (two full-input map stages), where grouping
     each gram's doc set and expanding the sorted id array's strict upper
     triangle evaluates it ONCE and shuffles once.  Ids are unique per gram
-    (`sh` is distinct), so the triangle is exactly the id_a < id_b pair
+    (`collect_set`), so the triangle is exactly the id_a < id_b pair
     set the join produced.  A gram's doc-frequency is its bucket size, so
     `max_gram_freq` becomes a size filter on the buckets — the separate
     frequency aggregate + join of the old shape is gone, and the filtered
     shingle frame for Jaccard re-derives from the kept buckets (same
-    (id, gram) set: explode is the aggregation's inverse here).
+    (id, gram) set: explode is the aggregation's inverse here).  Raw
+    exploded grams feed the bucket aggregate directly — `collect_set`
+    dedups, so the pre-`distinct()` shuffle of the first rewrite is gone
+    too (the source_overlap_sketch trick), and the uncapped Jaccard
+    input is likewise raw (jaccard_for_pairs aggregates with
+    collect_set).
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = _exploded_grams(df, id_col, text_col, n)
     buckets = sh.groupBy("gram").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
     if max_gram_freq is not None:
         buckets = buckets.filter(F.size("ids") <= max_gram_freq)
         sh = buckets.select(F.explode("ids").alias(id_col), "gram")
