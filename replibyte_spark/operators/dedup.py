@@ -699,7 +699,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         "y -> struct(x AS id_a, y AS id_b)))))")
     pairs = (buckets.filter(F.size("ids") > 1)
              .select(pair.alias("p"))
-             .select("p.id_a", "p.id_b").distinct())
+             .select("p.id_a", "p.id_b").distinct()
+             # explicit-N exchange (AQE-coalesce-exempt): the exact path's
+             # pair volume is quadratic in bucket sizes (~700k pairs /
+             # 11 MB at sf0.1) and the verification joins downstream are
+             # compute-heavy per row; byte-based coalescing squeezed them
+             # to 10 tasks — 2 × 5 s of the gate's 12 s.  (The minhash
+             # path's LSH-bounded pair frame stays as-is.)
+             .repartition(df.sparkSession.sparkContext.defaultParallelism))
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("id_a", "id_b"))
