@@ -678,37 +678,53 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (`collect_set`), so the triangle is exactly the id_a < id_b pair
     set the join produced.  A gram's doc-frequency is its bucket size, so
     `max_gram_freq` becomes a size filter on the buckets — the separate
-    frequency aggregate + join of the old shape is gone, and the filtered
-    shingle frame for Jaccard re-derives from the kept buckets (same
-    (id, gram) set: explode is the aggregation's inverse here).  Raw
-    exploded grams feed the bucket aggregate directly — `collect_set`
-    dedups, so the pre-`distinct()` shuffle of the first rewrite is gone
-    too (the source_overlap_sketch trick), and the uncapped Jaccard
-    input is likewise raw (jaccard_for_pairs aggregates with
-    collect_set).
+    frequency aggregate + join of the old shape is gone.
+
+    Intersections are COUNTED, never re-materialized (late r14, the
+    :func:`group_shingle_jaccard` trick applied to the doc path): each
+    kept bucket contributes exactly one triangle row to every pair that
+    shares the gram, so ``count(*)`` per (id_a, id_b) IS the
+    intersection cardinality — the former shape re-aggregated per-doc
+    gram ARRAYS and joined them onto the (quadratic, ~700k rows at
+    sf0.1) pair frame twice for a per-row ``array_intersect``: two
+    gram-payload join builds plus the array intersections were 2 × 5 s
+    of the 12 s gate even after an explicit widening exchange.  Per-doc
+    cardinalities come from a ``count_distinct`` aggregate (or, capped,
+    from re-exploding the kept buckets — explode is the aggregation's
+    inverse), so the verification joins now carry three longs per row
+    and the widening repartition is dead weight — removed.  Same
+    integers (i, ca, cb), same rounded double, row-identical output.
     """
     sh = _exploded_grams(df, id_col, text_col, n)
     buckets = sh.groupBy("gram").agg(
         F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
     if max_gram_freq is not None:
         buckets = buckets.filter(F.size("ids") <= max_gram_freq)
-        sh = buckets.select(F.explode("ids").alias(id_col), "gram")
+        card = (buckets.select(F.explode("ids").alias(id_col))
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    else:
+        card = (sh.groupBy(id_col)
+                .agg(F.count_distinct(F.col("gram")).alias("c")))
     pair = F.expr(
         "explode(flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
         "y -> struct(x AS id_a, y AS id_b)))))")
-    pairs = (buckets.filter(F.size("ids") > 1)
+    inter = (buckets.filter(F.size("ids") > 1)
              .select(pair.alias("p"))
-             .select("p.id_a", "p.id_b").distinct()
-             # explicit-N exchange (AQE-coalesce-exempt): the exact path's
-             # pair volume is quadratic in bucket sizes (~700k pairs /
-             # 11 MB at sf0.1) and the verification joins downstream are
-             # compute-heavy per row; byte-based coalescing squeezed them
-             # to 10 tasks — 2 × 5 s of the gate's 12 s.  (The minhash
-             # path's LSH-bounded pair frame stays as-is.)
-             .repartition(df.sparkSession.sparkContext.defaultParallelism))
-    return (jaccard_for_pairs(pairs, sh, id_col)
+             .select("p.id_a", "p.id_b")
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("i")))
+    # no broadcast hint: card is CORPUS-sized (one row per doc) — at
+    # 100 TB forcing it driver-side would be the bm25-guard mistake;
+    # the planner's estimate-based choice is correct at every scale
+    ca = card.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
+    cb = card.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
+    jac = F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6)
+    return (inter.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
             .orderBy("id_a", "id_b"))
 
 

@@ -597,3 +597,24 @@ def test_quality_filter_summary_keeps_floor_above_exchange(spark, sf_dir):
     sunk = [ln for ln in below.splitlines()
             if re.search(r"\bFilter \(", ln) and "FileScan" not in ln]
     assert not sunk, sunk
+
+
+def test_ngram_jaccard_counts_intersections_from_buckets(spark, sf_dir):
+    """late r14: the exact-Jaccard path derives the intersection
+    cardinality from the pair's bucket-expansion multiplicity (one
+    triangle row per shared gram), never by re-materializing per-doc
+    gram ARRAYS and intersecting them per pair — the array path joined
+    the (quadratic) pair frame to gram-array payloads twice and its
+    per-row array_intersect was 2 × 5 s of the 12 s gate at sf0.1.
+    Locks: no array_intersect anywhere in the plan, and exactly ONE
+    collect_set aggregate pair (partial+final over the gram buckets) —
+    the per-doc gram-SET aggregate of the array shape is gone; the
+    cardinality side is a plain count_distinct whose join rows carry
+    three longs, not gram arrays.  Scan count stays 3 (buckets + the
+    twice-referenced cardinality subtree), same as the array shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(DD.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                        threshold=0.5))
+    assert "array_intersect" not in plan, plan
+    assert plan.count("collect_set") == 2, plan  # partial + final, one agg
+    assert plan.count("Scan parquet") == 3, plan
