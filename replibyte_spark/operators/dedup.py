@@ -375,9 +375,10 @@ def simhash_pairs_from_signatures(sig: DataFrame, id_col: str,
 
 def _pigeonhole_pairs(words: DataFrame, id_col: str, n_blocks: int,
                       ham_cols: list, max_hamming: int) -> DataFrame:
-    """Shared candidate join for both SimHash block layouts: explode the
-    block index, self-join on (blk, block value), first-matching-block
-    canonicalization, exact Hamming filter.
+    """Shared candidate generation for both SimHash block layouts: group
+    each (block index, block value) bucket, expand the sorted bucket's
+    strict upper triangle, first-matching-block canonicalization, exact
+    Hamming filter.
 
     `words` carries the id, the block-value columns w0..w{n_blocks-1}
     (BIGINT in the packed fast path, bit-substrings in the wide path) and
@@ -385,10 +386,20 @@ def _pigeonhole_pairs(words: DataFrame, id_col: str, n_blocks: int,
     path; separate 63-bit h-columns in the wide path — each column is
     carried exactly once either way).
 
-    The canonicalization replaces a wide distinct(): a pair is emitted
-    ONLY by the join on its smallest equal block (all earlier blocks must
-    differ), so each candidate appears exactly once and no dedup shuffle
-    is needed."""
+    Bucket expansion, NOT a (blk, bv) self-join (late r14, the
+    minhash/ngram/overlap pair-generation rewrite applied to the last
+    remaining self-join): the join referenced the signature aggregate
+    from BOTH sides, which forced simhash_near_dup_pairs to eagerly
+    checkpoint it (a barrier) and re-checkpoint after fan_out.  Grouping
+    each bucket's struct(id, words) array — `array_sort` orders by the
+    leading id field, so the strict upper triangle IS the id_a < id_b
+    pair set — references the signature subtree ONCE: no checkpoint, no
+    join machinery, pair generation is map-side work after one tiny
+    keyed shuffle (one ~(id + words) row per doc per block).  A hot
+    bucket expands its pairs inside one task, exactly where the join
+    funnelled the same key's output.  The canonicalization (a pair
+    survives only in its smallest equal block — all earlier blocks must
+    differ) still replaces a wide distinct()."""
     wcols = [f"w{i}" for i in range(n_blocks)]
     carry = wcols + [c for c in ham_cols if c not in wcols]
     bk = (words.select(F.col(id_col), *carry,
@@ -396,19 +407,28 @@ def _pigeonhole_pairs(words: DataFrame, id_col: str, n_blocks: int,
                                            for i in range(n_blocks)]))
                        .alias("blk"))
           .withColumn("bv", F.element_at(F.array(*wcols), F.col("blk") + 1)))
-    a = bk.select(F.col(id_col).alias("id_a"),
-                  *[F.col(c).alias(f"{c}_a") for c in carry], "blk", "bv")
-    b = bk.select(F.col(id_col).alias("id_b"),
-                  *[F.col(c).alias(f"{c}_b") for c in carry], "blk", "bv")
+    item = F.struct(F.col(id_col).alias("id"),
+                    *[F.col(c).alias(c) for c in carry])
+    buckets = (bk.groupBy("blk", "bv")
+               .agg(F.array_sort(F.collect_list(item)).alias("items"))
+               .filter(F.size("items") > 1))
+    pair = F.expr(
+        "explode(flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), "
+        "y -> struct(x AS a, y AS b)))))")
+    cand = (buckets.select("blk", pair.alias("p"))
+            .select("blk", F.col("p.a.id").alias("id_a"),
+                    F.col("p.b.id").alias("id_b"),
+                    *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
+                    *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry]))
     uniq = F.lit(True)
     for i in range(n_blocks - 1):
         uniq = uniq & ((F.col("blk") <= i)
                        | (F.col(f"w{i}_a") != F.col(f"w{i}_b")))
-    cand = (a.join(b, on=["blk", "bv"])
-            .filter((F.col("id_a") < F.col("id_b")) & uniq))
     hamming = sum(F.bit_count(F.col(f"{h}_a").bitwiseXOR(F.col(f"{h}_b")))
                   for h in ham_cols)
-    return (cand.withColumn("hamming", hamming.cast("long"))
+    return (cand.filter(uniq)
+            .withColumn("hamming", hamming.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b"))
@@ -447,32 +467,18 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup doc pairs whose SimHash Hamming distance is ≤ max_hamming.
 
     The signature frame (one short row per doc — corpus-cardinality, not
-    token-cardinality) is eagerly materialized before the block self-join:
-    both join sides reference it, and without materialization the whole
-    explode+hash+aggregate pipeline is evaluated twice — measured 5× slower
-    at sf0.1 (AQE also re-plans each duplicated subtree independently).
-    Eager localCheckpoint, not lazy persist: concurrent join-side stages
-    otherwise race to fill the same cache blocks (the RP-LSH bucketed path
-    measured 138 s vs 8 s under that race).  Checkpoint FIRST, fan_out the
-    checkpointed frame (r14): fan_out probes `df.rdd.getNumPartitions()`,
-    and on a not-yet-executed aggregate AQE finalizes the plan by
-    MATERIALIZING its shuffle stages — the whole explode+hash+aggregate
-    subtree ran once for the probe and again for the checkpoint (two
-    identical map+agg stage pairs in the job history).  On the
-    checkpointed frame the probe is free, and the widening exchange AQE
-    would otherwise coalesce away (the earlier fan_out-first rationale —
-    a frozen one-partition layout measured 15 s vs 4 s at sf0.1) reads
-    cheap checkpoint blocks instead of recomputing signatures."""
-    base = simhash_signatures(df, id_col, text_col, bits) \
-        .localCheckpoint(eager=True)
-    sig = fan_out(base)
-    if sig is not base:
-        # widen-and-pin: re-checkpoint the repartitioned layout (cheap —
-        # checkpoint blocks in, checkpoint blocks out) so both join
-        # sides read wide checkpoint blocks directly instead of each
-        # re-reading a lazy exchange; a no-op at scale where the
-        # aggregate already lands wide
-        sig = sig.localCheckpoint(eager=True)
+    token-cardinality) feeds the pair stage through ONE lineage since the
+    late-r14 bucket-expansion rewrite of :func:`_pigeonhole_pairs`, so
+    the eager-checkpoint dance the old block SELF-JOIN required (both
+    join sides referenced the aggregate → without materialization the
+    whole explode+hash+aggregate pipeline evaluated twice, measured 5×
+    slower at sf0.1; lazy persist raced its own fill, 138 s vs 8 s on
+    the RP-LSH path; the r14 session-1 fix checkpointed FIRST because
+    fan_out's partition probe executed the aggregate under AQE, then
+    re-checkpointed the widened layout) is gone wholesale: no barrier,
+    no checkpoint blocks to sweep, the signature aggregate streams
+    straight into the bucket groupBy's map side."""
+    sig = simhash_signatures(df, id_col, text_col, bits)
     return simhash_pairs_from_signatures(sig, id_col, bits, max_hamming)
 
 

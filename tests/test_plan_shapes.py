@@ -618,3 +618,18 @@ def test_ngram_jaccard_counts_intersections_from_buckets(spark, sf_dir):
     assert "array_intersect" not in plan, plan
     assert plan.count("collect_set") == 2, plan  # partial + final, one agg
     assert plan.count("Scan parquet") == 3, plan
+
+
+def test_simhash_pairs_single_lineage_no_join(spark, sf_dir):
+    """late r14: simhash pair generation is a bucket expansion, not a
+    (blk, bv) self-join — the join referenced the signature aggregate
+    from both sides and forced an eager checkpoint barrier (plus a
+    widen-and-pin re-checkpoint) to avoid double evaluation.  Locks:
+    exactly ONE corpus scan, no join nodes, no ExistingRDD (checkpoint)
+    scans — the signature subtree streams straight into the bucket
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(DD.simhash_near_dup_pairs(docs, "doc_id", "text"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" not in plan, plan
