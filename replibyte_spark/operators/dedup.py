@@ -182,6 +182,42 @@ def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int,
                     F.col("e.band_key").alias("band_key")))
 
 
+def upper_triangle_pairs(buckets: DataFrame, arr_col: str, a_name: str,
+                         b_name: str,
+                         carry: tuple[str, ...] = ()) -> DataFrame:
+    """Strict upper-triangle (i < j) pair expansion of a sorted array
+    column, as TWO chained generators: ``posexplode`` emits each left
+    element with its index, then a second ``explode`` of that row's tail
+    slice emits its partners.
+
+    Equivalent pair set to the r14 single-expression shape
+    ``explode(flatten(transform(arr, (x, i) -> transform(slice(...), ...))))``
+    with one crucial difference at scale (r14 verdict #1): that
+    expression builds the ENTIRE O(n²) pair array of a bucket inside one
+    row buffer while the flatten evaluates — a single hot bucket of 1e5
+    ids is 5e9 structs in one task allocation, an executor OOM no config
+    survives.  Here level 1 emits n rows that each carry the bucket
+    array once (per-row memory O(n)) and level 2 slices the tail per
+    row; both Generates pipeline inside one codegen stage, so pairs
+    STREAM into the consumer exactly like the old self-join did — still
+    no join, no second subtree evaluation, no quadratic allocation.
+    Total streamed bytes stay O(n²) per bucket (that is the size of the
+    pair set itself); peak memory drops from O(n²) to O(n).
+
+    `posexplode` is 0-based while `slice` is 1-based, so the tail of
+    element i starts at slice position i + 2.  The last element's slice
+    is empty and `explode` drops it — a singleton bucket yields nothing,
+    so callers' `size(arr) > 1` pre-filters remain an optimization, not
+    a correctness requirement."""
+    lvl1 = buckets.select(
+        *[F.col(c) for c in carry], F.col(arr_col),
+        F.posexplode(F.col(arr_col)).alias("__i", a_name))
+    tail = F.expr(
+        f"slice({arr_col}, __i + 2, size({arr_col}) - __i - 1)")
+    return lvl1.select(*[F.col(c) for c in carry], F.col(a_name),
+                       F.explode(tail).alias(b_name))
+
+
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             n_hashes: int = 12, bands: int = 4,
                             n: int = 3) -> DataFrame:
@@ -205,12 +241,11 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets = (bk.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
                .filter(F.size("ids") > 1))
-    pair = F.expr(
-        "explode(flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b)))))")
-    return (buckets.select(pair.alias("p"))
-            .select("p.id_a", "p.id_b").distinct())
+    # two-level expansion (r15): streams the triangle with O(|bucket|)
+    # per-row memory instead of materializing the O(|bucket|²) pair
+    # array in one row buffer — see upper_triangle_pairs
+    return (upper_triangle_pairs(buckets, "ids", "id_a", "id_b")
+            .distinct())
 
 
 def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
@@ -412,15 +447,16 @@ def _pigeonhole_pairs(words: DataFrame, id_col: str, n_blocks: int,
     buckets = (bk.groupBy("blk", "bv")
                .agg(F.array_sort(F.collect_list(item)).alias("items"))
                .filter(F.size("items") > 1))
-    pair = F.expr(
-        "explode(flatten(transform(items, (x, i) -> "
-        "transform(slice(items, i + 2, size(items) - i - 1), "
-        "y -> struct(x AS a, y AS b)))))")
-    cand = (buckets.select("blk", pair.alias("p"))
-            .select("blk", F.col("p.a.id").alias("id_a"),
-                    F.col("p.b.id").alias("id_b"),
-                    *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
-                    *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry]))
+    # two-level expansion (r15): a hot (blk, bv) bucket streams its pairs
+    # with O(|bucket|) per-row memory — the r14 single-expression flatten
+    # built the whole O(|bucket|²) struct-pair array (BOTH sides' Hamming
+    # words per pair) in one row buffer; see upper_triangle_pairs
+    cand = (upper_triangle_pairs(buckets, "items", "pa", "pb",
+                                 carry=("blk",))
+            .select("blk", F.col("pa.id").alias("id_a"),
+                    F.col("pb.id").alias("id_b"),
+                    *[F.col(f"pa.{c}").alias(f"{c}_a") for c in carry],
+                    *[F.col(f"pb.{c}").alias(f"{c}_b") for c in carry]))
     uniq = F.lit(True)
     for i in range(n_blocks - 1):
         uniq = uniq & ((F.col("blk") <= i)
@@ -712,13 +748,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     else:
         card = (sh.groupBy(id_col)
                 .agg(F.count_distinct(F.col("gram")).alias("c")))
-    pair = F.expr(
-        "explode(flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b)))))")
-    inter = (buckets.filter(F.size("ids") > 1)
-             .select(pair.alias("p"))
-             .select("p.id_a", "p.id_b")
+    # two-level expansion (r15): this gate runs UNCAPPED by design, so a
+    # ubiquitous gram's bucket is unbounded — the r14 single-expression
+    # flatten built its whole O(|bucket|²) pair array in one row buffer
+    # (a 1e5-doc bucket = 5e9 structs in one task allocation); the
+    # two-generator shape streams the same pairs with O(|bucket|)
+    # per-row memory — see upper_triangle_pairs
+    inter = (upper_triangle_pairs(buckets.filter(F.size("ids") > 1),
+                                  "ids", "id_a", "id_b")
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).cast("long").alias("i")))
     # no broadcast hint: card is CORPUS-sized (one row per doc) — at

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import dialect as D
-from .dedup import _MINHASH_A, _exploded_grams, minhash_signatures
+from .dedup import (_MINHASH_A, _exploded_grams, minhash_signatures,
+                    upper_triangle_pairs)
 
 
 def group_minhash_signatures(df: DataFrame, group_col: str = "source",
@@ -93,13 +94,12 @@ def group_shingle_jaccard(df: DataFrame, group_col: str = "source",
                     .alias("gs")))
     card = (buckets.select(F.explode("gs").alias("g"))
             .groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c")))
-    pair = F.expr(
-        "explode(flatten(transform(gs, (x, i) -> "
-        "transform(slice(gs, i + 2, size(gs) - i - 1), "
-        "y -> struct(x AS a, y AS b)))))")
-    inter = (buckets.filter(F.size("gs") > 1)
-             .select(pair.alias("p"))
-             .select("p.a", "p.b")
+    # two-level expansion (r15): bucket size is bounded by |groups| here,
+    # but the shape is shared with the unbounded dedup paths — stream the
+    # triangle with O(|bucket|) per-row memory instead of materializing
+    # the O(|bucket|²) pair array in one row buffer (r14 verdict #1)
+    inter = (upper_triangle_pairs(buckets.filter(F.size("gs") > 1),
+                                  "gs", "a", "b")
              .groupBy("a", "b")
              .agg(F.count(F.lit(1)).cast("long").alias("i")))
     pairs = (F.broadcast(card.select(F.col("g").alias("a"),

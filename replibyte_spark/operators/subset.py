@@ -265,6 +265,27 @@ def _closure_topological(tables, edges, seed_table, seed_df, *,
     2. parent pass in Kahn topological order of `child → parent` edges, so a
        parent's kept set is computed only after every contributing child's
        kept set is final.
+
+    Subtree re-evaluation note (r14 verdict #3 / r15 verdict #4 — measured,
+    do not re-try): downstream branches re-evaluate their sources' semi-join
+    lineages (the sf0.1 gate plan shows ~30 parquet scans / 68 Exchanges),
+    but every attempt to share them was slower at one or both benched core
+    counts.  r14: eager per-edge checkpoints (+2 s, six serialized jobs);
+    lazy per-edge persists (2× worse at 8c, cache-fill races).  r15: a
+    repartition(N, key) key hub (no AQE stage reuse — each consumer pushes
+    its own inferred isnotnull(<key>) below the hub into the scan, so no
+    two copies stay canonically equal; 25→34 stages, 3.7→7.3 MB shuffled,
+    2.84→3.25 s); a distinct() hub (same pushdown differentiation, 0 new
+    ReusedExchange); persisted hubs + one parallel union fill (immune to
+    pushdown via analysis-time cache substitution, but 2.84→7.2 s at 32c);
+    a single eager seed checkpoint (0.80× at 32c but 1.8× WORSE at 8c —
+    the ExistingRDD seed loses parquet stats and the barrier serializes
+    the saturated box).  The lazy shape — auto-BHJ everywhere, redundancy
+    absorbed by parallel broadcast jobs — remains the best measured shape;
+    the scale-correct fix is write-time layout (narrow per-table key-set
+    sidecars written by the dump path for later closures to semi-join
+    against), which cannot be demonstrated on the fixture gate without
+    precomputing query inputs.
     """
     kept: dict[str, DataFrame] = {seed_table: seed_df}
     expand: dict[str, DataFrame] = {seed_table: seed_df}

@@ -12,9 +12,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # full sf0.001 bench subprocess, ~5-8 min (r14 verdict #2)
 def test_bench_emits_one_json_line_with_contract_schema(tmp_path):
     # the sidecar goes to a TEMP name via the env override: a pytest run
     # must never dirty the committed bench_raw.json (the r8 verdict's

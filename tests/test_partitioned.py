@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -347,6 +348,7 @@ def test_compaction_budgets_null_partition(spark, tmp_path):
     assert back.filter(F.col("event_date").isNull()).count() == 250
 
 
+@pytest.mark.slow  # ~6 min codegen compile lock at 2,500 partitions (r14 verdict #2)
 def test_budget_lookup_compiles_at_2500_partitions(spark):
     """VERDICT r13 #1: the budget lookup must be O(1) in expression size.
     The old per-partition CASE crossed janino's 64 KB method limit around
