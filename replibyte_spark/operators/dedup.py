@@ -276,7 +276,8 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame
 
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            threshold: float = 0.8, n_hashes: int = 12,
-                           bands: int = 4, n: int = 3) -> DataFrame:
+                           bands: int = 4, n: int = 3,
+                           checkpoint_candidates: bool = False) -> DataFrame:
     """LSH candidates filtered by true Jaccard ≥ threshold.
 
     Two-phase design sized for scale:
@@ -285,7 +286,21 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     2. verification shingle sets materialized ONLY for docs that appear in
        a candidate pair (candidates ≪ corpus), via a semi-join before the
        distinct — the expensive distinct shuffle touches a sliver of data.
-    """
+
+    `checkpoint_candidates` (r15, verdict #5): jaccard_for_pairs references
+    the candidate-gram subtree once per join side.  When `df` reads straight
+    from parquet, AQE's stage cache dedups the two copies at runtime (one
+    partial-aggregate map stage, two cheap final aggs — verified in the
+    standalone gate's attribution), so the default leaves the subtree lazy.
+    When `df` reads through an InMemoryRelation (a caller-persisted corpus,
+    e.g. the training pipeline's scored frame), that reuse BREAKS — the
+    re-aliased cache reference stops the two branches being canonically
+    equal (isolated repro: same query, 1 ReusedExchange over parquet, 0
+    over a persisted base) — and the corpus-sized semi-join probe runs
+    twice (the twin ~400 ms 32-task stages in the pipeline attribution).
+    Such callers pass True to materialize the candidates-only (id, text)
+    sliver once behind an eager checkpoint; both gram aggregates then
+    re-read megabytes instead of re-probing the corpus."""
     # eager localCheckpoint, not a bare persist: the pair frame feeds BOTH
     # the candidate-id semi-join and the Jaccard join, and a lazily
     # persisted frame would (a) race its own fill from two consumer stages
@@ -298,13 +313,17 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                 .unionAll(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
     cand_docs = df.join(cand_ids, on=id_col, how="leftsemi")
+    if checkpoint_candidates:
+        cand_docs = (cand_docs.select(id_col, text_col)
+                     .localCheckpoint(eager=True))
     # raw exploded grams, NOT shingles(): jaccard_for_pairs aggregates
     # with collect_set, which dedups for free — the separate distinct
     # shuffle (and its AQE-coalesced single-task reduce, 0.7 s in the
     # sf0.1 pipeline attribution) would be pure overhead inside a
     # subtree jaccard_for_pairs evaluates twice.  An eager checkpoint of
-    # this subtree was also tried (r14) and measured SLOWER at sf0.1
-    # (the barrier outweighs a candidates-only recompute) — left lazy.
+    # the exploded-gram subtree was also tried (r14) and measured SLOWER
+    # at sf0.1 (the barrier outweighs a candidates-only recompute) — left
+    # lazy; see checkpoint_candidates above for the narrower r15 knob.
     sh = _exploded_grams(cand_docs, id_col, text_col, n)
     return (jaccard_for_pairs(pairs, sh, id_col)
             .filter(F.col("jaccard") >= threshold)

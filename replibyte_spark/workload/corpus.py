@@ -64,9 +64,13 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.persist()
     scored.write.mode("overwrite").format("noop").save()
     kept = scored.filter(F.col("quality") >= QUALITY_FLOOR)
+    # checkpoint_candidates=True (r15): kept reads through the persisted
+    # scored frame, which breaks AQE's dedup of the twin verification
+    # gram aggregates (see minhash_near_dup_pairs docstring)
     pairs = DD.minhash_near_dup_pairs(kept, "doc_id", "text",
                                       threshold=JACCARD_T,
-                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM,
+                                      checkpoint_candidates=True)
     survivors = DD.keep_canonical(kept, pairs, "doc_id").drop("text")
     packed = pack_token_budget(survivors, "source", "doc_id",
                                "n_tokens", PACK_BUDGET)
@@ -157,7 +161,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean.write.mode("overwrite").format("noop").save()
     pairs = DD.minhash_near_dup_pairs(clean, "doc_id", "text",
                                       threshold=JACCARD_T,
-                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM)
+                                      n_hashes=N_HASHES, bands=BANDS, n=NGRAM,
+                                      checkpoint_candidates=True)
     surv = DD.keep_canonical(clean, pairs, "doc_id").drop("text").persist()
     thr = token_budget_thresholds(surv, MIX_WEIGHTS, MIX_BUDGET,
                                   stratum_col="lang", tokens_col="n_tokens")
@@ -290,7 +295,7 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.minhash_near_dup_pairs(clean, "doc_id", "text",
                                       threshold=JACCARD_T,
                                       n_hashes=N_HASHES, bands=BANDS,
-                                      n=NGRAM)
+                                      n=NGRAM, checkpoint_candidates=True)
     # survivors feed the temperature totals collect AND the mix filter;
     # the collect inside temperature_mix fills this persist (v2's
     # thresholds-collect pattern)

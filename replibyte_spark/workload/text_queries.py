@@ -1144,7 +1144,17 @@ def language_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.lid import identify_language
     from ..operators.sample import token_budget_mix
 
-    docs = identify_language(load_table(spark, sf_dir, "documents"))
+    # persist the LID projection (r15): pred_lang is referenced by the
+    # threshold aggregate, twice in the mix predicate (hash draw + rate
+    # CASE) and by the final groupBy — without the cache barrier Catalyst
+    # inlines the full char-n-gram classifier expression into every
+    # consumer, the tripled expression blows janino's method limit and
+    # falls back to INTERPRETED row-at-a-time eval (~73 s for 1,000 docs
+    # at sf0.001 vs 1.2 s for 100,000 docs in the single-copy
+    # doc_language_id gate).  Same pathology/fix as the corpus pipeline's
+    # scored-frame persist (corpus.py, r12).  token_budget_mix's eager
+    # threshold aggregate fills the cache, so no extra fill action.
+    docs = identify_language(load_table(spark, sf_dir, "documents")).persist()
     kept = token_budget_mix(docs, LMIX_WEIGHTS, LMIX_BUDGET,
                             stratum_col="pred_lang", salt="lmix")
     tok = T.token_count_sql(D.SPARK, "text")

@@ -161,16 +161,22 @@ def test_lid_whitespace_and_case_invariance_duckdb():
 
     pred, score = language_id_sql(D.DUCK, "text")
     con = duckdb.connect()
-    texts = [t for _, t in SENTENCES]
-    for t in texts:
-        variants = [t, t.upper(), t.replace(" ", "   "),
-                    "  " + t + "\t\n", t.title()]
-        rows = []
-        for v in variants:
-            con.execute("CREATE OR REPLACE TABLE d AS SELECT ? AS text", [v])
-            rows.append(con.execute(
-                f"SELECT {pred} AS p, {score} AS s FROM d").fetchone())
-        assert len({r for r in rows}) == 1, (t, rows)
+    # ONE query over every (sentence, variant) row, not one query per
+    # variant: the generated LID expression is large, and DuckDB re-parses
+    # and re-plans it per statement — the per-variant loop spent ~400 s of
+    # pure repeated planning for ~1 s of evaluation (r15, verdict #2).
+    # Identical coverage: each sentence's variant group must collapse to
+    # one (prediction, score) pair.
+    rows = [(i, v)
+            for i, (_, t) in enumerate(SENTENCES)
+            for v in (t, t.upper(), t.replace(" ", "   "),
+                      "  " + t + "\t\n", t.title())]
+    con.execute("CREATE TABLE d (sid INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    bad = con.execute(
+        f"SELECT sid FROM (SELECT sid, {pred} AS p, {score} AS s FROM d) "
+        f"GROUP BY sid HAVING count(DISTINCT (p, s)) <> 1").fetchall()
+    assert bad == [], [SENTENCES[b[0]] for b in bad]
 
 
 def test_lid_script_gate_zeroes_out_of_class_scores(spark):

@@ -51,7 +51,21 @@ def _rows(seq):
     return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
 
 
-@pytest.mark.parametrize("name", sorted(ALL))
+# The two LEGACY curation pipelines are the suite's slowest parity rows
+# (their DuckDB oracles alone run 35-85 s at sf0.001 — recursive near-dup
+# CTEs plus repeated scrub/quality expressions, DuckDB-bound, not Spark)
+# and every operator they compose is independently parity-gated (c4,
+# gopher, repetition, dsir, nb, dedup) with the SUPERSEDING v4 pipeline
+# driver-gated.  Opt-in via SPARK_GRAFT_SLOW_TESTS=1 like the other
+# multi-minute tests (r14 verdict #2: the default suite must finish
+# inside the driver's verification window).
+_SLOW_PARITY = {"curation_pipeline_v2", "curation_pipeline_v3"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY
+     else n for n in sorted(ALL)])
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     q = ALL[name]
     df = q.spark_fn(spark, sf_dir)
